@@ -1,0 +1,93 @@
+"""Synthetic test collections.
+
+The reference ships a 113,306-list / 3,327,520-posting sample collection
+whose `.docs`/`.freqs` blobs are absent from our snapshot
+(/root/reference/.MISSING_LARGE_BLOBS:1-2), so local baselines are
+measured on synthesized compatible collections.  The generator mirrors
+the shape of real inverted indexes: Zipf-ish list lengths, clustered
+docIDs (runs of consecutive documents, which produce zero d-gaps — the
+pattern DINT's run codewords exploit), and small skewed frequencies.
+
+Randomness mirrors the reference's test fixture style
+(test/test_generic_sequence.hpp:7-26) but is numpy-vectorized.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+
+def random_posting_list(
+    rng: np.random.Generator, universe: int, n: int, cluster: float = 0.3
+) -> np.ndarray:
+    """Strictly-increasing docid list of length n over [0, universe).
+
+    ``cluster`` is the probability that a posting continues a run of
+    consecutive documents (gap of 1); the remaining mass is spread
+    geometrically so the expected total span stays within the universe.
+    """
+    assert 0 < n <= universe
+    # Gap budget: we need sum(gaps) <= universe with gaps >= 1.
+    # Draw: with prob `cluster` gap=1, else 1+Geom(p).
+    is_run = rng.random(n) < cluster
+    mean_extra = max((universe / max(n, 1) - 1.0) / max(1e-9, (1.0 - cluster)), 0.001)
+    p = min(1.0, 1.0 / (1.0 + mean_extra))
+    extra = rng.geometric(p, size=n) - 1
+    gaps = np.where(is_run, 1, 1 + extra).astype(np.int64)
+    docs = np.cumsum(gaps) - 1
+    # Wrap into the universe while preserving strict monotonicity: rescale
+    # any overflow by mapping onto a sorted unique sample.
+    if docs[-1] >= universe:
+        docs = np.floor(docs * (universe - 1) / docs[-1]).astype(np.int64)
+        docs = np.unique(docs)
+        while docs.shape[0] < n:
+            missing = n - docs.shape[0]
+            cand = rng.integers(0, universe, size=2 * missing + 8)
+            docs = np.unique(np.concatenate([docs, cand]))
+        docs = docs[rng.permutation(docs.shape[0])[:n]]
+        docs.sort()
+    return docs.astype(np.uint32)
+
+
+def random_freqs(rng: np.random.Generator, n: int) -> np.ndarray:
+    """Small skewed positive frequencies (mostly 1..4)."""
+    f = rng.zipf(2.0, size=n)
+    return np.minimum(f, 1 << 20).astype(np.uint32)
+
+
+def make_collection(
+    num_lists: int,
+    num_docs: int,
+    seed: int = 1,
+    avg_len: float = 30.0,
+    cluster: float = 0.3,
+) -> Tuple[List[np.ndarray], List[np.ndarray]]:
+    """A (doc_lists, freq_lists) pair shaped like the bundled sample.
+
+    List lengths follow a truncated Zipf so a few terms are dense (long
+    runs, highly compressible) and the long tail is short, as in real
+    collections.
+    """
+    rng = np.random.default_rng(seed)
+    raw = rng.zipf(1.35, size=num_lists).astype(np.float64)
+    lens = np.maximum(1, (raw / raw.mean() * avg_len)).astype(np.int64)
+    lens = np.minimum(lens, num_docs)
+    doc_lists: List[np.ndarray] = []
+    freq_lists: List[np.ndarray] = []
+    for n in lens:
+        n = int(n)
+        doc_lists.append(random_posting_list(rng, num_docs, n, cluster))
+        freq_lists.append(random_freqs(rng, n))
+    return doc_lists, freq_lists
+
+
+def doc_sizes_from_lists(
+    doc_lists: List[np.ndarray], freq_lists: List[np.ndarray], num_docs: int
+) -> np.ndarray:
+    """Per-document lengths: sum of freqs of postings naming the doc."""
+    sizes = np.zeros(num_docs, dtype=np.int64)
+    for d, f in zip(doc_lists, freq_lists):
+        np.add.at(sizes, d.astype(np.int64), f.astype(np.int64))
+    return np.maximum(sizes, 1).astype(np.uint32)

@@ -1,0 +1,103 @@
+"""Round-trip tests for collection I/O, vbyte, gaps and interpolative.
+
+Mirrors the reference's property-test style (test/test_generic_sequence.hpp
+and test_block_codecs.cpp): random values over magnitudes 2^1..2^24 and
+edge sizes {1, 16, 255, 256}, with both known and unknown sums.
+"""
+
+import numpy as np
+import pytest
+
+from dint_tpu.codecs import interpolative, vbyte
+from dint_tpu.io import collection, synth
+from dint_tpu.utils import gaps
+
+
+def test_collection_roundtrip(tmp_path, rng):
+    doc_lists, freq_lists = synth.make_collection(50, 2000, seed=7)
+    base = str(tmp_path / "coll")
+    collection.write_freq_collection(base, doc_lists, freq_lists, 2000)
+    view = collection.open_freq_collection(base)
+    assert view.num_docs == 2000
+    assert len(view) == 50
+    got = list(view)
+    for (d, f), dref, fref in zip(got, doc_lists, freq_lists):
+        np.testing.assert_array_equal(d, dref)
+        np.testing.assert_array_equal(f, fref)
+
+
+def test_docs_lists_valid(rng):
+    doc_lists, freq_lists = synth.make_collection(200, 5000, seed=3)
+    for d, f in zip(doc_lists, freq_lists):
+        assert d.shape == f.shape
+        assert (np.diff(d.astype(np.int64)) > 0).all()
+        assert int(d[-1]) < 5000
+        assert (f >= 1).all()
+
+
+def test_vbyte_roundtrip(rng):
+    vals = np.concatenate(
+        [
+            rng.integers(0, 1 << m, size=20, dtype=np.uint64)
+            for m in (7, 8, 14, 21, 28, 32)
+        ]
+    ).astype(np.uint32)
+    buf = vbyte.encode(vals)
+    out, pos = vbyte.decode(buf, 0, len(vals))
+    assert pos == len(buf)
+    np.testing.assert_array_equal(out, vals)
+    for v in [0, 1, 127, 128, 16383, 16384, (1 << 32) - 1]:
+        b = vbyte.encode_single(v)
+        assert len(b) == vbyte.encoded_size(v)
+        got, p = vbyte.decode_single(b, 0)
+        assert got == v and p == len(b)
+
+
+def test_gap_transforms(rng):
+    docs = np.unique(rng.integers(0, 10000, 500)).astype(np.uint32)
+    g = gaps.docs_to_gaps(docs)
+    np.testing.assert_array_equal(gaps.gaps_to_docs(g), docs)
+    freqs = rng.integers(1, 100, 300).astype(np.uint32)
+    fg = gaps.freqs_to_gaps(freqs)
+    np.testing.assert_array_equal(gaps.gaps_to_freqs(fg), freqs)
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 16, 255, 256])
+@pytest.mark.parametrize("mag", [1, 4, 10, 24])
+def test_interpolative_roundtrip_known_sum(rng, n, mag):
+    vals = rng.integers(0, 1 << mag, size=n).astype(np.uint32)
+    s = int(vals.astype(np.int64).sum())
+    buf = interpolative.encode_block(vals, s)
+    out, pos = interpolative.decode_block(buf, 0, n, s)
+    np.testing.assert_array_equal(out, vals)
+    assert pos == len(buf)
+
+
+@pytest.mark.parametrize("n", [1, 16, 255])
+def test_interpolative_roundtrip_unknown_sum(rng, n):
+    vals = rng.integers(0, 1000, size=n).astype(np.uint32)
+    buf = interpolative.encode_block(vals, interpolative.UNKNOWN_SUM)
+    out, pos = interpolative.decode_block(buf, 0, n, interpolative.UNKNOWN_SUM)
+    np.testing.assert_array_equal(out, vals)
+    assert pos == len(buf)
+
+
+def test_interpolative_all_zero():
+    vals = np.zeros(100, dtype=np.uint32)
+    buf = interpolative.encode_block(vals, 0)
+    assert len(buf) == 0  # zero-universe blocks cost zero bits
+    out, pos = interpolative.decode_block(buf, 0, 100, 0)
+    np.testing.assert_array_equal(out, vals)
+
+
+def test_interpolative_size_matches_dfs_reference_bitcount(rng):
+    # The BFS layout must cost exactly the same bits as the reference's
+    # DFS layout (same minimal binary codes, reordered).
+    for trial in range(20):
+        n = int(rng.integers(2, 256))
+        vals = rng.integers(0, 1 << int(rng.integers(1, 20)), size=n)
+        psums = np.cumsum(vals.astype(np.int64))
+        s = int(psums[-1])
+        bits = interpolative.encoded_bits(psums[: n - 1], 0, s)
+        buf = interpolative.encode_block(vals, s)
+        assert len(buf) == (bits + 7) // 8
