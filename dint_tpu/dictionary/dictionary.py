@@ -49,6 +49,7 @@ from ..config import (
     RESERVED,
     RUN_LENGTHS,
 )
+from ..utils import hashing
 from . import policies
 
 Entry = Tuple[int, ...]
@@ -91,30 +92,75 @@ class LookupTable:
         for L, pairs in per_len.items():
             arr = np.asarray([p[0] for p in pairs], dtype="<u4").reshape(-1, L)
             idxs = np.asarray([p[1] for p in pairs], dtype=np.uint32)
-            rows = np.ascontiguousarray(arr).view(np.dtype((np.void, 4 * L))).ravel()
-            order = np.argsort(rows)
-            self._by_len[L] = (rows[order], idxs[order])
+            h1 = hashing.hash_u64(arr)
+            order = np.argsort(h1, kind="stable")
+            self._by_len[L] = (h1[order], idxs[order], arr[order])
 
     def lookup_one(self, window: Entry) -> int:
         idx = self._map.get(tuple(int(x) for x in window))
         return -1 if idx is None else idx
 
     def lookup_batch(self, windows: np.ndarray) -> np.ndarray:
-        """(W, L) u32 windows -> (W,) int64 indices, -1 for misses."""
+        """(W, L) u32 windows -> (W,) int64 indices, -1 for misses.
+
+        Numeric searchsorted over sorted 64-bit content hashes, then
+        exact content verification of every candidate (and a bounded
+        forward probe over hash ties), so collisions cannot produce a
+        wrong index — unlike the reference's collision-tolerant murmur
+        map (single_dictionary.hpp:167-175).
+        """
         W, L = windows.shape
         out = np.full(W, -1, dtype=np.int64)
         if L not in self._by_len or W == 0:
             return out
-        rows_sorted, idxs = self._by_len[L]
-        q = np.ascontiguousarray(windows.astype("<u4")).view(
-            np.dtype((np.void, 4 * L))
-        ).ravel()
-        pos = np.searchsorted(rows_sorted, q)
-        in_range = pos < rows_sorted.shape[0]
-        hit = np.zeros(W, dtype=bool)
-        hit[in_range] = rows_sorted[pos[in_range]] == q[in_range]
-        out[hit] = idxs[pos[hit]].astype(np.int64)
+        windows = np.ascontiguousarray(windows, dtype="<u4")
+        qh = hashing.hash_u64(windows)
+        self._match(qh, out, lambda ci: windows[ci], L)
         return out
+
+    def lookup_rolling(self, gaps: np.ndarray, L: int) -> np.ndarray:
+        """Hits for EVERY length-L window of (B, W) gaps -> (B, W-L+1).
+
+        Uses rolling hashes (no window materialization); candidate
+        windows are gathered only for content verification.
+        """
+        B, W = gaps.shape
+        P = W - L + 1
+        out = np.full(B * P, -1, dtype=np.int64)
+        if L not in self._by_len or P <= 0:
+            return out.reshape(B, max(P, 0))
+        qh = hashing.rolling_window_hashes(gaps, L).ravel()
+        span = np.arange(L, dtype=np.int64)
+
+        def get_windows(ci):
+            rows = ci // P
+            cols = ci % P
+            return gaps[rows[:, None], cols[:, None] + span[None, :]]
+
+        self._match(qh, out, get_windows, L)
+        return out.reshape(B, P)
+
+    def _match(self, qh, out, get_windows, L) -> None:
+        h_sorted, idxs, contents = self._by_len[L]
+        pos = np.searchsorted(h_sorted, qh)
+        m = h_sorted.shape[0]
+        unresolved = np.arange(qh.shape[0])
+        # probe forward over equal-hash runs (collisions cost a probe,
+        # never a wrong index — content is verified)
+        for _ in range(4):
+            if unresolved.shape[0] == 0:
+                break
+            p = pos[unresolved]
+            valid = p < m
+            vi = unresolved[valid]
+            pv = p[valid]
+            cand = h_sorted[pv] == qh[vi]
+            ci = vi[cand]
+            pc = pv[cand]
+            ok = (contents[pc] == get_windows(ci)).all(axis=1)
+            out[ci[ok]] = idxs[pc[ok]].astype(np.int64)
+            unresolved = ci[~ok]
+            pos[unresolved] += 1
 
 
 # ---------------------------------------------------------------------------

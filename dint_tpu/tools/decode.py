@@ -1,0 +1,221 @@
+"""Vroom-equivalent decoder CLI — the headline-metric harness.
+
+Usage (mirrors vroom_env/decode.cpp:202-263):
+
+    python -m dint_tpu.tools.decode <type> <encoded_file>
+        [--dict DICT_FILE] [--runs R] [--check-collection FILE]
+
+Loads the encoded stream + skip sidecar + dictionary, plans per-block
+device decode buckets, runs one untimed warmup pass (compilation), then
+R timed passes over the full stream, and prints the reference's stats
+record {filename, num_sequences, num_integers, type, tot_elapsed_time,
+ns_x_int, ints_x_sec} (vroom_env/statistics.hpp:7-34).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..codecs import encode_batch
+from ..config import BLOCK_SIZE, NUM_SELECTORS
+from ..dictionary import builder as dict_builder
+from ..dictionary.dictionary import (
+    DecodeView,
+    MultiPackedDictionary,
+    PackedDictionary,
+    RectangularDictionary,
+)
+from ..index import stream as stream_mod
+from ..kernels import pipeline
+from . import common
+
+
+@dataclass
+class UnitLayout:
+    """Per-decode-unit geometry derived from the skip sidecar."""
+
+    starts: np.ndarray  # payload byte offsets (after any selector byte)
+    byte_lens: np.ndarray
+    n: np.ndarray
+    ctx: np.ndarray
+    b_bits: np.ndarray  # 16 or 8 per unit
+    list_id: np.ndarray
+    pos_in_list: np.ndarray  # output offset of the unit within its list
+
+
+def units_from_meta(
+    arena: np.ndarray, meta: stream_mod.StreamMeta, multi: bool
+) -> UnitLayout:
+    chunk = BLOCK_SIZE if multi else encode_batch.OPT_CHUNK
+    L = meta.num_lists
+    nb = ((meta.n.astype(np.int64) + chunk - 1) // chunk).clip(min=1)
+    assert meta.block_ptr is not None, "stream lacks a skip sidecar"
+    counts = np.diff(meta.block_ptr.astype(np.int64))
+    assert (counts == nb).all(), "sidecar block counts disagree with n"
+    list_id = np.repeat(np.arange(L, dtype=np.int64), nb)
+    # unit index within its list
+    first = np.concatenate([[0], np.cumsum(nb)[:-1]])
+    unit_rank = np.arange(list_id.shape[0], dtype=np.int64) - first[list_id]
+    pos_in_list = unit_rank * chunk
+    n_unit = np.minimum(meta.n.astype(np.int64)[list_id] - pos_in_list, chunk)
+    starts = meta.block_off.astype(np.int64).copy()
+    list_end = (meta.payload_off + meta.payload_len).astype(np.int64)
+    ends = np.empty_like(starts)
+    ends[:-1] = starts[1:]
+    ends[-1] = list_end[-1]
+    # last unit of each list ends at the list's payload end
+    last_of_list = np.concatenate([[0], np.cumsum(nb)])[1:] - 1
+    ends[last_of_list] = list_end
+    byte_lens = ends - starts
+    if multi:
+        sc = arena[starts].astype(np.int32)
+        ctx = np.where(sc < NUM_SELECTORS, sc, sc - NUM_SELECTORS)
+        b_bits = np.where(sc < NUM_SELECTORS, 16, 8)
+        starts = starts + 1
+        byte_lens = byte_lens - 1
+    else:
+        ctx = np.zeros(starts.shape[0], dtype=np.int32)
+        b_bits = np.full(starts.shape[0], 16, dtype=np.int32)
+    return UnitLayout(
+        starts, byte_lens, n_unit.astype(np.int32), ctx.astype(np.int32),
+        b_bits.astype(np.int32), list_id, pos_in_list,
+    )
+
+
+class StreamDecoder:
+    """Device decode of a full encoded stream."""
+
+    def __init__(self, arena: np.ndarray, meta: stream_mod.StreamMeta,
+                 view: DecodeView, multi: bool):
+        self.meta = meta
+        self.layout = units_from_meta(arena, meta, multi)
+        lay = self.layout
+        buckets = []
+        for bits in (16, 8):
+            m = lay.b_bits == bits
+            if not m.any():
+                continue
+            bks = pipeline.plan_buckets(
+                arena,
+                lay.starts[m],
+                lay.byte_lens[m],
+                lay.n[m],
+                lay.ctx[m],
+                bits,
+            )
+            # remap bucket indices back to global unit ids
+            gids = np.flatnonzero(m)
+            for bk in bks:
+                bk.indices = gids[bk.indices]
+            buckets.extend(bks)
+        self.engine = pipeline.DecodeEngine(view, buckets)
+
+    def decode_all(self):
+        return self.engine.decode_all()
+
+    def timed_runs(self, runs: int) -> Tuple[float, int]:
+        """(total seconds over `runs` full-stream decodes, ints per run)."""
+        import jax
+
+        outs = self.decode_all()  # warmup / compile
+        total_ints = self.engine.block_and_check(outs)
+        t0 = time.perf_counter()
+        for _ in range(runs):
+            outs = self.decode_all()
+        jax.block_until_ready([o for o, _ in outs])
+        t1 = time.perf_counter()
+        return t1 - t0, total_ints
+
+    def gather_lists(self) -> List[np.ndarray]:
+        """Decode and reassemble per-list int arrays (host)."""
+        outs = self.decode_all()
+        lay = self.layout
+        lists = [
+            np.zeros(int(n), dtype=np.uint32)
+            for n in self.meta.n
+        ]
+        for (out, _), bk in zip(outs, self.engine.buckets):
+            host = np.asarray(out)
+            for j, uid in enumerate(bk.indices):
+                li = lay.list_id[uid]
+                p = int(lay.pos_in_list[uid])
+                k = int(lay.n[uid])
+                lists[li][p : p + k] = host[j, :k]
+        return lists
+
+
+def load_dictionary(type_name: str, dict_file: Optional[str], collection_hint=None):
+    kind, policy = common.DINT_KINDS[type_name]
+    if dict_file:
+        if kind == "rectangular":
+            return RectangularDictionary.load(dict_file)
+        if kind == "multi":
+            return MultiPackedDictionary.load(dict_file, policy or "pack")
+        return PackedDictionary.load(dict_file, policy or "pack")
+    raise ValueError("--dict required (or use the encode tool's cache file)")
+
+
+def decode_stream(
+    type_name: str,
+    encoded_file: str,
+    dict_file: Optional[str],
+    runs: int = 10,
+    check_collection: Optional[str] = None,
+):
+    kind, _ = common.DINT_KINDS[type_name]
+    multi = kind == "multi"
+    arena, meta = stream_mod.load_stream(encoded_file)
+    d = load_dictionary(type_name, dict_file)
+    view = d.decode_view()
+    dict_mib = (view.table.nbytes + view.offsets.nbytes) / (1 << 20)
+    common.log(f"Dictionary memory: {dict_mib:.3f} [MiB]")
+    dec = StreamDecoder(arena, meta, view, multi)
+    common.log(f"decoding ({len(dec.engine.buckets)} buckets)...")
+    elapsed, total_ints = dec.timed_runs(runs)
+    per_run = elapsed / runs
+    ns_x_int = per_run * 1e9 / max(total_ints, 1)
+    rec = {
+        "filename": encoded_file,
+        "num_sequences": str(meta.num_lists),
+        "num_integers": str(total_ints),
+        "type": type_name,
+        "tot_elapsed_time": f"{per_run}",
+        "ns_x_int": f"{ns_x_int}",
+        "ints_x_sec": str(int(1e9 / ns_x_int)) if ns_x_int > 0 else "inf",
+        "runs": str(runs),
+    }
+    if check_collection:
+        got = dec.gather_lists()
+        expect, _ = common.gap_lists_of(check_collection)
+        assert len(got) == len(expect), (len(got), len(expect))
+        for i, (g, e) in enumerate(zip(got, expect)):
+            if not np.array_equal(g, e):
+                raise SystemExit(f"MISMATCH in list {i}")
+        rec["check"] = "ok"
+        common.log("verification ok: decoded stream matches collection")
+    common.stats_line(rec)
+    return rec
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("type", choices=sorted(common.DINT_KINDS))
+    ap.add_argument("encoded_file")
+    ap.add_argument("--dict", dest="dict_file")
+    ap.add_argument("--runs", type=int, default=10)
+    ap.add_argument("--check-collection")
+    args = ap.parse_args(argv)
+    decode_stream(
+        args.type, args.encoded_file, args.dict_file, args.runs,
+        args.check_collection,
+    )
+
+
+if __name__ == "__main__":
+    main()
