@@ -265,6 +265,54 @@ def encode_opt_lists(
     return streams, chunk_lens
 
 
+def encode_single_lists(
+    d, lists: Sequence[np.ndarray], prefer_native: bool = True
+) -> Tuple[List[bytes], List[List[int]]]:
+    """Single-dict optimal encode; native C++ path when available."""
+    units: List[np.ndarray] = []
+    spans: List[Tuple[int, int]] = []
+    for g in lists:
+        s = len(units)
+        for i in range(0, max(1, g.shape[0]), OPT_CHUNK):
+            units.append(g[i : i + OPT_CHUNK])
+        spans.append((s, len(units)))
+    encoded = None
+    if prefer_native:
+        from . import native
+
+        ne = native.native_encoder_for(d)
+        if ne is not None:
+            encoded = ne.encode_units(units, mode=0)
+    if encoded is None:
+        encoded = encode_opt_units(d.lookup_table(), units, 16)
+    streams = [b"".join(encoded[s:e]) for s, e in spans]
+    chunk_lens = [[len(u) for u in encoded[s:e]] for s, e in spans]
+    return streams, chunk_lens
+
+
+def encode_multi_lists(
+    d: MultiPackedDictionary, lists: Sequence[np.ndarray], prefer_native: bool = True
+) -> Tuple[List[bytes], List[List[int]]]:
+    """Multi-dict exhaustive-trial encode; native C++ path when available."""
+    if prefer_native:
+        from . import native
+
+        ne = native.native_encoder_for(d)
+        if ne is not None:
+            units: List[np.ndarray] = []
+            spans: List[Tuple[int, int]] = []
+            for g in lists:
+                s = len(units)
+                for i in range(0, max(1, g.shape[0]), BLOCK_SIZE):
+                    units.append(g[i : i + BLOCK_SIZE])
+                spans.append((s, len(units)))
+            encoded = ne.encode_units(units, mode=1)
+            streams = [b"".join(encoded[s:e]) for s, e in spans]
+            block_lens = [[len(u) for u in encoded[s:e]] for s, e in spans]
+            return streams, block_lens
+    return encode_multi_opt_lists(d, lists)
+
+
 def encode_multi_opt_lists(
     dict_: MultiPackedDictionary, lists: Sequence[np.ndarray]
 ) -> Tuple[List[bytes], List[List[int]]]:

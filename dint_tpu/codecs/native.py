@@ -1,0 +1,141 @@
+"""ctypes bindings for the native C++ DINT encoder.
+
+Builds native/dint_encoder.cpp on first use (g++ -O3 shared object,
+cached next to the source) and exposes the same unit-encoding API as
+the numpy batch encoder; encode_batch transparently prefers this path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..config import NUM_ENTRIES
+from ..dictionary.dictionary import DecodeView
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO_ROOT, "native", "dint_encoder.cpp")
+_SO = os.path.join(_REPO_ROOT, "native", "libdintenc.so")
+
+_lib = None
+_lib_failed = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            [
+                "g++", "-O3", "-march=native", "-std=c++17", "-shared",
+                "-fPIC", _SRC, "-o", _SO,
+            ],
+            check=True,
+            capture_output=True,
+        )
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        print(f"native encoder build failed: {e}", file=sys.stderr)
+        return False
+
+
+def get_lib():
+    global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
+        return _lib
+    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        if not _build():
+            _lib_failed = True
+            return None
+    lib = ctypes.CDLL(_SO)
+    lib.dint_encoder_create.restype = ctypes.c_void_p
+    lib.dint_encoder_create.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+    ]
+    lib.dint_encoder_destroy.argtypes = [ctypes.c_void_p]
+    lib.dint_encode_units.restype = ctypes.c_int64
+    lib.dint_encode_units.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+    ]
+    _lib = lib
+    return _lib
+
+
+class NativeEncoder:
+    """Holds a native encoder handle for one dictionary."""
+
+    def __init__(self, view: DecodeView, context_counts: Sequence[int]):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native encoder unavailable")
+        self._lib = lib
+        C = view.offsets.shape[0]
+        table = np.ascontiguousarray(view.table, dtype=np.uint32)
+        offsets = np.ascontiguousarray(view.offsets, dtype=np.uint32)
+        lengths = np.ascontiguousarray(view.lengths, dtype=np.int32)
+        counts = np.ascontiguousarray(
+            np.minimum(np.asarray(context_counts, dtype=np.int32), NUM_ENTRIES)
+        )
+        self._keep = (table, offsets, lengths, counts)
+        self._h = lib.dint_encoder_create(
+            table.ctypes.data, table.shape[0], offsets.ctypes.data,
+            lengths.ctypes.data, counts.ctypes.data, C, NUM_ENTRIES,
+        )
+
+    def __del__(self):
+        try:
+            if getattr(self, "_h", None):
+                self._lib.dint_encoder_destroy(self._h)
+        except Exception:
+            pass
+
+    def encode_units(self, units: Sequence[np.ndarray], mode: int) -> List[bytes]:
+        """mode 0 = single opt b16; 1 = multi exhaustive with selector byte."""
+        if not units:
+            return []
+        flat = np.ascontiguousarray(
+            np.concatenate([np.asarray(u, dtype=np.uint32) for u in units])
+        )
+        offs = np.zeros(len(units) + 1, dtype=np.int64)
+        np.cumsum([len(u) for u in units], out=offs[1:])
+        out_lens = np.zeros(len(units), dtype=np.int64)
+        cap = int(flat.shape[0] * 6 + len(units) * 8 + 64)
+        out = np.zeros(cap, dtype=np.uint8)
+        n = self._lib.dint_encode_units(
+            self._h, flat.ctypes.data, offs.ctypes.data, len(units), mode,
+            out.ctypes.data, cap, out_lens.ctypes.data,
+        )
+        if n < 0:
+            cap = int(-n) + 64
+            out = np.zeros(cap, dtype=np.uint8)
+            n = self._lib.dint_encode_units(
+                self._h, flat.ctypes.data, offs.ctypes.data, len(units), mode,
+                out.ctypes.data, cap, out_lens.ctypes.data,
+            )
+            assert n >= 0
+        res: List[bytes] = []
+        pos = 0
+        buf = out.tobytes()
+        for ln in out_lens:
+            res.append(buf[pos : pos + int(ln)])
+            pos += int(ln)
+        return res
+
+
+def native_encoder_for(d) -> Optional[NativeEncoder]:
+    """Build a NativeEncoder from any dictionary object, or None."""
+    if get_lib() is None:
+        return None
+    view = d.decode_view()
+    if hasattr(d, "context_count"):
+        counts = [d.context_count(c) for c in range(view.offsets.shape[0])]
+    elif hasattr(d, "m_size"):
+        counts = [d.m_size]
+    else:
+        counts = [d.size]
+    return NativeEncoder(view, counts)

@@ -68,6 +68,8 @@ def _chain_visited(cw: jnp.ndarray, b: int) -> jnp.ndarray:
     #               v_{q-s_large} & large_{q-s_large}
     def shifted(x, k):
         # x_{q-k} aligned at q, False for q < k
+        if k >= W:
+            return jnp.zeros((B, W), dtype=bool)
         pad = jnp.zeros((B, k), dtype=bool)
         return jnp.concatenate([pad, x[:, : W - k]], axis=1)
 

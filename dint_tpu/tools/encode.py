@@ -64,10 +64,9 @@ def encode_collection(
 
     common.log(f"encoding {len(gap_lists)} lists ({total_ints} ints)...")
     if kind == "multi":
-        streams, block_lens = encode_batch.encode_multi_opt_lists(d, gap_lists)
+        streams, block_lens = encode_batch.encode_multi_lists(d, gap_lists)
     else:
-        lt = d.lookup_table()
-        streams, block_lens = encode_batch.encode_opt_lists(lt, gap_lists)
+        streams, block_lens = encode_batch.encode_single_lists(d, gap_lists)
     meta = stream_mod.write_stream(out_file, streams, ns, universes, block_lens)
     rec = stream_mod.stream_stats_line(type_name, out_file, meta)
     common.stats_line(rec)

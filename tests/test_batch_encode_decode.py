@@ -185,3 +185,13 @@ def test_xla_decode_b8_blocks(setup):
                 tmp = np.zeros(ns[j], np.uint32)
                 dint.decode_single(view, bufs[j], 0, ns[j], tmp, 0, b, ctxs[j])
                 np.testing.assert_array_equal(out[j, : ns[j]], tmp)
+
+
+def test_xla_decode_tiny_b8_unit(setup):
+    """Regression: b=8 chain state depth (5) exceeding tiny token counts."""
+    _, _, dm = setup
+    view = dm.decode_view()
+    # one small exception in a b=8 stream: tokens [0, lo, hi] (W=3 < depth 5)
+    buf = bytes([0, 0x2A, 0x01])
+    out, produced = _xla_decode_lists(view, [buf], [1], b=8, ctxs=[0])
+    assert produced[0] == 1 and out[0, 0] == 0x012A
