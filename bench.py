@@ -1,0 +1,91 @@
+"""Headline benchmark: vroom-style raw sequential decode on one TPU chip.
+
+Mirrors BASELINE config 2 ("vroom raw decode: encode/decode docs with
+single_rect_dint") on a deterministic synthetic collection (the
+reference's bundled .docs/.freqs blobs are absent from the snapshot —
+/root/reference/.MISSING_LARGE_BLOBS).  Artifacts (collection, trained
+dictionary, encoded stream) are cached under .bench/ with the
+reference's create-or-load discipline, so repeat runs only time decode.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline divides by 1.5e9 ints/s — a mid-range estimate of the
+reference's single-core CPU DINT decode rate (the repo publishes no
+speed numbers; the WSDM'19 paper reports DINT-family decode in the
+~1-2 G ints/s range on an i7-7700).  The driver target of >=10x the
+reference CPU therefore corresponds to vs_baseline >= 10.
+"""
+
+import json
+import os
+import sys
+import time
+
+# The session environment pins JAX_PLATFORMS=axon; fresh processes can
+# fail to init that alias — auto-choose instead (lands on the TPU).
+if os.environ.get("JAX_PLATFORMS") == "axon":
+    os.environ["JAX_PLATFORMS"] = ""
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+CACHE = os.path.join(REPO, ".bench")
+
+NUM_LISTS = 6000
+NUM_DOCS = 4_000_000
+AVG_LEN = 5000.0
+SEED = 2026
+RUNS = 10
+REFERENCE_CPU_INTS_PER_SEC = 1.5e9
+
+
+def build_artifacts():
+    import numpy as np
+
+    from dint_tpu.io import collection, synth
+
+    os.makedirs(CACHE, exist_ok=True)
+    base = os.path.join(CACHE, "bench_collection")
+    if not os.path.exists(base + ".docs"):
+        print("bench: synthesizing collection...", file=sys.stderr)
+        docs, freqs = synth.make_collection(
+            NUM_LISTS, NUM_DOCS, seed=SEED, avg_len=AVG_LEN
+        )
+        collection.write_freq_collection(base, docs, freqs, NUM_DOCS)
+    stream = os.path.join(CACHE, "bench.single_rect_dint.bin")
+    dict_file = os.path.join(
+        CACHE, "dict.bench_collection.docs.rectangular.DSF-65536-16"
+    )
+    if not os.path.exists(stream):
+        print("bench: encoding stream (one-time)...", file=sys.stderr)
+        from dint_tpu.tools import encode
+
+        encode.encode_collection(
+            "single_rect_dint", base + ".docs", stream, cache_dir=CACHE
+        )
+    return stream, dict_file
+
+
+def main():
+    import contextlib
+
+    with contextlib.redirect_stdout(sys.stderr):
+        stream, dict_file = build_artifacts()
+        from dint_tpu.tools import decode
+
+        rec = decode.decode_stream(
+            "single_rect_dint", stream, dict_file, runs=RUNS
+        )
+    ints_per_sec = float(rec["ints_x_sec"])
+    print(
+        json.dumps(
+            {
+                "metric": "vroom_decode_ints_per_sec_per_chip",
+                "value": ints_per_sec,
+                "unit": "ints/s",
+                "vs_baseline": ints_per_sec / REFERENCE_CPU_INTS_PER_SEC,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

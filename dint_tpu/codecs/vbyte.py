@@ -39,7 +39,7 @@ def decode(buf, pos: int, n: int) -> Tuple[np.ndarray, int]:
         v = 0
         shift = 0
         while True:
-            c = buf[pos]
+            c = int(buf[pos])  # buf may be a numpy u8 array
             pos += 1
             v += (c & 0x7F) << shift
             if c & 0x80:

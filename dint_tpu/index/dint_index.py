@@ -1,0 +1,368 @@
+"""DINT frequency index — the dict_freq_index equivalent.
+
+Layout semantics mirror dict_posting_list.hpp:10-56 / dict_freq_index.hpp:
+posting lists are chopped into 256-int blocks; per list the index holds
+the list length, per-block last-docIDs (block_maxs), per-block end
+offsets (the skip data), and the concatenated per-block payloads, where
+each block stores its docID d-gaps followed by its freq-1 values, both
+DINT-coded (blocks shorter than 256 fall back to interpolative coding
+with the docs' gap-universe known and the freqs' sum unknown —
+dint_codecs.hpp:17-19, dict_posting_list.hpp:44-48).
+
+TPU-native re-design: instead of one byte blob walked by enumerators,
+the index is a structure of arrays — a flat payload arena plus dense
+per-list and per-block tables — so whole batches of blocks decode in
+parallel on device.  The information content per list matches the
+reference (vbyte length + 4B block_max/block + 4B endpoint/(block-1) +
+payloads), and the serialized stats count exactly those bytes, so bpi
+is comparable line-for-line with the reference's dump_stats
+(index_build_utils.hpp:91-118).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..codecs import dint, encode_batch, interpolative, vbyte
+from ..config import BLOCK_SIZE, NUM_SELECTORS
+from ..dictionary import builder as dict_builder
+from ..io.collection import open_freq_collection
+from ..tools import common as tools_common
+from ..utils import gaps as gap_mod
+
+MAGIC = b"DINTTPU1"
+
+
+@dataclass
+class DintIndex:
+    kind: str  # 'single' | 'rectangular' | 'multi'
+    policy: Optional[str]
+    num_docs: int
+    list_n: np.ndarray  # (L,) u32
+    block_ptr: np.ndarray  # (L+1,) u64 first block id per list
+    block_max: np.ndarray  # (NB,) u32 last docid per block
+    docs_end: np.ndarray  # (NB,) u64 arena offset past the block's docs part
+    block_end: np.ndarray  # (NB,) u64 arena offset past the whole block
+    arena: np.ndarray  # (T,) u8 concatenated block payloads
+    docs_dict: object = None
+    freqs_dict: object = None
+
+    # ---- derived ----
+    @property
+    def num_lists(self) -> int:
+        return int(self.list_n.shape[0])
+
+    @property
+    def num_blocks(self) -> int:
+        return int(self.block_max.shape[0])
+
+    def list_blocks(self, i: int) -> Tuple[int, int]:
+        return int(self.block_ptr[i]), int(self.block_ptr[i + 1])
+
+    def block_start(self, b: int) -> int:
+        return int(self.block_end[b - 1]) if b > 0 else 0
+
+    # ---- size accounting (reference-equivalent) ----
+    def size_stats(self) -> dict:
+        """Reference-style byte split (index_build_utils.hpp:37-88):
+        freqs = per-block freq payload bytes; docs = everything else
+        (headers, maxs, endpoints, docs payloads, list directory)."""
+        L = self.num_lists
+        NB = self.num_blocks
+        header_bytes = sum(vbyte.encoded_size(int(n)) for n in self.list_n)
+        starts = np.concatenate([[0], self.block_end[:-1]])
+        freq_bytes = int((self.block_end - self.docs_end).sum())
+        docs_payload = int((self.docs_end - starts).sum())
+        maxs_bytes = 4 * NB
+        endpoint_bytes = 4 * (NB - L)  # last block of each list implied
+        # list directory: Elias-Fano-coded endpoints like m_endpoints
+        # (dict_freq_index.hpp:97-100): n=L values over arena-size universe
+        u = max(int(self.arena.shape[0]), 1)
+        lower = max(0, int(np.floor(np.log2(max(u / max(L, 1), 1)))))
+        ef_bits = L * (lower + 2) + 128
+        postings = int(self.list_n.astype(np.int64).sum())
+        docs_bytes = header_bytes + maxs_bytes + endpoint_bytes + docs_payload + ef_bits // 8
+        return {
+            "postings": postings,
+            "docs_bytes": docs_bytes,
+            "freqs_bytes": freq_bytes,
+            "docs_bpi": docs_bytes * 8.0 / max(postings, 1),
+            "freqs_bpi": freq_bytes * 8.0 / max(postings, 1),
+        }
+
+    # ---- persistence (freeze/map analogue of succinct::mapper) ----
+    def save(self, path: str) -> None:
+        np.savez(
+            path,
+            magic=np.frombuffer(MAGIC, dtype=np.uint8),
+            kind=np.frombuffer(self.kind.encode(), dtype=np.uint8),
+            policy=np.frombuffer((self.policy or "").encode(), dtype=np.uint8),
+            num_docs=np.asarray([self.num_docs], dtype=np.uint64),
+            list_n=self.list_n,
+            block_ptr=self.block_ptr,
+            block_max=self.block_max,
+            # docs_end is NOT serialized: the reference stores only one
+            # endpoint per block (the freqs start is implied by decoding
+            # the docs half, dict_posting_list.hpp:298-302); we recover
+            # it at load time from the decode kernel's consumed-token
+            # output so serialized bytes stay reference-equivalent.
+            block_end=self.block_end,
+            arena=self.arena,
+        )
+        base = path[:-4] if path.endswith(".npz") else path
+        if self.docs_dict is not None:
+            self.docs_dict.store(base + ".docsdict")
+        if self.freqs_dict is not None:
+            self.freqs_dict.store(base + ".freqsdict")
+
+    @classmethod
+    def load(cls, path: str) -> "DintIndex":
+        from ..dictionary.dictionary import (
+            MultiPackedDictionary,
+            PackedDictionary,
+            RectangularDictionary,
+        )
+
+        base = path[:-4] if path.endswith(".npz") else path
+        z = np.load(base + ".npz")
+        assert z["magic"].tobytes() == MAGIC
+        kind = z["kind"].tobytes().decode()
+        policy = z["policy"].tobytes().decode() or None
+        docs_dict = freqs_dict = None
+        if os.path.exists(base + ".docsdict"):
+            if kind == "rectangular":
+                loader = RectangularDictionary.load
+            elif kind == "multi":
+                loader = lambda p: MultiPackedDictionary.load(p, policy or "pack")
+            else:
+                loader = lambda p: PackedDictionary.load(p, policy or "pack")
+            docs_dict = loader(base + ".docsdict")
+            freqs_dict = loader(base + ".freqsdict")
+        idx = cls(
+            kind,
+            policy,
+            int(z["num_docs"][0]),
+            z["list_n"],
+            z["block_ptr"],
+            z["block_max"],
+            None,  # docs_end recovered lazily (see save())
+            z["block_end"],
+            z["arena"],
+            docs_dict,
+            freqs_dict,
+        )
+        return idx
+
+    def ensure_docs_end(self) -> None:
+        """Recover per-block docs/freqs split offsets after load.
+
+        Decodes every block's docs half once (host oracle for partial
+        blocks, codeword walk for DINT blocks) — the load-time analogue
+        of the enumerator's sequential discovery."""
+        if self.docs_end is not None:
+            return
+        from ..codecs import dint as dint_mod
+        from ..codecs import interpolative as interp_mod
+
+        view = self.docs_dict.decode_view()
+        NB = self.num_blocks
+        docs_end = np.zeros(NB, dtype=np.uint64)
+        for i in range(self.num_lists):
+            p0, p1 = self.list_blocks(i)
+            n = int(self.list_n[i])
+            for b in range(p0, p1):
+                pos = (b - p0) * BLOCK_SIZE
+                size = min(BLOCK_SIZE, n - pos)
+                start = self.block_start(b)
+                base = int(self.block_max[b - 1]) + 1 if b > p0 else 0
+                if size < BLOCK_SIZE:
+                    sum_v = int(self.block_max[b]) - base - (size - 1)
+                    _, end = interp_mod.decode_block(
+                        self.arena, start, size, sum_v
+                    )
+                elif self.kind == "multi":
+                    out = np.zeros(size, np.uint32)
+                    end = dint_mod.decode_multi(
+                        view, self.arena, start, size, out
+                    )
+                else:
+                    out = np.zeros(size, np.uint32)
+                    end = dint_mod.decode_single(
+                        view, self.arena, start, size, out
+                    )
+                docs_end[b] = end
+        self.docs_end = docs_end
+
+
+def _encode_blocks(
+    d, kind: str, units: List[np.ndarray], sums: List[int]
+) -> List[bytes]:
+    """Encode per-block units: DINT for full blocks, interpolative else."""
+    full_idx = [i for i, u in enumerate(units) if len(u) == BLOCK_SIZE]
+    out: List[bytes] = [b""] * len(units)
+    if full_idx:
+        full_units = [units[i] for i in full_idx]
+        if kind == "multi":
+            streams, _ = encode_batch.encode_multi_lists(d, full_units)
+        else:
+            streams, _ = encode_batch.encode_single_lists(d, full_units)
+        for i, s in zip(full_idx, streams):
+            out[i] = s
+    for i, u in enumerate(units):
+        if len(u) < BLOCK_SIZE:
+            out[i] = interpolative.encode_block(u, sums[i])
+    return out
+
+
+def build_index(
+    basename: str,
+    kind: str = "single",
+    policy: str = "pack",
+    cache_dir: str = ".",
+) -> DintIndex:
+    """create_freq_index equivalent (src/create_freq_index.cpp:54-110)."""
+    view = open_freq_collection(basename)
+    tools_common.log("building or loading dictionaries (docs, freqs)...")
+    docs_dict = dict_builder.build_or_load_dict(
+        basename + ".docs", True, kind, policy, cache_dir
+    )
+    freqs_dict = dict_builder.build_or_load_dict(
+        basename + ".freqs", False, kind, policy, cache_dir
+    )
+
+    tools_common.log("encoding posting lists...")
+    list_n: List[int] = []
+    block_ptr = [0]
+    block_max: List[int] = []
+    doc_units: List[np.ndarray] = []
+    doc_sums: List[int] = []
+    freq_units: List[np.ndarray] = []
+    freq_sums: List[int] = []
+    for docs, freqs in view:
+        n = int(docs.shape[0])
+        list_n.append(n)
+        dgaps = gap_mod.docs_to_gaps(docs)
+        fgaps = gap_mod.freqs_to_gaps(freqs)
+        base = 0
+        for p in range(0, n, BLOCK_SIZE):
+            size = min(BLOCK_SIZE, n - p)
+            last_doc = int(docs[p + size - 1])
+            block_max.append(last_doc)
+            doc_units.append(dgaps[p : p + size])
+            # docs gap universe: block_max - block_base - (size-1)
+            # (dict_posting_list.hpp:44-46)
+            doc_sums.append(last_doc - base - (size - 1))
+            freq_units.append(fgaps[p : p + size])
+            freq_sums.append(interpolative.UNKNOWN_SUM)
+            base = last_doc + 1
+        block_ptr.append(len(block_max))
+
+    doc_payloads = _encode_blocks(docs_dict, kind, doc_units, doc_sums)
+    freq_payloads = _encode_blocks(freqs_dict, kind, freq_units, freq_sums)
+
+    NB = len(block_max)
+    docs_end = np.zeros(NB, dtype=np.uint64)
+    block_end = np.zeros(NB, dtype=np.uint64)
+    parts: List[bytes] = []
+    pos = 0
+    for b in range(NB):
+        parts.append(doc_payloads[b])
+        pos += len(doc_payloads[b])
+        docs_end[b] = pos
+        parts.append(freq_payloads[b])
+        pos += len(freq_payloads[b])
+        block_end[b] = pos
+    arena = np.frombuffer(b"".join(parts), dtype=np.uint8)
+
+    return DintIndex(
+        kind,
+        policy,
+        view.num_docs,
+        np.asarray(list_n, dtype=np.uint32),
+        np.asarray(block_ptr, dtype=np.uint64),
+        np.asarray(block_max, dtype=np.uint32),
+        docs_end,
+        block_end,
+        arena,
+        docs_dict,
+        freqs_dict,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle (host) readers — the executable spec for the device query path.
+# ---------------------------------------------------------------------------
+
+
+def decode_block_docs_host(index: DintIndex, b: int, list_i: int) -> np.ndarray:
+    """Decode block b's docIDs (host oracle; dict_posting_list.hpp:284-309)."""
+    p0, p1 = index.list_blocks(list_i)
+    assert p0 <= b < p1
+    n = int(index.list_n[list_i])
+    pos_in_list = (b - p0) * BLOCK_SIZE
+    size = min(BLOCK_SIZE, n - pos_in_list)
+    base = int(index.block_max[b - 1]) + 1 if b > p0 else 0
+    start = index.block_start(b)
+    view = index.docs_dict.decode_view()
+    out = np.zeros(size, dtype=np.uint32)
+    if size < BLOCK_SIZE:
+        sum_v = int(index.block_max[b]) - base - (size - 1)
+        vals, _ = interpolative.decode_block(index.arena, start, size, sum_v)
+        out[:] = vals
+    elif index.kind == "multi":
+        dint.decode_multi(view, index.arena, start, size, out)
+    else:
+        dint.decode_single(view, index.arena, start, size, out)
+    docs = np.cumsum(out.astype(np.int64) + 1) - 1 + base
+    return docs.astype(np.uint32)
+
+
+def decode_block_freqs_host(index: DintIndex, b: int, list_i: int) -> np.ndarray:
+    p0, p1 = index.list_blocks(list_i)
+    n = int(index.list_n[list_i])
+    pos_in_list = (b - p0) * BLOCK_SIZE
+    size = min(BLOCK_SIZE, n - pos_in_list)
+    start = int(index.docs_end[b])
+    view = index.freqs_dict.decode_view()
+    out = np.zeros(size, dtype=np.uint32)
+    if size < BLOCK_SIZE:
+        vals, _ = interpolative.decode_block(
+            index.arena, start, size, interpolative.UNKNOWN_SUM
+        )
+        out[:] = vals
+    elif index.kind == "multi":
+        dint.decode_multi(view, index.arena, start, size, out)
+    else:
+        dint.decode_single(view, index.arena, start, size, out)
+    return (out.astype(np.int64) + 1).astype(np.uint32)
+
+
+def list_docids_host(index: DintIndex, i: int) -> np.ndarray:
+    p0, p1 = index.list_blocks(i)
+    return np.concatenate(
+        [decode_block_docs_host(index, b, i) for b in range(p0, p1)]
+    )
+
+
+def list_freqs_host(index: DintIndex, i: int) -> np.ndarray:
+    p0, p1 = index.list_blocks(i)
+    return np.concatenate(
+        [decode_block_freqs_host(index, b, i) for b in range(p0, p1)]
+    )
+
+
+def verify_index(index: DintIndex, basename: str) -> None:
+    """verify_collection equivalent (verify_collection.hpp:7-52)."""
+    index.ensure_docs_end()
+    view = open_freq_collection(basename)
+    for i, (docs, freqs) in enumerate(view):
+        got_d = list_docids_host(index, i)
+        got_f = list_freqs_host(index, i)
+        if not np.array_equal(got_d, docs):
+            raise SystemExit(f"docid mismatch in list {i}")
+        if not np.array_equal(got_f, freqs):
+            raise SystemExit(f"freq mismatch in list {i}")

@@ -29,25 +29,25 @@ def random_posting_list(
     geometrically so the expected total span stays within the universe.
     """
     assert 0 < n <= universe
-    # Gap budget: we need sum(gaps) <= universe with gaps >= 1.
-    # Draw: with prob `cluster` gap=1, else 1+Geom(p).
+    # Gap budget: sum(gaps) <= universe with every gap >= 1.
+    # With prob `cluster` the gap is exactly 1 (consecutive docs ->
+    # zero d-gap, the pattern DINT run codewords exploit); otherwise
+    # 1 + Geom.  If the draw overspends the universe, the non-run
+    # extras are scaled down — strict monotonicity is preserved
+    # because the base gap of 1 is untouched.
     is_run = rng.random(n) < cluster
     mean_extra = max((universe / max(n, 1) - 1.0) / max(1e-9, (1.0 - cluster)), 0.001)
     p = min(1.0, 1.0 / (1.0 + mean_extra))
-    extra = rng.geometric(p, size=n) - 1
-    gaps = np.where(is_run, 1, 1 + extra).astype(np.int64)
+    extra = (rng.geometric(p, size=n) - 1).astype(np.int64)
+    extra[is_run] = 0
+    total = n + int(extra.sum())
+    if total > universe:
+        budget = universe - n
+        ext_total = max(int(extra.sum()), 1)
+        extra = (extra * (budget * 0.98 / ext_total)).astype(np.int64)
+    gaps = 1 + extra
     docs = np.cumsum(gaps) - 1
-    # Wrap into the universe while preserving strict monotonicity: rescale
-    # any overflow by mapping onto a sorted unique sample.
-    if docs[-1] >= universe:
-        docs = np.floor(docs * (universe - 1) / docs[-1]).astype(np.int64)
-        docs = np.unique(docs)
-        while docs.shape[0] < n:
-            missing = n - docs.shape[0]
-            cand = rng.integers(0, universe, size=2 * missing + 8)
-            docs = np.unique(np.concatenate([docs, cand]))
-        docs = docs[rng.permutation(docs.shape[0])[:n]]
-        docs.sort()
+    assert int(docs[-1]) < universe
     return docs.astype(np.uint32)
 
 

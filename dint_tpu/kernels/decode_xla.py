@@ -77,22 +77,40 @@ def _chain_visited(cw: jnp.ndarray, b: int) -> jnp.ndarray:
     bb = shifted(is_small, s_small)
     cc = shifted(cw == 1, s_large)
 
-    T = jnp.zeros((B, W, D, D), dtype=jnp.float32)
-    T = T.at[:, :, 0, 0].set(a.astype(jnp.float32))
-    T = T.at[:, :, 0, s_small - 1].set(bb.astype(jnp.float32))
-    T = T.at[:, :, 0, s_large - 1].set(cc.astype(jnp.float32))
-    for d in range(1, D):
-        T = T.at[:, :, d, d - 1].set(1.0)
+    # D x D boolean transition matrices stored as D*D separate (B, W)
+    # planes — a trailing (D, D) axis would be tile-padded to (8, 128)
+    # on TPU, inflating memory ~100x.  Row 0 holds the recurrence taps;
+    # rows 1..D-1 shift the state window.
+    if W == 1:
+        return jnp.ones((B, 1), dtype=bool)
+    zeros = jnp.zeros((B, W - 1), dtype=bool)
+    ones = jnp.ones((B, W - 1), dtype=bool)
+    row0 = {0: a[:, 1:], s_small - 1: bb[:, 1:], s_large - 1: cc[:, 1:]}
+    T = tuple(
+        tuple(
+            (row0.get(j, zeros) if i == 0 else (ones if j == i - 1 else zeros))
+            for j in range(D)
+        )
+        for i in range(D)
+    )
 
     def combine(x, y):
-        # prefix transform: later-applied y composed after x
-        return jnp.minimum(jnp.einsum("...ij,...jk->...ik", y, x), 1.0)
+        # prefix transform: later-applied y composed after x (R = Y . X
+        # over the boolean semiring), elementwise over (B, W-1) planes
+        return tuple(
+            tuple(
+                jax.tree_util.tree_reduce(
+                    jnp.logical_or,
+                    [y[i][k] & x[k][j] for k in range(D)],
+                )
+                for j in range(D)
+            )
+            for i in range(D)
+        )
 
-    # s_0 = e0 (position 0 visited). Prefix products of T_1..T_{W-1}
-    # applied to s_0 give s_q for q >= 1.
-    prefixes = jax.lax.associative_scan(combine, T[:, 1:], axis=1)
-    s0 = jnp.zeros((B, D), dtype=jnp.float32).at[:, 0].set(1.0)
-    v_rest = jnp.einsum("bwij,bj->bwi", prefixes, s0)[:, :, 0] > 0.5
+    prefixes = jax.lax.associative_scan(combine, T, axis=1)
+    # s_q = P_q @ e0  =>  v_q = P_q[0, 0]
+    v_rest = prefixes[0][0]
     v0 = jnp.ones((B, 1), dtype=bool)
     return jnp.concatenate([v0, v_rest], axis=1)
 
@@ -192,7 +210,18 @@ def decode_units(
     exc_val = jnp.where(cw_j == 1, large_val, small_val)
     val = jnp.where(is_dict_j, dict_val.astype(jnp.uint32), exc_val)
     val = jnp.where(jpos < n[:, None], val, 0)
-    return val, produced
+
+    # tokens consumed to produce exactly n ints: the codeword covering
+    # output n-1, plus its payload — lets a second pass decode the data
+    # that follows (e.g. the freqs half of an index block).
+    last_j = jnp.clip(n - 1, 0, n_out - 1)[:, None]
+    q_last = jnp.take_along_axis(q_j, last_j, axis=1)[:, 0]
+    cw_last = jnp.take_along_axis(cw_j, last_j, axis=1)[:, 0]
+    step_last = jnp.where(
+        cw_last >= EXCEPTIONS, 1, jnp.where(cw_last == 1, s_large, s_small)
+    )
+    consumed = q_last + step_last
+    return val, produced, consumed
 
 
 def tokens_from_arena(

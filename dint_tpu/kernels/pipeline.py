@@ -86,6 +86,13 @@ def units_are_clean(
     return out
 
 
+# Output-capacity shape classes.  Few distinct (W, N, b, clean) shapes
+# keep the number of XLA compilations small (each distinct shape is a
+# separate compile); clean units satisfy tokens <= n so W == N, dirty
+# units get W = 4N (b=16 worst case is 3 tokens/int) or 8N (b=8, 5/int).
+N_CLASSES = (256, 1024, 8192)
+
+
 def plan_buckets(
     arena: np.ndarray,
     starts: np.ndarray,
@@ -93,20 +100,25 @@ def plan_buckets(
     n: np.ndarray,
     ctx: np.ndarray,
     b: int,
-    max_w: int = 1 << 15,
 ) -> List[Bucket]:
-    """Bucket units by (pow2 token count, pow2 n, cleanliness)."""
+    """Bucket units into the fixed shape classes, split clean/dirty."""
     tw = b // 8
     token_counts = (np.asarray(byte_lens, dtype=np.int64) + tw - 1) // tw
     prefix = small_word_flags(arena, b)
     clean = units_are_clean(prefix, starts, token_counts, b)
+    n = np.asarray(n)
     keys: Dict[Tuple[int, int, bool], List[int]] = {}
     for i in range(len(starts)):
-        W = min(_pow2(int(token_counts[i])), max_w)
-        if token_counts[i] > max_w:
-            W = _pow2(int(token_counts[i]))  # oversized units get own bucket
-        N = _pow2(int(n[i]))
-        keys.setdefault((W, N, bool(clean[i])), []).append(i)
+        N = next((c for c in N_CLASSES if int(n[i]) <= c), None)
+        if N is None:
+            N = _pow2(int(n[i]))
+        cl = bool(clean[i])
+        if cl:
+            W = N
+        else:
+            W = _pow2(N * (4 if b == 16 else 8))
+            W = max(W, _pow2(int(token_counts[i])))
+        keys.setdefault((W, N, cl), []).append(i)
     buckets = []
     for (W, N, cl), idxs in sorted(keys.items()):
         idxs = np.asarray(idxs, dtype=np.int64)
@@ -120,11 +132,19 @@ def plan_buckets(
                 cl,
                 cw,
                 token_counts[idxs].astype(np.int32),
-                np.asarray(n)[idxs].astype(np.int32),
+                n[idxs].astype(np.int32),
                 np.asarray(ctx)[idxs].astype(np.int32),
             )
         )
     return buckets
+
+
+# Fixed batch-tile rows: every decode call has one of a handful of
+# static shapes, so XLA compiles each (B_TILE, W, N, b, clean) variant
+# exactly once.  Dirty tiles are smaller because the chain-scan's
+# transition tensors cost 36*W bytes per row.
+B_TILE_CLEAN = 2048
+B_TILE_DIRTY = 256
 
 
 class DecodeEngine:
@@ -136,21 +156,33 @@ class DecodeEngine:
         self.offsets = jnp.asarray(view.offsets.astype(np.int32))
         self.table = jnp.asarray(view.table)
         self.buckets = buckets
-        self.dev_buckets = [
-            (
-                jnp.asarray(bk.cw),
-                jnp.asarray(bk.w_valid),
-                jnp.asarray(bk.n),
-                jnp.asarray(bk.ctx),
-            )
-            for bk in buckets
-        ]
+        self.tiles = []  # (bucket_idx, row0, rows, cw, wv, n, ctx)
+        for bi, bk in enumerate(buckets):
+            tile = B_TILE_CLEAN if bk.clean else B_TILE_DIRTY
+            B = bk.cw.shape[0]
+            for r0 in range(0, B, tile):
+                rows = min(tile, B - r0)
+                cw = np.zeros((tile, bk.W), dtype=bk.cw.dtype)
+                cw[:rows] = bk.cw[r0 : r0 + rows]
+                pad = lambda a: np.pad(a[r0 : r0 + rows], (0, tile - rows))
+                self.tiles.append(
+                    (
+                        bi,
+                        r0,
+                        rows,
+                        jnp.asarray(cw),
+                        jnp.asarray(pad(bk.w_valid)),
+                        jnp.asarray(pad(bk.n)),
+                        jnp.asarray(pad(bk.ctx)),
+                    )
+                )
 
     def decode_all(self):
-        """One decode pass over every bucket; returns device outputs."""
+        """One decode pass over every tile; returns device outputs."""
         outs = []
-        for bk, (cw, wv, n, ctx) in zip(self.buckets, self.dev_buckets):
-            out, produced = decode_xla.decode_units(
+        for bi, r0, rows, cw, wv, n, ctx in self.tiles:
+            bk = self.buckets[bi]
+            out, produced, consumed = decode_xla.decode_units(
                 cw,
                 wv,
                 n,
@@ -162,17 +194,29 @@ class DecodeEngine:
                 n_out=bk.N,
                 assume_clean=bk.clean,
             )
-            outs.append((out, produced))
+            outs.append((out, produced, consumed))
         return outs
 
     def block_and_check(self, outs) -> int:
         total = 0
-        for (out, produced), bk in zip(outs, self.buckets):
-            produced = np.asarray(produced)
-            if not (produced == bk.n).all():
-                bad = np.flatnonzero(produced != bk.n)[:5]
+        for (out, produced, _c), (bi, r0, rows, *_rest) in zip(outs, self.tiles):
+            bk = self.buckets[bi]
+            produced = np.asarray(produced)[:rows]
+            expect = bk.n[r0 : r0 + rows]
+            if not (produced == expect).all():
+                bad = np.flatnonzero(produced != expect)[:5]
                 raise ValueError(
-                    f"decode produced wrong counts for units {bk.indices[bad]}"
+                    f"decode produced wrong counts for units "
+                    f"{bk.indices[r0 + bad]}"
                 )
             total += int(produced.sum())
         return total
+
+    def iter_unit_outputs(self, outs):
+        """Yields (unit_id, host_row (N,) u32, n) for every unit."""
+        for (out, _p, _c), (bi, r0, rows, *_rest) in zip(outs, self.tiles):
+            bk = self.buckets[bi]
+            host = np.asarray(out)
+            for j in range(rows):
+                uid = int(bk.indices[r0 + j])
+                yield uid, host[j], int(bk.n[r0 + j])

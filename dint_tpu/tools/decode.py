@@ -128,7 +128,7 @@ class StreamDecoder:
         t0 = time.perf_counter()
         for _ in range(runs):
             outs = self.decode_all()
-        jax.block_until_ready([o for o, _ in outs])
+        jax.block_until_ready([o for o, *_ in outs])
         t1 = time.perf_counter()
         return t1 - t0, total_ints
 
@@ -140,13 +140,10 @@ class StreamDecoder:
             np.zeros(int(n), dtype=np.uint32)
             for n in self.meta.n
         ]
-        for (out, _), bk in zip(outs, self.engine.buckets):
-            host = np.asarray(out)
-            for j, uid in enumerate(bk.indices):
-                li = lay.list_id[uid]
-                p = int(lay.pos_in_list[uid])
-                k = int(lay.n[uid])
-                lists[li][p : p + k] = host[j, :k]
+        for uid, row, k in self.engine.iter_unit_outputs(outs):
+            li = lay.list_id[uid]
+            p = int(lay.pos_in_list[uid])
+            lists[li][p : p + k] = row[:k]
         return lists
 
 
@@ -168,6 +165,9 @@ def decode_stream(
     runs: int = 10,
     check_collection: Optional[str] = None,
 ):
+    from ..utils import jaxcfg
+
+    jaxcfg.enable_compile_cache()
     kind, _ = common.DINT_KINDS[type_name]
     multi = kind == "multi"
     arena, meta = stream_mod.load_stream(encoded_file)

@@ -86,7 +86,7 @@ def _xla_decode_lists(view, bufs, ns, b=16, ctxs=None):
     n = np.asarray(ns, np.int32)
     ctx = np.zeros(len(bufs), np.int32) if ctxs is None else np.asarray(ctxs, np.int32)
     clean = not (cw < 2).any()
-    out, produced = decode_xla.decode_units(
+    out, produced, _consumed = decode_xla.decode_units(
         cw,
         wv,
         n,
