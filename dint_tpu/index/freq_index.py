@@ -1,0 +1,227 @@
+"""Elias-Fano-family frequency indexes (ef / single / uniform / opt).
+
+Rebuild of freq_index<DocsSequence, FreqsSequence> (freq_index.hpp) and
+its four instantiations (index_types.hpp:25-37):
+
+  ef      = freq_index<compact_elias_fano, positive_sequence<strict_elias_fano>>
+  single  = freq_index<indexed_sequence,   positive_sequence<strict_sequence>>
+  uniform = freq_index<uniform_partitioned<indexed>, positive<uniform_partitioned<strict>>>
+  opt     = freq_index<partitioned<indexed>,          positive<partitioned<strict>>>   (PEF)
+
+Per-list layout matches freq_index.hpp:59-70: gamma_nonzero(occurrences)
+[+ n in ceil_log2(occurrences+1) bits when occurrences > 1], then the
+docs sequence over universe num_docs, with the freqs sequence (over
+universe occurrences+1) in a parallel bitvector collection; both
+collections use EF endpoint directories (bitvector_collection.hpp).
+Readers decode whole lists (the batched-query access pattern) instead
+of pointer-walking enumerators.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Tuple
+
+import numpy as np
+
+from ..codecs import ef
+from ..io.collection import open_freq_collection
+from ..utils import bitio
+from ..utils.bitio import BitBuilder, BitReader, ceil_log2
+
+
+def _sequences(kind: str):
+    if kind == "ef":
+        return ef.compact_elias_fano, ef.positive_sequence(ef.strict_elias_fano)
+    if kind == "single":
+        return ef.indexed_sequence, ef.positive_sequence(ef.strict_sequence)
+    if kind == "uniform":
+        return (
+            ef.uniform_partitioned_sequence(ef.indexed_sequence),
+            ef.positive_sequence(
+                ef.uniform_partitioned_sequence(ef.strict_sequence)
+            ),
+        )
+    if kind == "opt":
+        return (
+            ef.partitioned_sequence(ef.indexed_sequence),
+            ef.positive_sequence(ef.partitioned_sequence(ef.strict_sequence)),
+        )
+    raise ValueError(kind)
+
+
+@dataclass
+class BitvectorCollection:
+    """Concatenated bit sequences + EF endpoint directory
+    (bitvector_collection.hpp:15-67)."""
+
+    words: np.ndarray
+    total_bits: int
+    endpoints: np.ndarray  # decoded endpoints (L+1 not stored; L entries)
+
+    def endpoint_bits(self, params) -> int:
+        L = self.endpoints.shape[0]
+        if L == 0:
+            return 0
+        return ef.compact_elias_fano.bitsize(params, max(self.total_bits, 1), L)
+
+
+class FreqIndexEF:
+    """The loaded index."""
+
+    def __init__(self, kind: str, num_docs: int, docs: BitvectorCollection,
+                 freqs: BitvectorCollection, params=None):
+        self.kind = kind
+        self.num_docs = num_docs
+        self.docs = docs
+        self.freqs = freqs
+        self.params = params or ef.PARAMS
+
+    @property
+    def num_lists(self) -> int:
+        return int(self.docs.endpoints.shape[0])
+
+    # `num_lists` alias used by the shared query tooling
+    def __len__(self) -> int:
+        return self.num_lists
+
+    def _list_header(self, i: int) -> Tuple[int, int, int]:
+        """(occurrences, n, docs_seq_bit_offset)."""
+        off = int(self.docs.endpoints[i])
+        r = BitReader(self.docs.words, off)
+        occurrences = ef.read_gamma(r) + 1
+        if occurrences > 1:
+            n = r.take(ceil_log2(occurrences + 1))
+        else:
+            n = 1
+        return occurrences, n, r.pos
+
+    def list_docids(self, i: int) -> np.ndarray:
+        docs_seq, _ = _sequences(self.kind)
+        occurrences, n, pos = self._list_header(i)
+        return docs_seq.decode_all(
+            self.docs.words, pos, self.num_docs, n, self.params
+        ).astype(np.uint32)
+
+    def list_freqs(self, i: int) -> np.ndarray:
+        _, freqs_seq = _sequences(self.kind)
+        occurrences, n, _ = self._list_header(i)
+        off = int(self.freqs.endpoints[i])
+        return freqs_seq.decode_all(
+            self.freqs.words, off, occurrences + 1, n, self.params
+        ).astype(np.uint32)
+
+    @property
+    def list_n(self) -> np.ndarray:
+        if not hasattr(self, "_list_n"):
+            self._list_n = np.asarray(
+                [self._list_header(i)[1] for i in range(self.num_lists)],
+                dtype=np.uint32,
+            )
+        return self._list_n
+
+    def size_stats(self) -> dict:
+        postings = 0
+        for i in range(self.num_lists):
+            _, n, _ = self._list_header(i)
+            postings += n
+        p = self.params
+        docs_bits = self.docs.total_bits + self.docs.endpoint_bits(p)
+        freq_bits = self.freqs.total_bits + self.freqs.endpoint_bits(p)
+        return {
+            "postings": postings,
+            "docs_bpi": docs_bits / max(postings, 1),
+            "freqs_bpi": freq_bits / max(postings, 1),
+        }
+
+    def save(self, path: str) -> None:
+        np.savez(
+            path,
+            kind=np.frombuffer(self.kind.encode(), dtype=np.uint8),
+            num_docs=np.asarray([self.num_docs], np.uint64),
+            docs_words=self.docs.words,
+            docs_bits=np.asarray([self.docs.total_bits], np.uint64),
+            docs_endpoints=self.docs.endpoints,
+            freqs_words=self.freqs.words,
+            freqs_bits=np.asarray([self.freqs.total_bits], np.uint64),
+            freqs_endpoints=self.freqs.endpoints,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "FreqIndexEF":
+        z = np.load(path if path.endswith(".npz") else path + ".npz")
+        return cls(
+            z["kind"].tobytes().decode(),
+            int(z["num_docs"][0]),
+            BitvectorCollection(
+                z["docs_words"], int(z["docs_bits"][0]), z["docs_endpoints"]
+            ),
+            BitvectorCollection(
+                z["freqs_words"], int(z["freqs_bits"][0]), z["freqs_endpoints"]
+            ),
+        )
+
+
+def build_freq_index(basename: str, kind: str = "opt") -> FreqIndexEF:
+    """create_freq_index path for the EF family
+    (freq_index.hpp:25-90 builder semantics)."""
+    params = ef.PARAMS
+    view = open_freq_collection(basename)
+    docs_seq, freqs_seq = _sequences(kind)
+    docs_bb = BitBuilder()
+    freqs_bb = BitBuilder()
+    docs_eps: List[int] = []
+    freqs_eps: List[int] = []
+    for docs, freqs in view:
+        n = int(docs.shape[0])
+        occurrences = int(freqs.astype(np.int64).sum())
+        docs_eps.append(docs_bb.size)
+        freqs_eps.append(freqs_bb.size)
+        ef.write_gamma_nonzero(docs_bb, occurrences)
+        if occurrences > 1:
+            docs_bb.append_bits(n, ceil_log2(occurrences + 1))
+        docs_seq.write(docs_bb, docs, view.num_docs, n, params)
+        freqs_seq.write(freqs_bb, freqs, occurrences + 1, n, params)
+    return FreqIndexEF(
+        kind,
+        view.num_docs,
+        BitvectorCollection(
+            docs_bb.words(), docs_bb.size, np.asarray(docs_eps, np.uint64)
+        ),
+        BitvectorCollection(
+            freqs_bb.words(), freqs_bb.size, np.asarray(freqs_eps, np.uint64)
+        ),
+    )
+
+
+class EFTermDecoder:
+    """TermDecoder-compatible reader for the EF-family indexes: decodes
+    whole posting lists with caching (the batched query access path)."""
+
+    def __init__(self, index: FreqIndexEF):
+        self.index = index
+        self._doc_cache = {}
+        self._freq_cache = {}
+
+    def decode_docids(self, terms):
+        for t in dict.fromkeys(terms):
+            if t not in self._doc_cache:
+                self._doc_cache[t] = self.index.list_docids(int(t))
+        return {t: self._doc_cache[t] for t in dict.fromkeys(terms)}
+
+    def decode_freqs(self, terms):
+        for t in dict.fromkeys(terms):
+            if t not in self._freq_cache:
+                self._freq_cache[t] = self.index.list_freqs(int(t))
+        return {t: self._freq_cache[t] for t in dict.fromkeys(terms)}
+
+
+def verify_freq_index(index: FreqIndexEF, basename: str) -> None:
+    view = open_freq_collection(basename)
+    for i, (docs, freqs) in enumerate(view):
+        got_d = index.list_docids(i)
+        got_f = index.list_freqs(i)
+        if not np.array_equal(got_d, docs):
+            raise SystemExit(f"docid mismatch in list {i} (kind={index.kind})")
+        if not np.array_equal(got_f, freqs):
+            raise SystemExit(f"freq mismatch in list {i} (kind={index.kind})")

@@ -18,6 +18,8 @@ import numpy as np
 from ..io.collection import BinaryCollection
 from ..utils import gaps as gap_mod
 
+EF_KINDS = ("ef", "single", "uniform", "opt")
+
 DINT_KINDS = {
     "single_rect_dint": ("rectangular", None),
     "single_packed_dint": ("single", "pack"),

@@ -3,8 +3,11 @@
     python -m dint_tpu.tools.create_freq_index <index_type>
         <collection_basename> [output_filename] [--check] [--cache-dir DIR]
 
+<index_type> covers both families (index_types.hpp:25-80): the EF
+family {ef, single, uniform, opt} and the DINT family
+{single_rect_dint, single_packed_dint, multi_packed_dint, ...}.
 Builds the index (training or loading dictionaries with the reference's
-create-or-load discipline), prints the bpi stats line
+create-or-load discipline for DINT types), prints the bpi stats line
 (index_build_utils.hpp:91-118 analogue), saves it, and with --check
 re-decodes every posting against the input (verify_collection.hpp).
 """
@@ -13,32 +16,39 @@ from __future__ import annotations
 
 import argparse
 
-from ..index import dint_index
+from ..index import dint_index, freq_index
 from . import common
+
+ALL_TYPES = sorted(common.DINT_KINDS) + list(common.EF_KINDS)
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("index_type", choices=sorted(common.DINT_KINDS))
+    ap.add_argument("index_type", choices=ALL_TYPES)
     ap.add_argument("collection_basename")
     ap.add_argument("output_filename", nargs="?")
     ap.add_argument("--check", action="store_true")
     ap.add_argument("--cache-dir", default=".")
     args = ap.parse_args(argv)
 
+    if args.index_type in common.EF_KINDS:
+        idx = freq_index.build_freq_index(args.collection_basename, args.index_type)
+        stats = idx.size_stats()
+        common.stats_line({"type": args.index_type, **stats})
+        if args.output_filename:
+            idx.save(args.output_filename)
+        if args.check:
+            common.log("verifying index against collection...")
+            freq_index.verify_freq_index(idx, args.collection_basename)
+            common.log("it's all good")
+        return
+
     kind, policy = common.DINT_KINDS[args.index_type]
     idx = dint_index.build_index(
         args.collection_basename, kind, policy or "pack", args.cache_dir
     )
     stats = idx.size_stats()
-    common.stats_line(
-        {
-            "type": args.index_type,
-            "worker_threads": 1,
-            "construction_time": 0,
-            **stats,
-        }
-    )
+    common.stats_line({"type": args.index_type, **stats})
     if args.output_filename:
         common.log(f"saving index to {args.output_filename}...")
         idx.save(args.output_filename)

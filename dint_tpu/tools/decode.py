@@ -32,7 +32,7 @@ from ..dictionary.dictionary import (
     RectangularDictionary,
 )
 from ..index import stream as stream_mod
-from ..kernels import pipeline
+from ..kernels import decode_local, pipeline
 from . import common
 
 
@@ -88,14 +88,36 @@ def units_from_meta(
     )
 
 
+def jnp_ravel_first(x):
+    import jax.numpy as jnp
+
+    return jnp.ravel(x)[0]
+
+
 class StreamDecoder:
-    """Device decode of a full encoded stream."""
+    """Device decode of a full encoded stream.
+
+    engine='local' (default): the localized serving-image path
+    (kernels/decode_local.py) — plan once at load, then scatter-free
+    512-domain gathers on device.  engine='raw': the general chain-scan
+    path over raw tokens (kernels/decode_xla.py), kept as the
+    structure-discovering baseline.
+    """
 
     def __init__(self, arena: np.ndarray, meta: stream_mod.StreamMeta,
-                 view: DecodeView, multi: bool):
+                 view: DecodeView, multi: bool, engine: str = "local"):
         self.meta = meta
+        self.kind_engine = engine
         self.layout = units_from_meta(arena, meta, multi)
         lay = self.layout
+        if engine == "local":
+            plan = decode_local.plan_stream(
+                arena, lay.starts, lay.byte_lens, lay.n, lay.ctx,
+                lay.b_bits, view,
+            )
+            self.engine = decode_local.LocalDecodeEngine(plan)
+            self.plan_bytes = plan.plan_bytes()
+            return
         buckets = []
         for bits in (16, 8):
             m = lay.b_bits == bits
@@ -115,20 +137,40 @@ class StreamDecoder:
                 bk.indices = gids[bk.indices]
             buckets.extend(bks)
         self.engine = pipeline.DecodeEngine(view, buckets)
+        self.plan_bytes = 0
 
     def decode_all(self):
         return self.engine.decode_all()
 
     def timed_runs(self, runs: int) -> Tuple[float, int]:
-        """(total seconds over `runs` full-stream decodes, ints per run)."""
-        import jax
+        """(total seconds over `runs` full-stream decodes, ints per run).
 
-        outs = self.decode_all()  # warmup / compile
+        Timing discipline for this stack: the runtime memoizes identical
+        executions AND completes work lazily (block_until_ready can
+        return before execution), so every run is salted (distinct
+        computation, identical results) and forced by fetching an output
+        element to the host.
+        """
+        import jax
+        import numpy as np
+
+        if self.kind_engine == "local":
+            outs = self.engine.decode_all(0)  # warmup / compile
+            _ = np.asarray(jnp_ravel_first(outs))
+            total_ints = self.engine.total_ints()
+            t0 = time.perf_counter()
+            acc = 0
+            for k in range(runs):
+                outs = self.engine.decode_all(k + 1)
+                acc += int(np.asarray(jnp_ravel_first(outs)))
+            t1 = time.perf_counter()
+            return t1 - t0, total_ints
+        outs = self.decode_all()
         total_ints = self.engine.block_and_check(outs)
         t0 = time.perf_counter()
         for _ in range(runs):
             outs = self.decode_all()
-        jax.block_until_ready([o for o, *_ in outs])
+            _ = np.asarray(outs[-1][0].ravel()[0])
         t1 = time.perf_counter()
         return t1 - t0, total_ints
 
@@ -140,6 +182,13 @@ class StreamDecoder:
             np.zeros(int(n), dtype=np.uint32)
             for n in self.meta.n
         ]
+        if self.kind_engine == "local":
+            units = self.engine.gather_units(outs, len(lay.starts), lay.n)
+            for uid, vals in enumerate(units):
+                li = lay.list_id[uid]
+                p = int(lay.pos_in_list[uid])
+                lists[li][p : p + vals.shape[0]] = vals
+            return lists
         for uid, row, k in self.engine.iter_unit_outputs(outs):
             li = lay.list_id[uid]
             p = int(lay.pos_in_list[uid])
@@ -164,6 +213,7 @@ def decode_stream(
     dict_file: Optional[str],
     runs: int = 10,
     check_collection: Optional[str] = None,
+    engine: str = "local",
 ):
     from ..utils import jaxcfg
 
@@ -175,8 +225,8 @@ def decode_stream(
     view = d.decode_view()
     dict_mib = (view.table.nbytes + view.offsets.nbytes) / (1 << 20)
     common.log(f"Dictionary memory: {dict_mib:.3f} [MiB]")
-    dec = StreamDecoder(arena, meta, view, multi)
-    common.log(f"decoding ({len(dec.engine.buckets)} buckets)...")
+    dec = StreamDecoder(arena, meta, view, multi, engine)
+    common.log(f"decoding (engine={engine})...")
     elapsed, total_ints = dec.timed_runs(runs)
     per_run = elapsed / runs
     ns_x_int = per_run * 1e9 / max(total_ints, 1)
@@ -189,6 +239,8 @@ def decode_stream(
         "ns_x_int": f"{ns_x_int}",
         "ints_x_sec": str(int(1e9 / ns_x_int)) if ns_x_int > 0 else "inf",
         "runs": str(runs),
+        "engine": engine,
+        "plan_bytes": str(getattr(dec, "plan_bytes", 0)),
     }
     if check_collection:
         got = dec.gather_lists()
@@ -210,10 +262,11 @@ def main(argv=None):
     ap.add_argument("--dict", dest="dict_file")
     ap.add_argument("--runs", type=int, default=10)
     ap.add_argument("--check-collection")
+    ap.add_argument("--engine", choices=["local", "raw"], default="local")
     args = ap.parse_args(argv)
     decode_stream(
         args.type, args.encoded_file, args.dict_file, args.runs,
-        args.check_collection,
+        args.check_collection, args.engine,
     )
 
 

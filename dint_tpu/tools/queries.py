@@ -71,7 +71,10 @@ def run_op(index, decoder, wdata, queries_list, op, runs, k):
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("index_type", choices=sorted(common.DINT_KINDS))
+    ap.add_argument(
+        "index_type",
+        choices=sorted(common.DINT_KINDS) + list(common.EF_KINDS),
+    )
     ap.add_argument("query_types")  # colon-separated
     ap.add_argument("index_file")
     ap.add_argument("wand_data_file", nargs="?")
@@ -80,8 +83,14 @@ def main(argv=None):
     ap.add_argument("--k", type=int, default=10)
     args = ap.parse_args(argv)
 
-    index = DintIndex.load(args.index_file)
-    decoder = TermDecoder(index)
+    if args.index_type in common.EF_KINDS:
+        from ..index.freq_index import EFTermDecoder, FreqIndexEF
+
+        index = FreqIndexEF.load(args.index_file)
+        decoder = EFTermDecoder(index)
+    else:
+        index = DintIndex.load(args.index_file)
+        decoder = TermDecoder(index)
     wdata = (
         ranked.WandData.load(args.wand_data_file)
         if args.wand_data_file

@@ -1,0 +1,103 @@
+"""Localized decode engine vs the scalar oracle (exactness gate)."""
+
+import numpy as np
+import pytest
+
+from dint_tpu.codecs import dint
+from dint_tpu.kernels import decode_local
+from tests.test_batch_encode_decode import setup  # noqa: F401
+
+
+def _roundtrip_units(view, bufs, ns, ctxs, b_bits):
+    starts = np.cumsum([0] + [len(b) for b in bufs])[:-1]
+    arena = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    plan = decode_local.plan_stream(
+        arena, starts, [len(b) for b in bufs], ns, ctxs, b_bits, view
+    )
+    eng = decode_local.LocalDecodeEngine(plan)
+    outs = eng.decode_all()
+    return eng.gather_units(outs, len(bufs), ns)
+
+
+def test_local_matches_oracle_single(setup):  # noqa: F811
+    gap_lists, ds, _ = setup
+    lt = ds.lookup_table()
+    view = ds.decode_view()
+    lists = [g for g in gap_lists if 0 < len(g) <= 6000][:30]
+    bufs = [dint.encode_opt_single(lt, g) for g in lists]
+    got = _roundtrip_units(
+        view, bufs, [len(g) for g in lists], [0] * len(bufs), [16] * len(bufs)
+    )
+    for g, r in zip(lists, got):
+        np.testing.assert_array_equal(r, g)
+
+
+def test_local_exception_heavy(setup):  # noqa: F811
+    _, ds, _ = setup
+    lt = ds.lookup_table()
+    view = ds.decode_view()
+    rng = np.random.default_rng(3)
+    lists = []
+    for _ in range(6):
+        n = int(rng.integers(10, 900))
+        g = rng.integers(0, 1 << 22, n).astype(np.uint32)
+        g[rng.random(n) < 0.4] = 0
+        lists.append(g)
+    bufs = [dint.encode_opt_single(lt, g) for g in lists]
+    got = _roundtrip_units(
+        view, bufs, [len(g) for g in lists], [0] * len(bufs), [16] * len(bufs)
+    )
+    for g, r in zip(lists, got):
+        np.testing.assert_array_equal(r, g)
+
+
+def test_local_runs_and_long_lists(setup):  # noqa: F811
+    _, ds, _ = setup
+    lt = ds.lookup_table()
+    view = ds.decode_view()
+    rng = np.random.default_rng(9)
+    g = np.where(rng.random(20000) < 0.7, 0, rng.integers(0, 500, 20000)).astype(
+        np.uint32
+    )
+    from dint_tpu.codecs import encode_batch
+
+    buf = encode_batch.encode_opt_list(lt, g)
+    # single long unit spanning many sub-units
+    got = _roundtrip_units(view, [buf], [len(g)], [0], [16])
+    np.testing.assert_array_equal(got[0], g)
+
+
+def test_local_multi_blocks_b8_b16(setup):  # noqa: F811
+    gap_lists, _, dm = setup
+    lt16, lt8 = dm.lookup_tables()
+    view = dm.decode_view()
+    from dint_tpu.config import NUM_SELECTORS
+
+    lists = [g for g in gap_lists if len(g) >= 256][:5]
+    for g in lists:
+        stream = dint.encode_multi_opt(lt16, lt8, g)
+        # split per block like the index/vroom layout does
+        pos = 0
+        done = 0
+        bufs, ns, ctxs, b_bits = [], [], [], []
+        while done < len(g):
+            size = min(256, len(g) - done)
+            sc = stream[pos]
+            tmp = np.zeros(size, np.uint32)
+            if sc < NUM_SELECTORS:
+                end = dint.decode_single(view, stream, pos + 1, size, tmp, 0, 16, sc)
+                ctxs.append(sc)
+                b_bits.append(16)
+            else:
+                end = dint.decode_single(
+                    view, stream, pos + 1, size, tmp, 0, 8, sc - NUM_SELECTORS
+                )
+                ctxs.append(sc - NUM_SELECTORS)
+                b_bits.append(8)
+            bufs.append(bytes(stream[pos + 1 : end]))
+            ns.append(size)
+            pos = end
+            done += size
+        got = _roundtrip_units(view, bufs, ns, ctxs, b_bits)
+        merged = np.concatenate(got)
+        np.testing.assert_array_equal(merged, g)

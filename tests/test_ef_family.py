@@ -1,0 +1,181 @@
+"""EF sequence family property tests.
+
+Mirrors the reference's generic-sequence property pattern
+(test/test_generic_sequence.hpp:7-26): random (strictly) monotone
+sequences over varied densities, round-tripped through every sequence
+type; sizes must equal the reference layout's bitsize; freq_index
+round-trips on-disk like test_freq_index.cpp:43-66.
+"""
+
+import numpy as np
+import pytest
+
+from dint_tpu.codecs import ef
+from dint_tpu.index import freq_index
+from dint_tpu.io import collection, synth
+from dint_tpu.utils import bitio
+from dint_tpu.utils.bitio import BitBuilder
+
+
+def random_sequence(rng, universe, n, strict=True):
+    if strict:
+        v = np.sort(rng.choice(universe, size=n, replace=False))
+    else:
+        v = np.sort(rng.integers(0, universe, size=n))
+    return v.astype(np.uint64)
+
+
+def test_bitio_roundtrip(rng):
+    bb = BitBuilder()
+    vals, widths = [], []
+    r = np.random.default_rng(0)
+    for _ in range(200):
+        w = int(r.integers(1, 57))
+        v = int(r.integers(0, 1 << w))
+        bb.append_bits(v, w)
+        vals.append(v)
+        widths.append(w)
+    words = bb.words()
+    pos = 0
+    for v, w in zip(vals, widths):
+        assert bitio.read_bits_scalar(words, pos, w) == v
+        pos += w
+
+
+def test_gamma_delta_roundtrip():
+    bb = BitBuilder()
+    vals = [0, 1, 2, 5, 100, 10**6, 2**40]
+    for v in vals:
+        ef.write_gamma(bb, v)
+        ef.write_delta(bb, v)
+    r = bitio.BitReader(bb.words(), 0)
+    for v in vals:
+        assert ef.read_gamma(r) == v
+        assert ef.read_delta(r) == v
+
+
+SEQS = {
+    "ef": ef.compact_elias_fano,
+    "rb": ef.compact_ranked_bitvector,
+    "indexed": ef.indexed_sequence,
+}
+
+
+@pytest.mark.parametrize("name", sorted(SEQS))
+@pytest.mark.parametrize("density", [1.1, 2.0, 10.0, 100.0])
+def test_monotone_sequences(rng, name, density):
+    seq = SEQS[name]
+    n = 500
+    universe = max(int(n * density), n + 1)
+    v = random_sequence(np.random.default_rng(n), universe, n)
+    bb = BitBuilder()
+    bb.append_bits(3, 2)  # misalign start
+    off = bb.size
+    seq.write(bb, v, universe, n, ef.PARAMS)
+    assert bb.size - off == seq.bitsize(ef.PARAMS, universe, n)
+    got = seq.decode_all(bb.words(), off, universe, n, ef.PARAMS)
+    np.testing.assert_array_equal(got, v)
+
+
+def test_all_ones_dispatch():
+    n = 64
+    v = np.arange(n, dtype=np.uint64)
+    bb = BitBuilder()
+    ef.indexed_sequence.write(bb, v, n, n, ef.PARAMS)
+    assert bb.size == 0  # implicit all-ones costs zero bits
+    got = ef.indexed_sequence.decode_all(bb.words(), 0, n, n, ef.PARAMS)
+    np.testing.assert_array_equal(got, v)
+
+
+@pytest.mark.parametrize("density", [1.05, 3.0, 50.0])
+def test_strict_and_positive(rng, density):
+    n = 400
+    universe = max(int(n * density), n + 1)
+    v = random_sequence(np.random.default_rng(7), universe, n)
+    bb = BitBuilder()
+    ef.strict_sequence.write(bb, v, universe, n, ef.PARAMS)
+    got = ef.strict_sequence.decode_all(bb.words(), 0, universe, n, ef.PARAMS)
+    np.testing.assert_array_equal(got, v)
+
+    pos_vals = np.random.default_rng(8).integers(1, 50, n).astype(np.uint64)
+    ps = ef.positive_sequence(ef.strict_sequence)
+    bb2 = BitBuilder()
+    universe2 = int(pos_vals.sum()) + 1
+    ps.write(bb2, pos_vals, universe2, n, ef.PARAMS)
+    got2 = ps.decode_all(bb2.words(), 0, universe2, n, ef.PARAMS)
+    np.testing.assert_array_equal(got2, pos_vals)
+
+
+@pytest.mark.parametrize("uniform", [False, True])
+@pytest.mark.parametrize("n", [1, 2, 100, 1000])
+def test_partitioned_sequences(rng, uniform, n):
+    r = np.random.default_rng(n + uniform)
+    universe = max(4 * n, n + 2)
+    v = random_sequence(r, universe, n)
+    seq = (
+        ef.uniform_partitioned_sequence()
+        if uniform
+        else ef.partitioned_sequence()
+    )
+    bb = BitBuilder()
+    seq.write(bb, v, universe, n, ef.PARAMS)
+    got = seq.decode_all(bb.words(), 0, universe, n, ef.PARAMS)
+    np.testing.assert_array_equal(got, v)
+
+
+def test_partitioned_tight_universe():
+    # last value == universe-1 triggers the tight-universe delta(0) path
+    v = np.asarray([0, 5, 9], dtype=np.uint64)
+    seq = ef.partitioned_sequence()
+    bb = BitBuilder()
+    seq.write(bb, v, 10, 3, ef.PARAMS)
+    got = seq.decode_all(bb.words(), 0, 10, 3, ef.PARAMS)
+    np.testing.assert_array_equal(got, v)
+
+
+def test_optimal_partition_beats_single_block():
+    # clustered values: partitioning must reduce cost vs one block
+    r = np.random.default_rng(3)
+    a = np.sort(r.choice(1000, 300, replace=False))
+    b = np.sort(r.choice(1000, 300, replace=False)) + 1_000_000
+    v = np.concatenate([a, b]).astype(np.uint64)
+    cost = lambda u, m: ef.indexed_sequence.bitsize(ef.PARAMS, u, m) + 64
+    parts = ef.optimal_partition(v, 1_001_000, cost, 0.03, 0.3)
+    total = 0
+    cur = 0
+    base = int(v[0])
+    for e in parts:
+        part = v[cur:e]
+        total += cost(int(part[-1]) - base + 1, e - cur)
+        base = int(part[-1]) + 1
+        cur = e
+    assert total < cost(1_001_000, 600)
+    assert parts[-1] == 600
+
+
+@pytest.mark.parametrize("kind", ["ef", "single", "uniform", "opt"])
+def test_freq_index_roundtrip(tmp_path, kind):
+    base = str(tmp_path / "c")
+    docs, freqs = synth.make_collection(60, 8000, seed=13, avg_len=60)
+    collection.write_freq_collection(base, docs, freqs, 8000)
+    idx = freq_index.build_freq_index(base, kind)
+    freq_index.verify_freq_index(idx, base)
+    stats = idx.size_stats()
+    assert stats["postings"] == sum(len(d) for d in docs)
+    assert 0 < stats["docs_bpi"] < 64
+    # on-disk round trip (test_freq_index.cpp:43-66 discipline)
+    p = str(tmp_path / f"idx_{kind}")
+    idx.save(p)
+    idx2 = freq_index.FreqIndexEF.load(p)
+    freq_index.verify_freq_index(idx2, base)
+
+
+def test_pef_beats_ef_on_clustered_docs(tmp_path):
+    base = str(tmp_path / "c")
+    docs, freqs = synth.make_collection(80, 50000, seed=17, avg_len=200, cluster=0.8)
+    collection.write_freq_collection(base, docs, freqs, 50000)
+    bpis = {}
+    for kind in ("ef", "opt"):
+        idx = freq_index.build_freq_index(base, kind)
+        bpis[kind] = idx.size_stats()["docs_bpi"]
+    assert bpis["opt"] <= bpis["ef"] * 1.05
