@@ -20,6 +20,20 @@ from ..utils import gaps as gap_mod
 
 EF_KINDS = ("ef", "single", "uniform", "opt")
 
+# block_freq_index family (index_types.hpp:39-49): block_<codec>
+BLOCK_KINDS = tuple(
+    "block_" + c
+    for c in (
+        "optpfor", "varintg8iu", "interpolative", "qmx", "mixed", "u32",
+        "vbyte", "simple16", "varintgb", "maskedvbyte", "streamvbyte",
+    )
+)
+
+
+def block_codec_of(index_type: str) -> str:
+    assert index_type.startswith("block_")
+    return index_type[len("block_"):]
+
 DINT_KINDS = {
     "single_rect_dint": ("rectangular", None),
     "single_packed_dint": ("single", "pack"),

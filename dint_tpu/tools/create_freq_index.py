@@ -19,7 +19,7 @@ import argparse
 from ..index import dint_index, freq_index
 from . import common
 
-ALL_TYPES = sorted(common.DINT_KINDS) + list(common.EF_KINDS)
+ALL_TYPES = sorted(common.DINT_KINDS) + list(common.EF_KINDS) + list(common.BLOCK_KINDS)
 
 
 def main(argv=None):
@@ -30,6 +30,26 @@ def main(argv=None):
     ap.add_argument("--check", action="store_true")
     ap.add_argument("--cache-dir", default=".")
     args = ap.parse_args(argv)
+
+    if args.index_type in common.BLOCK_KINDS:
+        from ..index import block_index
+
+        codec = common.block_codec_of(args.index_type)
+        if codec == "mixed":
+            from ..index import mixed_block
+
+            idx = mixed_block.build_mixed_index(args.collection_basename)
+        else:
+            idx = block_index.build_block_index(args.collection_basename, codec)
+        stats = idx.size_stats()
+        common.stats_line({"type": args.index_type, **stats})
+        if args.output_filename:
+            idx.save(args.output_filename)
+        if args.check:
+            common.log("verifying index against collection...")
+            block_index.verify_block_index(idx, args.collection_basename)
+            common.log("it's all good")
+        return
 
     if args.index_type in common.EF_KINDS:
         idx = freq_index.build_freq_index(args.collection_basename, args.index_type)

@@ -73,7 +73,9 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "index_type",
-        choices=sorted(common.DINT_KINDS) + list(common.EF_KINDS),
+        choices=sorted(common.DINT_KINDS)
+        + list(common.EF_KINDS)
+        + list(common.BLOCK_KINDS),
     )
     ap.add_argument("query_types")  # colon-separated
     ap.add_argument("index_file")
@@ -83,7 +85,12 @@ def main(argv=None):
     ap.add_argument("--k", type=int, default=10)
     args = ap.parse_args(argv)
 
-    if args.index_type in common.EF_KINDS:
+    if args.index_type in common.BLOCK_KINDS:
+        from ..index.block_index import BlockIndex, BlockTermDecoder
+
+        index = BlockIndex.load(args.index_file)
+        decoder = BlockTermDecoder(index)
+    elif args.index_type in common.EF_KINDS:
         from ..index.freq_index import EFTermDecoder, FreqIndexEF
 
         index = FreqIndexEF.load(args.index_file)

@@ -1,0 +1,154 @@
+"""Codec-zoo round trips (test_block_codecs.cpp style) + block index.
+
+Random values over magnitudes 2^1..2^24 and sizes {1, 16, 255, 256},
+with both known and unknown sums (test_block_codecs.cpp:9-49).
+"""
+
+import numpy as np
+import pytest
+
+from dint_tpu.codecs import blocks
+from dint_tpu.index import block_index
+from dint_tpu.io import collection, synth
+
+SIZES = [1, 16, 255, 256]
+MAGS = [1, 4, 16, 24]
+
+
+@pytest.mark.parametrize("codec", sorted(blocks.CODECS))
+def test_codec_roundtrip(codec):
+    enc, dec = blocks.CODECS[codec]
+    rng = np.random.default_rng(hash(codec) % (2**31))
+    for mag in MAGS:
+        if codec == "simple16" and mag > 24:
+            continue
+        for n in SIZES:
+            vals = rng.integers(0, 1 << mag, size=n).astype(np.uint32)
+            for sum_v in (int(vals.astype(np.int64).sum()), blocks.UNKNOWN):
+                buf = enc(vals, sum_v)
+                out, pos = dec(np.frombuffer(buf, np.uint8), 0, n, sum_v)
+                np.testing.assert_array_equal(out, vals, err_msg=f"{codec} n={n} mag={mag}")
+                assert pos == len(buf), f"{codec}: stream length mismatch"
+
+
+def test_codec_roundtrip_with_offset():
+    # decoding must work at arbitrary byte offsets within a larger arena
+    enc, dec = blocks.CODECS["streamvbyte"]
+    rng = np.random.default_rng(0)
+    vals = rng.integers(0, 1000, 100).astype(np.uint32)
+    buf = b"\xab\xcd" + enc(vals, blocks.UNKNOWN)
+    out, pos = dec(np.frombuffer(buf, np.uint8), 2, 100, blocks.UNKNOWN)
+    np.testing.assert_array_equal(out, vals)
+
+
+def test_optpfor_exceptions():
+    enc, dec = blocks.CODECS["optpfor"]
+    rng = np.random.default_rng(1)
+    vals = rng.integers(0, 16, 256).astype(np.uint32)
+    vals[[3, 100, 255]] = [1 << 20, 1 << 30, 123456]  # forced exceptions
+    buf = enc(vals, blocks.UNKNOWN)
+    out, pos = dec(np.frombuffer(buf, np.uint8), 0, 256, blocks.UNKNOWN)
+    np.testing.assert_array_equal(out, vals)
+    assert len(buf) < 256 * 4  # better than raw despite exceptions
+
+
+@pytest.fixture(scope="module")
+def coll(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("bc")
+    base = str(tmp / "c")
+    docs, freqs = synth.make_collection(60, 15000, seed=3, avg_len=90)
+    collection.write_freq_collection(base, docs, freqs, 15000)
+    return base, docs, freqs
+
+
+@pytest.mark.parametrize("codec", ["optpfor", "streamvbyte", "simple16", "qmx", "vbyte"])
+def test_block_index_roundtrip(coll, codec, tmp_path):
+    base, docs, freqs = coll
+    idx = block_index.build_block_index(base, codec)
+    block_index.verify_block_index(idx, base)
+    stats = idx.size_stats()
+    assert stats["postings"] == sum(len(d) for d in docs)
+    p = str(tmp_path / f"bi_{codec}")
+    idx.save(p)
+    idx2 = block_index.BlockIndex.load(p)
+    assert idx2.docs_end is None
+    block_index.verify_block_index(idx2, base)  # exercises docs_end recovery
+
+
+def test_block_index_queries(coll):
+    base, docs, freqs = coll
+    from dint_tpu.query import boolean
+
+    idx = block_index.build_block_index(base, "varintgb")
+    dec = block_index.BlockTermDecoder(idx)
+    rng = np.random.default_rng(5)
+    for _ in range(10):
+        terms = list(rng.integers(0, len(docs), size=2))
+        got = boolean.and_query(dec.decode_docids(terms), terms)
+        expect = sorted(
+            set(docs[terms[0]].tolist()) & set(docs[int(t)].tolist())
+            for t in [terms[1]]
+        )[0] if len(set(terms)) > 1 else set(docs[terms[0]].tolist())
+        np.testing.assert_array_equal(
+            got, np.asarray(sorted(expect), np.uint32)
+        )
+
+
+def test_mixed_block_index(coll, tmp_path):
+    base, docs, freqs = coll
+    from dint_tpu.index import mixed_block
+    from dint_tpu.utils import dec_time_prediction as dtp
+
+    idx = mixed_block.build_mixed_index(base)
+    block_index.verify_block_index(idx, base)
+    stats = idx.size_stats()
+    mixed_bpi = stats["docs_bpi"]
+    tag_bpi = 8.0 * idx.num_blocks / stats["postings"]  # 1-byte tag per block
+    # mixed (min-space per block) must be <= every single candidate
+    for codec in mixed_block.CANDIDATES:
+        single = block_index.build_block_index(base, codec).size_stats()["docs_bpi"]
+        assert mixed_bpi <= single + tag_bpi + 1e-9
+    p = str(tmp_path / "mixed")
+    idx.save(p)
+    idx2 = block_index.BlockIndex.load(p)
+    block_index.verify_block_index(idx2, base)
+
+
+def test_dec_time_predictor_and_weighted_mixed(coll, tmp_path):
+    base, docs, freqs = coll
+    import numpy as np
+    from dint_tpu.index import mixed_block
+    from dint_tpu.utils import dec_time_prediction as dtp
+
+    rng = np.random.default_rng(0)
+    train_blocks = [rng.integers(0, 1 << m, 256).astype(np.uint32) for m in (4, 8, 16)]
+    samples = {
+        c: dtp.measure_block_decode(c, train_blocks, reps=2)
+        for c in mixed_block.CANDIDATES
+    }
+    pred = dtp.train(samples)
+    p = str(tmp_path / "pred.json")
+    pred.save(p)
+    pred2 = dtp.Predictor.load(p)
+    feats = dtp.feature_vector(train_blocks[0], 100)
+    assert pred2.predict("optpfor", feats) == pred.predict("optpfor", feats)
+    idx = mixed_block.build_mixed_index(base, predictor=pred2, lam=0.01)
+    block_index.verify_block_index(idx, base)
+
+
+def test_block_profiler(coll):
+    base, docs, freqs = coll
+    from dint_tpu.utils import block_profiler as bp
+
+    bp.reset()
+    bp.enable(True)
+    bp.open_list(3, 5)
+    bp.count_docs(3, 0)
+    bp.count_docs(3, 0)
+    bp.count_freqs(3, 4)
+    import tempfile, os
+    path = os.path.join(tempfile.mkdtemp(), "prof.tsv")
+    bp.dump(path)
+    loaded = bp.load(path)
+    assert loaded[3][0, 0] == 2 and loaded[3][1, 4] == 1
+    bp.enable(False)
