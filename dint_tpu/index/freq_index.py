@@ -225,3 +225,24 @@ def verify_freq_index(index: FreqIndexEF, basename: str) -> None:
             raise SystemExit(f"docid mismatch in list {i} (kind={index.kind})")
         if not np.array_equal(got_f, freqs):
             raise SystemExit(f"freq mismatch in list {i} (kind={index.kind})")
+
+
+class SequenceCollection:
+    """Standalone collection of indexed_sequences
+    (sequence_collection.hpp — a test/bench utility container)."""
+
+    def __init__(self):
+        self._bb = BitBuilder()
+        self._meta = []  # (offset, universe, n)
+
+    def append(self, values, universe: int) -> None:
+        values = np.asarray(values, dtype=np.uint64)
+        self._meta.append((self._bb.size, universe, values.shape[0]))
+        ef.indexed_sequence.write(self._bb, values, universe, values.shape[0], ef.PARAMS)
+
+    def __len__(self):
+        return len(self._meta)
+
+    def get(self, i: int) -> np.ndarray:
+        off, universe, n = self._meta[i]
+        return ef.indexed_sequence.decode_all(self._bb.words(), off, universe, n, ef.PARAMS)

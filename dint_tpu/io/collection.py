@@ -141,3 +141,33 @@ def write_sizes_file(basename: str, doc_sizes: np.ndarray) -> None:
 def read_sizes_file(basename: str) -> np.ndarray:
     c = BinaryCollection(basename + ".sizes")
     return c.sequence(0).astype(np.uint32)
+
+
+class BinaryBlocksCollection:
+    """(freq, data) block file reader/writer
+    (binary_blocks_collection.hpp: u32 num_blocks header, then per block
+    u32 size, u32 freq, size u32 values — the offline dictionary-tooling
+    interchange format)."""
+
+    def __init__(self, path: str):
+        self._data = np.memmap(path, dtype="<u4", mode="r")
+        self.num_blocks = int(self._data[0])
+
+    def __iter__(self):
+        pos = 1
+        for _ in range(self.num_blocks):
+            size = int(self._data[pos])
+            freq = int(self._data[pos + 1])
+            yield freq, np.asarray(self._data[pos + 2 : pos + 2 + size])
+            pos += 2 + size
+
+    @staticmethod
+    def write(path: str, blocks) -> None:
+        """blocks: iterable of (freq, values)."""
+        blocks = list(blocks)
+        with open(path, "wb") as f:
+            np.asarray([len(blocks)], dtype="<u4").tofile(f)
+            for freq, vals in blocks:
+                vals = np.asarray(vals, dtype="<u4")
+                np.asarray([vals.shape[0], freq], dtype="<u4").tofile(f)
+                vals.tofile(f)

@@ -17,18 +17,25 @@ from . import common, decode
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("type", choices=sorted(common.DINT_KINDS))
+    ap.add_argument(
+        "type", choices=sorted(common.DINT_KINDS) + list(common.VROOM_ZOO)
+    )
     ap.add_argument("encoded_file")
     ap.add_argument("collection_file")
     ap.add_argument("--dict", dest="dict_file")
     args = ap.parse_args(argv)
-    decode.decode_stream(
-        args.type,
-        args.encoded_file,
-        args.dict_file,
-        runs=1,
-        check_collection=args.collection_file,
-    )
+    if args.type in common.VROOM_ZOO:
+        decode.decode_zoo(
+            args.type, args.encoded_file, 1, args.collection_file
+        )
+    else:
+        decode.decode_stream(
+            args.type,
+            args.encoded_file,
+            args.dict_file,
+            runs=1,
+            check_collection=args.collection_file,
+        )
     common.log("everything's good")
 
 

@@ -34,6 +34,12 @@ def block_codec_of(index_type: str) -> str:
     assert index_type.startswith("block_")
     return index_type[len("block_"):]
 
+# vroom whole-list codec types (vroom_env/codecs.hpp CODECS :511-513 + pef)
+VROOM_ZOO = (
+    "u32", "vbyte", "streamvbyte", "maskedvbyte", "varintgb", "qmx",
+    "simple16", "optpfor", "varintg8iu", "interpolative", "pef",
+)
+
 DINT_KINDS = {
     "single_rect_dint": ("rectangular", None),
     "single_packed_dint": ("single", "pack"),

@@ -255,19 +255,80 @@ def decode_stream(
     return rec
 
 
+def decode_zoo(type_name: str, encoded_file: str, runs: int,
+               check_collection=None):
+    """Host (numpy) decode of the whole-list zoo/pef types; device
+    kernels for these codecs are future work — timings are honest host
+    numbers."""
+    from ..index import vroom_zoo
+
+    arena, meta = stream_mod.load_stream(encoded_file)
+    total_ints = int(meta.n.astype(np.int64).sum())
+    lists = [None] * meta.num_lists
+
+    def one_pass():
+        for i in range(meta.num_lists):
+            n = int(meta.n[i])
+            start = int(meta.payload_off[i])
+            if type_name == "pef":
+                lists[i] = vroom_zoo.decode_list_pef(
+                    arena, start, int(meta.payload_len[i]), n,
+                    int(meta.universe[i]),
+                )
+            else:
+                lists[i] = vroom_zoo.decode_list_zoo(type_name, arena, start, n)
+
+    one_pass()
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        one_pass()
+    t1 = time.perf_counter()
+    per_run = (t1 - t0) / runs
+    ns_x_int = per_run * 1e9 / max(total_ints, 1)
+    rec = {
+        "filename": encoded_file,
+        "num_sequences": str(meta.num_lists),
+        "num_integers": str(total_ints),
+        "type": type_name,
+        "tot_elapsed_time": f"{per_run}",
+        "ns_x_int": f"{ns_x_int}",
+        "ints_x_sec": str(int(1e9 / ns_x_int)),
+        "runs": str(runs),
+        "engine": "host",
+    }
+    if check_collection:
+        expect, _ = common.gap_lists_of(check_collection)
+        if type_name == "pef":
+            from ..utils import gaps as gap_mod
+
+            expect = [gap_mod.gaps_to_docs(g) for g in expect]
+        for i, e in enumerate(expect):
+            if not np.array_equal(lists[i], e):
+                raise SystemExit(f"MISMATCH in list {i}")
+        rec["check"] = "ok"
+        common.log("verification ok")
+    common.stats_line(rec)
+    return rec
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("type", choices=sorted(common.DINT_KINDS))
+    ap.add_argument(
+        "type", choices=sorted(common.DINT_KINDS) + list(common.VROOM_ZOO)
+    )
     ap.add_argument("encoded_file")
     ap.add_argument("--dict", dest="dict_file")
     ap.add_argument("--runs", type=int, default=10)
     ap.add_argument("--check-collection")
     ap.add_argument("--engine", choices=["local", "raw"], default="local")
     args = ap.parse_args(argv)
-    decode_stream(
-        args.type, args.encoded_file, args.dict_file, args.runs,
-        args.check_collection, args.engine,
-    )
+    if args.type in common.VROOM_ZOO:
+        decode_zoo(args.type, args.encoded_file, args.runs, args.check_collection)
+    else:
+        decode_stream(
+            args.type, args.encoded_file, args.dict_file, args.runs,
+            args.check_collection, args.engine,
+        )
 
 
 if __name__ == "__main__":

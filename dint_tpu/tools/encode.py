@@ -73,18 +73,53 @@ def encode_collection(
     return rec
 
 
+def encode_zoo(type_name: str, collection_file: str, out_file: str):
+    """Whole-list encoding for the non-DINT vroom types (incl. pef)."""
+    from ..index import vroom_zoo
+
+    gap_lists, total_ints = common.gap_lists_of(collection_file)
+    ns = [len(g) for g in gap_lists]
+    if type_name == "pef":
+        # pef codes the docID sequence itself (prefix sums of gaps+1)
+        from ..utils import gaps as gap_mod
+
+        docs_lists = [gap_mod.gaps_to_docs(g) for g in gap_lists]
+        universes = [int(d[-1]) + 1 for d in docs_lists]
+        payloads, block_lens = [], []
+        for d in docs_lists:
+            body, _bits = vroom_zoo.encode_list_pef(d)
+            payloads.append(body)
+            block_lens.append([len(body)])
+    else:
+        universes = [int(g.astype(np.int64).sum()) for g in gap_lists]
+        payloads, block_lens = [], []
+        for g in gap_lists:
+            body, lens = vroom_zoo.encode_list_zoo(type_name, g)
+            payloads.append(body)
+            block_lens.append(lens)
+    meta = stream_mod.write_stream(out_file, payloads, ns, universes, block_lens)
+    rec = stream_mod.stream_stats_line(type_name, out_file, meta)
+    common.stats_line(rec)
+    return rec
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("type", choices=sorted(common.DINT_KINDS))
+    ap.add_argument(
+        "type", choices=sorted(common.DINT_KINDS) + list(common.VROOM_ZOO)
+    )
     ap.add_argument("collection_file")
     ap.add_argument("--dict", dest="dict_file")
     ap.add_argument("--out", dest="out_file")
     ap.add_argument("--cache-dir", default=".")
     args = ap.parse_args(argv)
     out = args.out_file or (args.collection_file + "." + args.type + ".bin")
-    encode_collection(
-        args.type, args.collection_file, out, args.dict_file, args.cache_dir
-    )
+    if args.type in common.VROOM_ZOO:
+        encode_zoo(args.type, args.collection_file, out)
+    else:
+        encode_collection(
+            args.type, args.collection_file, out, args.dict_file, args.cache_dir
+        )
 
 
 if __name__ == "__main__":
