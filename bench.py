@@ -28,6 +28,7 @@ if os.environ.get("JAX_PLATFORMS") == "axon":
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 CACHE = os.path.join(REPO, ".bench")
+FORMAT_VERSION = 2  # bump when stream/sidecar formats change (invalidates cache)
 
 NUM_LISTS = 6000
 NUM_DOCS = 4_000_000
@@ -50,7 +51,7 @@ def build_artifacts():
             NUM_LISTS, NUM_DOCS, seed=SEED, avg_len=AVG_LEN
         )
         collection.write_freq_collection(base, docs, freqs, NUM_DOCS)
-    stream = os.path.join(CACHE, "bench.single_rect_dint.bin")
+    stream = os.path.join(CACHE, f"bench.single_rect_dint.v{FORMAT_VERSION}.bin")
     dict_file = os.path.join(
         CACHE, "dict.bench_collection.docs.rectangular.DSF-65536-16"
     )

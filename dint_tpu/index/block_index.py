@@ -219,3 +219,66 @@ def verify_block_index(index: BlockIndex, basename: str) -> None:
             raise SystemExit(f"docid mismatch in list {i} ({index.codec})")
         if not np.array_equal(index.list_freqs(i), freqs):
             raise SystemExit(f"freq mismatch in list {i} ({index.codec})")
+
+
+def get_blocks(index: BlockIndex, i: int):
+    """Extract raw per-block data for transformation
+    (block_posting_list.hpp:55-82 / dict_posting_list.hpp:242-277
+    get_blocks capability): list of dicts with the block's logical
+    position, max docid, size and raw docs/freqs payload bytes."""
+    index.ensure_docs_end()
+    p0, p1 = index.list_blocks(i)
+    out = []
+    for b in range(p0, p1):
+        size, _ = index._block_geom(b, i)
+        s = index.block_start(b)
+        de = int(index.docs_end[b])
+        e = int(index.block_end[b])
+        out.append(
+            {
+                "index": b - p0,
+                "max": int(index.block_max[b]),
+                "size": size,
+                "docs_bytes": bytes(index.arena[s:de]),
+                "freqs_bytes": bytes(index.arena[de:e]),
+            }
+        )
+    return out
+
+
+def write_blocks(index: BlockIndex, per_list_blocks) -> BlockIndex:
+    """Rebuild an index from (possibly reordered/transformed) block data
+    (block_posting_list.hpp write_blocks / dict_posting_list.hpp:58-86):
+    blocks may be supplied in any order; they are laid out by their
+    logical `index` field, and the first block must remain first."""
+    list_n = []
+    block_ptr = [0]
+    block_max = []
+    docs_end = []
+    block_end = []
+    parts = []
+    pos = 0
+    for blocks in per_list_blocks:
+        blocks = sorted(blocks, key=lambda blk: blk["index"])
+        assert blocks[0]["index"] == 0, "first block must remain first"
+        n = sum(blk["size"] for blk in blocks)
+        list_n.append(n)
+        for blk in blocks:
+            block_max.append(blk["max"])
+            parts.append(blk["docs_bytes"])
+            pos += len(blk["docs_bytes"])
+            docs_end.append(pos)
+            parts.append(blk["freqs_bytes"])
+            pos += len(blk["freqs_bytes"])
+            block_end.append(pos)
+        block_ptr.append(len(block_max))
+    return BlockIndex(
+        index.codec,
+        index.num_docs,
+        np.asarray(list_n, np.uint32),
+        np.asarray(block_ptr, np.uint64),
+        np.asarray(block_max, np.uint32),
+        np.asarray(docs_end, np.uint64),
+        np.asarray(block_end, np.uint64),
+        np.frombuffer(b"".join(parts), dtype=np.uint8),
+    )

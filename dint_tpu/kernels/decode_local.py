@@ -128,13 +128,6 @@ def _parse_unit_tokens(
     out_lens: List[int] = []
     out_content: List[Tuple[int, ...]] = []
 
-    def content_of(cw: int) -> Tuple[int, ...]:
-        ln = int(lengths[cw])
-        off = int(offsets[cw])
-        if ln > MAX_ENTRY_SIZE:  # run
-            return ("run", ln)  # type: ignore[return-value]
-        return tuple(int(x) for x in table[off : off + ln])
-
     if not (toks < EXCEPTIONS).any():
         # clean: every token is a codeword
         cws = toks

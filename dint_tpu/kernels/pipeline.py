@@ -1,14 +1,13 @@
-"""Host-side planning for batched device decode.
+"""Host-side planning for the RAW (chain-scan) decode engine.
 
-Buckets encoded units (whole lists for single-dict streams, 256-int
-blocks for multi-dict streams) into power-of-two (token-capacity,
-output-capacity) buckets, splits them into clean (no possible exception
+Buckets encoded units (list chunks or 256-int blocks) into a small set
+of fixed shape classes, splits them into clean (no possible exception
 marker anywhere in the token range — the associative chain-scan is
-skipped) and dirty groups, and runs the XLA decoder per bucket.
-
-This is load-time planning, the analogue of the reference's mmap +
-header walk (vroom_env/decode.cpp:24-48); the timed work is the jitted
-decode itself.
+skipped) and dirty groups, and runs the structure-discovering XLA
+decoder (decode_xla.py) per fixed-size tile.  This engine discovers
+codeword boundaries on device; the localized engine (decode_local.py)
+is the fast path.  Load-time planning here is the analogue of the
+reference's mmap + header walk (vroom_env/decode.cpp:24-48).
 """
 
 from __future__ import annotations

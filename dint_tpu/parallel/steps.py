@@ -54,6 +54,47 @@ def window_bucket_hashes(blocks: jnp.ndarray, size: int) -> jnp.ndarray:
     return h
 
 
+def make_shard_map(fn, mesh, in_specs, out_specs):
+    """shard_map across jax versions (new jax.shard_map lacks check_rep)."""
+    try:
+        from jax import shard_map as sm
+
+        return sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    except (ImportError, TypeError):
+        from jax.experimental.shard_map import shard_map as sm
+
+        return sm(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_rep=False,
+        )
+
+
+def term_sharded_and_step(cand: jnp.ndarray, shard_docs: jnp.ndarray,
+                          shard_valid: jnp.ndarray, axis: str = "dp"):
+    """Term-sharded boolean AND under shard_map.
+
+    The index is term-partitioned across the mesh (SURVEY §2.6's
+    "term-sharded query serving"): every device holds, for each of the
+    Q in-flight queries, (at most) one of its terms' docID lists.  Each
+    device computes a membership mask of the replicated candidate set
+    against its local list; the cross-device AND is a psum of misses —
+    the collective that replaces the reference's sequential leapfrog
+    (queries.hpp:59-79).
+
+    cand:        (Q, C) candidate docIDs, replicated
+    shard_docs:  (Q, L) this shard's sorted docID list per query
+                 (padded with 0xFFFFFFFF)
+    shard_valid: (Q,) whether this shard holds a term for the query
+    returns      (Q, C) bool: candidate present in every shard's term
+    """
+    pos = jax.vmap(jnp.searchsorted)(shard_docs, cand)
+    pos = jnp.minimum(pos, shard_docs.shape[1] - 1)
+    hit = jnp.take_along_axis(shard_docs, pos, axis=1) == cand
+    miss = (~hit) & shard_valid[:, None]
+    misses = jax.lax.psum(miss.astype(jnp.int32), axis)
+    return misses == 0
+
+
 def stats_training_step(blocks: jnp.ndarray, n_buckets: int = 1 << 16):
     """One sharded statistics pass over a batch of 256-int gap blocks.
 

@@ -152,3 +152,19 @@ def test_block_profiler(coll):
     loaded = bp.load(path)
     assert loaded[3][0, 0] == 2 and loaded[3][1, 4] == 1
     bp.enable(False)
+
+
+def test_block_reordering_roundtrip(coll):
+    """get_blocks/write_blocks shuffle round-trip
+    (test_block_posting_list.cpp:69-94 discipline)."""
+    base, docs, freqs = coll
+    rng = np.random.default_rng(11)
+    idx = block_index.build_block_index(base, "optpfor")
+    per_list = []
+    for i in range(idx.num_lists):
+        blocks = block_index.get_blocks(idx, i)
+        tail = blocks[1:]
+        rng.shuffle(tail)
+        per_list.append([blocks[0]] + tail)
+    idx2 = block_index.write_blocks(idx, per_list)
+    block_index.verify_block_index(idx2, base)

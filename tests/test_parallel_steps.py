@@ -1,0 +1,65 @@
+"""Mesh-sharded steps on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dint_tpu.parallel import steps
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devs = np.array(jax.devices()[:8])
+    if devs.size < 8:
+        pytest.skip("needs 8 virtual devices")
+    return Mesh(devs, ("dp",))
+
+
+def test_stats_training_step_sharded(mesh):
+    rng = np.random.default_rng(0)
+    blocks = rng.integers(0, 1000, (64, 256)).astype(np.uint32)
+    sharded = jax.device_put(
+        jnp.asarray(blocks), NamedSharding(mesh, P("dp", None))
+    )
+    counts, sel = jax.jit(
+        steps.stats_training_step, static_argnames=("n_buckets",)
+    )(sharded, n_buckets=1 << 10)
+    # every target-size window of every block contributes exactly once
+    per_block = sum(256 // s for s in (16, 8, 4, 2, 1))
+    assert int(np.asarray(counts).sum()) == 64 * per_block
+    np.testing.assert_array_equal(
+        np.asarray(sel), steps.selectors(jnp.asarray(blocks))
+    )
+
+
+def test_term_sharded_and(mesh):
+
+    rng = np.random.default_rng(1)
+    Q, C, L, D = 4, 16, 32, 8
+    # ground truth: per query, D term lists; candidates = docids 0..C*8
+    cand = np.sort(rng.choice(500, (Q, C), replace=False)).astype(np.uint32)
+    lists = np.full((D, Q, L), 0xFFFFFFFF, dtype=np.uint32)
+    valid = np.zeros((D, Q), dtype=bool)
+    expect = np.ones((Q, C), dtype=bool)
+    for d in range(D):
+        for q in range(Q):
+            if rng.random() < 0.8:
+                members = rng.choice(cand[q], size=rng.integers(1, C), replace=False)
+                extra = rng.choice(500, size=5)
+                lst = np.unique(np.concatenate([members, extra]))[:L]
+                lists[d, q, : lst.shape[0]] = np.sort(lst)
+                valid[d, q] = True
+                expect[q] &= np.isin(cand[q], lst)
+
+    fn = steps.make_shard_map(
+        lambda c, sd, sv: steps.term_sharded_and_step(c, sd[0], sv[0]),
+        mesh,
+        (P(), P("dp", None, None), P("dp", None)),
+        P(),
+    )
+    got = fn(
+        jnp.asarray(cand), jnp.asarray(lists), jnp.asarray(valid)
+    )
+    np.testing.assert_array_equal(np.asarray(got), expect)

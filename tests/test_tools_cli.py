@@ -1,0 +1,93 @@
+"""In-process smoke tests of every CLI tool (the L5 driver layer)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from dint_tpu.io import collection, synth
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory, monkeypatch_module=None):
+    tmp = tmp_path_factory.mktemp("cli")
+    base = str(tmp / "tc")
+    docs, freqs = synth.make_collection(120, 9000, seed=77, avg_len=50)
+    collection.write_freq_collection(base, docs, freqs, 9000)
+    collection.write_sizes_file(
+        base, synth.doc_sizes_from_lists(docs, freqs, 9000)
+    )
+    qf = str(tmp / "queries.txt")
+    rng = np.random.default_rng(1)
+    with open(qf, "w") as f:
+        for _ in range(20):
+            k = int(rng.integers(1, 4))
+            f.write(" ".join(str(int(t)) for t in rng.integers(0, 120, k)) + "\n")
+    return str(tmp), base, qf
+
+
+def _cd(path):
+    class _CD:
+        def __enter__(self):
+            self.old = os.getcwd()
+            os.chdir(path)
+
+        def __exit__(self, *a):
+            os.chdir(self.old)
+
+    return _CD()
+
+
+def test_vroom_tools(workdir):
+    tmp, base, qf = workdir
+    from dint_tpu.tools import check_encoded_data, encode
+
+    with _cd(tmp):
+        encode.main(["single_packed_dint", base + ".docs", "--out", "s.bin"])
+        check_encoded_data.main(
+            [
+                "single_packed_dint", "s.bin", base + ".docs",
+                "--dict", f"dict.{os.path.basename(base)}.docs.single_packed.DSF-65536-16",
+            ]
+        )
+        encode.main(["streamvbyte", base + ".docs", "--out", "z.bin"])
+        check_encoded_data.main(["streamvbyte", "z.bin", base + ".docs"])
+
+
+def test_index_tools(workdir):
+    tmp, base, qf = workdir
+    from dint_tpu.tools import (
+        check_index,
+        create_freq_index,
+        create_wand_data,
+        pair_wise_intersect,
+        queries,
+    )
+
+    with _cd(tmp):
+        create_freq_index.main(["single_packed_dint", base, "idx", "--check"])
+        check_index.main(["single_packed_dint", "idx", base])
+        create_wand_data.main([base, "wand.npz"])
+        queries.main(
+            [
+                "single_packed_dint", "and:or:wand:maxscore:ranked_and:ranked_or",
+                "idx", "wand.npz", "--queries", qf, "--runs", "1",
+            ]
+        )
+        pair_wise_intersect.main(
+            ["single_packed_dint", "idx", "--queries", qf, "--runs", "1"]
+        )
+
+
+def test_dict_perf_tool(workdir):
+    tmp, base, qf = workdir
+    from dint_tpu.tools import dict_perf_test
+
+    with _cd(tmp):
+        dict_perf_test.main(
+            [
+                f"dict.{os.path.basename(base)}.docs.single_packed.DSF-65536-16",
+                "single", "--copies", "10000",
+            ]
+        )
