@@ -34,7 +34,7 @@ NUM_LISTS = 6000
 NUM_DOCS = 4_000_000
 AVG_LEN = 5000.0
 SEED = 2026
-RUNS = 10
+RUNS = 20
 REFERENCE_CPU_INTS_PER_SEC = 1.5e9
 
 

@@ -37,7 +37,6 @@ from ..config import (
     EXCEPTIONS,
     MAX_ENTRY_SIZE,
     NUM_SELECTORS,
-    RUN_LENGTHS,
     SMALL_EXCEPTION_LIMIT,
     TARGET_SIZES,
 )

@@ -39,19 +39,13 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import (
-    BLOCK_SIZE,
-    EXCEPTIONS,
-    MAX_ENTRY_SIZE,
-    NUM_SELECTORS,
-    RESERVED,
-)
+from ..config import EXCEPTIONS, MAX_ENTRY_SIZE
 from ..dictionary.dictionary import DecodeView
 
 # Geometry: sub-units are 512 tokens x 512 outputs with a 512-word
@@ -61,7 +55,7 @@ from ..dictionary.dictionary import DecodeView
 # data-dependent access as a one-hot x table einsum over the 512-wide
 # local domain (exact: one-hot is 0/1, tables are split into u8 planes
 # which are integer-exact in bf16, accumulation in f32).
-W_TOKENS = 512  # tokens per sub-unit row
+W_TOKENS = 128  # tokens per sub-unit row (one-hot domain of 2 of 4 einsums)
 N_OUT = 512  # output ints per sub-unit row
 TABLE_CLS = 512  # local content table words per row
 ROW_TILE = 4096  # sub-unit rows per device call (fixed shape)
@@ -333,6 +327,18 @@ def _onehot_hist(bins: jnp.ndarray, weights: jnp.ndarray, D: int) -> jnp.ndarray
     )
 
 
+def _cumsum_mxu(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive row cumsum as an f32 matmul with a triangular ones
+    matrix — VPU prefix scans are slow on this stack, the MXU is not.
+    Exact for row sums < 2^24."""
+    W = x.shape[-1]
+    tri = jnp.tril(jnp.ones((W, W), dtype=jnp.float32)).T  # tri[j,i]=1 if j<=i
+    return jnp.einsum(
+        "rq,qi->ri", x.astype(jnp.float32), tri,
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("n_out",))
 def decode_local_rows(
     tokens: jnp.ndarray,  # (R, W_TOKENS) i32
@@ -363,7 +369,7 @@ def decode_local_rows(
     tm = _onehot_dot(tokens, mplanes)  # (R, W, 3) f32
     lens = tm[:, :, 0].astype(jnp.int32)
     offs = (tm[:, :, 1] + tm[:, :, 2] * 256.0).astype(jnp.int32)
-    ends = jnp.cumsum(lens, axis=1)  # (R, W)
+    ends = _cumsum_mxu(lens)  # (R, W)
 
     # invert token->output: o_j = #tokens with end <= j, via an MXU
     # histogram of end positions + prefix sum (padding tokens have len 0
@@ -371,7 +377,7 @@ def decode_local_rows(
     w_real = (lens > 0).astype(jnp.int32)
     bins = jnp.clip(ends - 1, 0, n_out - 1)
     c = _onehot_hist(bins, w_real, n_out)  # (R, n_out)
-    csum = jnp.cumsum(c.astype(jnp.int32), axis=1)
+    csum = _cumsum_mxu(c)
     o = jnp.concatenate(
         [jnp.zeros((R, 1), jnp.int32), csum[:, : n_out - 1]], axis=1
     )  # (R, n_out)
@@ -448,9 +454,10 @@ class LocalDecodeEngine:
         self.n = jnp.asarray(stack(plan.out_n))
         self.T = T
 
-    def decode_all(self, salt: int = 0):
+    def decode_all(self, salt=0):
+        salt = salt if isinstance(salt, jnp.ndarray) else jnp.uint32(salt)
         return _decode_all_tiles(
-            self.tokens, self.meta, self.table, self.n, jnp.uint32(salt)
+            self.tokens, self.meta, self.table, self.n, salt
         )
 
     def total_ints(self) -> int:

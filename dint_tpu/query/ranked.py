@@ -18,13 +18,12 @@ pivot test at queries.hpp:241-253) is a planned optimization on top.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
 from ..index.dint_index import DintIndex
 from ..io.collection import open_freq_collection, read_sizes_file
-from .boolean import dedup_terms
 from .term_decode import TermDecoder
 
 K1 = 1.2

@@ -155,14 +155,24 @@ class StreamDecoder:
         import numpy as np
 
         if self.kind_engine == "local":
-            outs = self.engine.decode_all(0)  # warmup / compile
-            _ = np.asarray(jnp_ravel_first(outs))
+            import jax.numpy as jnp
+
             total_ints = self.engine.total_ints()
+            # warmup: plain + one chained step (compiles both patterns)
+            outs = self.engine.decode_all(0)
+            salt = (outs[0, 0, 0] & jnp.uint32(1)) + jnp.uint32(1)
+            outs = self.engine.decode_all(salt)
+            salt = (outs[0, 0, 0] & jnp.uint32(1)) + jnp.uint32(2)
+            _ = int(np.asarray(salt))
+            # timed: chain each run's salt on the previous run's output —
+            # a data dependency the lazy runtime cannot skip — and fetch
+            # once at the end so the per-sync overhead amortizes.
             t0 = time.perf_counter()
-            acc = 0
+            salt = jnp.uint32(1)
             for k in range(runs):
-                outs = self.engine.decode_all(k + 1)
-                acc += int(np.asarray(jnp_ravel_first(outs)))
+                outs = self.engine.decode_all(salt)
+                salt = (outs[0, 0, 0] & jnp.uint32(1)) + jnp.uint32(k + 1)
+            _ = int(np.asarray(salt))
             t1 = time.perf_counter()
             return t1 - t0, total_ints
         outs = self.decode_all()
