@@ -286,6 +286,35 @@ def plan_stream(
     )
 
 
+PLAN_VERSION = 1
+
+
+def save_plan(plan: LocalPlan, path: str) -> None:
+    np.savez(
+        path,
+        version=np.asarray([PLAN_VERSION, W_TOKENS, N_OUT, TABLE_CLS]),
+        tokens=plan.tokens,
+        meta=plan.meta,
+        table=plan.table,
+        out_n=plan.out_n,
+        unit_id=plan.unit_id,
+        out_pos=plan.out_pos,
+    )
+
+
+def load_plan(path: str):
+    try:
+        z = np.load(path)
+        if list(z["version"]) != [PLAN_VERSION, W_TOKENS, N_OUT, TABLE_CLS]:
+            return None
+        return LocalPlan(
+            z["tokens"], z["meta"], z["table"], z["out_n"], z["unit_id"],
+            z["out_pos"],
+        )
+    except Exception:
+        return None
+
+
 # ---------------------------------------------------------------------------
 # Device kernel
 # ---------------------------------------------------------------------------

@@ -105,16 +105,26 @@ class StreamDecoder:
     """
 
     def __init__(self, arena: np.ndarray, meta: stream_mod.StreamMeta,
-                 view: DecodeView, multi: bool, engine: str = "local"):
+                 view: DecodeView, multi: bool, engine: str = "local",
+                 plan_cache: str = None):
         self.meta = meta
         self.kind_engine = engine
         self.layout = units_from_meta(arena, meta, multi)
         lay = self.layout
         if engine == "local":
-            plan = decode_local.plan_stream(
-                arena, lay.starts, lay.byte_lens, lay.n, lay.ctx,
-                lay.b_bits, view,
-            )
+            plan = None
+            if plan_cache:
+                plan = decode_local.load_plan(plan_cache)
+            if plan is None:
+                plan = decode_local.plan_stream(
+                    arena, lay.starts, lay.byte_lens, lay.n, lay.ctx,
+                    lay.b_bits, view,
+                )
+                if plan_cache:
+                    try:
+                        decode_local.save_plan(plan, plan_cache)
+                    except OSError:
+                        pass
             self.engine = decode_local.LocalDecodeEngine(plan)
             self.plan_bytes = plan.plan_bytes()
             return
@@ -235,7 +245,8 @@ def decode_stream(
     view = d.decode_view()
     dict_mib = (view.table.nbytes + view.offsets.nbytes) / (1 << 20)
     common.log(f"Dictionary memory: {dict_mib:.3f} [MiB]")
-    dec = StreamDecoder(arena, meta, view, multi, engine)
+    plan_cache = encoded_file + f".plan.v{decode_local.PLAN_VERSION}.npz"
+    dec = StreamDecoder(arena, meta, view, multi, engine, plan_cache)
     common.log(f"decoding (engine={engine})...")
     elapsed, total_ints = dec.timed_runs(runs)
     per_run = elapsed / runs

@@ -67,6 +67,37 @@ def test_local_runs_and_long_lists(setup):  # noqa: F811
     np.testing.assert_array_equal(got[0], g)
 
 
+def test_plan_save_load_roundtrip(setup, tmp_path):  # noqa: F811
+    gap_lists, ds, _ = setup
+    lt = ds.lookup_table()
+    view = ds.decode_view()
+    lists = [g for g in gap_lists if 0 < len(g) <= 2000][:8]
+    bufs = [dint.encode_opt_single(lt, g) for g in lists]
+    starts = np.cumsum([0] + [len(b) for b in bufs])[:-1]
+    arena = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    ns = [len(g) for g in lists]
+    plan = decode_local.plan_stream(
+        arena, starts, [len(b) for b in bufs], ns, [0] * len(bufs),
+        [16] * len(bufs), view,
+    )
+    path = str(tmp_path / "plan.npz")
+    decode_local.save_plan(plan, path)
+    loaded = decode_local.load_plan(path)
+    assert loaded is not None
+    for f in ("tokens", "meta", "table", "out_n", "unit_id", "out_pos"):
+        np.testing.assert_array_equal(getattr(loaded, f), getattr(plan, f))
+    eng = decode_local.LocalDecodeEngine(loaded)
+    got = eng.gather_units(eng.decode_all(), len(bufs), ns)
+    for g, r in zip(lists, got):
+        np.testing.assert_array_equal(r, g)
+    # version mismatch -> cache miss, not a crash
+    z = dict(np.load(path))
+    z["version"] = np.asarray([0, 0, 0, 0])
+    np.savez(path, **z)
+    assert decode_local.load_plan(path) is None
+    assert decode_local.load_plan(str(tmp_path / "absent.npz")) is None
+
+
 def test_local_multi_blocks_b8_b16(setup):  # noqa: F811
     gap_lists, _, dm = setup
     lt16, lt8 = dm.lookup_tables()
