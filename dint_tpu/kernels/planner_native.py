@@ -1,0 +1,118 @@
+"""ctypes binding for the native serving-image planner.
+
+native/dint_planner.cpp mirrors decode_local.plan_stream exactly (same
+budgets, same local-dictionary ordering); this module builds it on
+first use and exposes plan_stream_native with the same signature.
+Falls back to None if the toolchain is unavailable — callers keep the
+pure-Python planner as the portable path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+from typing import Optional, Sequence
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+_SRC = os.path.join(_REPO_ROOT, "native", "dint_planner.cpp")
+_SO = os.path.join(_REPO_ROOT, "native", "libdintplan.so")
+
+_lib = None
+_lib_failed = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
+             "-fPIC", _SRC, "-o", _SO],
+            check=True, capture_output=True,
+        )
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        print(f"native planner build failed: {e}", file=sys.stderr)
+        return False
+
+
+def get_lib():
+    global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
+        return _lib
+    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        if not _build():
+            _lib_failed = True
+            return None
+    lib = ctypes.CDLL(_SO)
+    lib.dint_planner_create.restype = ctypes.c_void_p
+    lib.dint_planner_create.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32,
+    ]
+    lib.dint_planner_destroy.argtypes = [ctypes.c_void_p]
+    lib.dint_plan_units.restype = ctypes.c_int64
+    lib.dint_plan_units.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 6 + [
+        ctypes.c_int64
+    ]
+    lib.dint_plan_export.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 6
+    _lib = lib
+    return _lib
+
+
+def plan_stream_native(
+    arena: np.ndarray,
+    starts: Sequence[int],
+    byte_lens: Sequence[int],
+    ns: Sequence[int],
+    ctxs: Sequence[int],
+    b_bits: Sequence[int],
+    view,
+    w_tokens: int,
+    n_out: int,
+    table_cls: int,
+):
+    """Native plan_stream; returns the six plan arrays or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    table = np.ascontiguousarray(view.table, dtype=np.uint32)
+    offsets = np.ascontiguousarray(view.offsets, dtype=np.uint32)
+    lengths = np.ascontiguousarray(view.lengths, dtype=np.int32)
+    C, E = offsets.shape
+    arena = np.ascontiguousarray(arena, dtype=np.uint8)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    byte_lens = np.ascontiguousarray(byte_lens, dtype=np.int64)
+    ns = np.ascontiguousarray(ns, dtype=np.int32)
+    ctxs = np.ascontiguousarray(ctxs, dtype=np.int32)
+    b_bits = np.ascontiguousarray(b_bits, dtype=np.int32)
+    U = starts.shape[0]
+    h = lib.dint_planner_create(
+        table.ctypes.data, table.shape[0], offsets.ctypes.data,
+        lengths.ctypes.data, C, E, w_tokens, n_out, table_cls,
+    )
+    try:
+        rows = lib.dint_plan_units(
+            h, arena.ctypes.data, starts.ctypes.data, byte_lens.ctypes.data,
+            ns.ctypes.data, ctxs.ctypes.data, b_bits.ctypes.data, U,
+        )
+        if rows < 0:
+            raise ValueError(f"malformed unit {-1 - rows} in stream")
+        tokens = np.empty((rows, w_tokens), np.int32)
+        meta = np.empty((rows, w_tokens), np.int32)
+        tab = np.empty((rows, table_cls), np.uint32)
+        out_n = np.empty(rows, np.int32)
+        unit_id = np.empty(rows, np.int64)
+        out_pos = np.empty(rows, np.int64)
+        lib.dint_plan_export(
+            h, tokens.ctypes.data, meta.ctypes.data, tab.ctypes.data,
+            out_n.ctypes.data, unit_id.ctypes.data, out_pos.ctypes.data,
+        )
+        return tokens, meta, tab, out_n, unit_id, out_pos
+    finally:
+        lib.dint_planner_destroy(h)

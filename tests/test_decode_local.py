@@ -67,6 +67,42 @@ def test_local_runs_and_long_lists(setup):  # noqa: F811
     np.testing.assert_array_equal(got[0], g)
 
 
+def test_native_planner_matches_python(setup):  # noqa: F811
+    gap_lists, ds, _ = setup
+    lt = ds.lookup_table()
+    view = ds.decode_view()
+    rng = np.random.default_rng(21)
+    lists = [g for g in gap_lists if 0 < len(g) <= 4000][:20]
+    # add exception-heavy and run-heavy lists to cover all token kinds
+    for _ in range(4):
+        n = int(rng.integers(50, 1200))
+        g = rng.integers(0, 1 << 22, n).astype(np.uint32)
+        g[rng.random(n) < 0.35] = 0
+        lists.append(g)
+    lists.append(
+        np.where(rng.random(9000) < 0.8, 0, rng.integers(0, 300, 9000))
+        .astype(np.uint32)
+    )
+    bufs = [dint.encode_opt_single(lt, g) for g in lists]
+    starts = np.cumsum([0] + [len(b) for b in bufs])[:-1]
+    arena = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    ns = [len(g) for g in lists]
+    args = (arena, starts, [len(b) for b in bufs], ns, [0] * len(bufs),
+            [16] * len(bufs), view)
+    py = decode_local._plan_stream_py(*args)
+    nat = decode_local.plan_stream(*args, prefer_native=True)
+    from dint_tpu.kernels import planner_native
+
+    if planner_native.get_lib() is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    for f in ("tokens", "meta", "table", "out_n", "unit_id", "out_pos"):
+        np.testing.assert_array_equal(
+            getattr(nat, f), getattr(py, f), err_msg=f
+        )
+
+
 def test_plan_save_load_roundtrip(setup, tmp_path):  # noqa: F811
     gap_lists, ds, _ = setup
     lt = ds.lookup_table()
