@@ -356,19 +356,31 @@ def _oh_dtype():
 def _onehot_dot(idx: jnp.ndarray, planes: jnp.ndarray) -> jnp.ndarray:
     """out[r, q, v] = planes[r, idx[r, q], v] via one-hot x planes matmul.
 
-    idx (R, Q) in [0, D); planes (R, D, V) with integer values <= 255
-    (u8-exact in bf16).  The MXU is the only fast data-dependent-access
-    path on this stack; accumulation in f32 keeps sums of 0/1-selected
-    u8 values exact.
+    idx (R, Q) in [0, D); planes (R, D, V) with integer values <= 255.
+    The MXU is the only fast data-dependent-access path on this stack,
+    so the gather is a 0/1 matrix times the planes.  Two measured
+    choices (scripts/kernel_ablate.py, TPU v5e):
+
+    * TRANSPOSED contraction (V,D)@(D,Q): V is tiny (3-4), so in the
+      rqd,rdv->rqv orientation it pads to the 128-wide lane dimension
+      (32x waste); transposed it pads only to the sublane tile
+      (16/32) — measured 1.8x whole-kernel speedup.
+    * int8 operands: one-hots are 0/1 and planes are u8; biasing planes
+      by -128 keeps them in int8 and the one-hot's single 1 per column
+      adds the bias back exactly.  int8 halves one-hot HBM bytes and
+      doubles MXU rate vs bf16.
+
+    Exact: integer matmul with int32 accumulation.
     """
-    dt = _oh_dtype()
-    A = jax.nn.one_hot(idx, planes.shape[1], dtype=dt)
-    return jnp.einsum(
-        "rqd,rdv->rqv",
-        A,
-        planes.astype(dt),
-        preferred_element_type=jnp.float32,
-    )
+    D = planes.shape[1]
+    iota = jnp.arange(D, dtype=jnp.int32)[None, :, None]
+    A_T = (idx[:, None, :] == iota).astype(jnp.int8)  # (R, D, Q)
+    P_T = (planes.swapaxes(1, 2) - 128).astype(jnp.int8)  # (R, V, D)
+    out = jax.lax.dot_general(
+        P_T, A_T, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    ) + 128  # each one-hot column sums to 1
+    return out.swapaxes(1, 2).astype(jnp.float32)  # (R, Q, V)
 
 
 def _onehot_hist(bins: jnp.ndarray, weights: jnp.ndarray, D: int) -> jnp.ndarray:

@@ -13,7 +13,14 @@ from __future__ import annotations
 
 import argparse
 import functools
+import os
+import sys
 import time
+
+# NOTE: do NOT launch this with PYTHONPATH=/root/repo — that env var is
+# inherited by the axon TPU relay's helper process and breaks chip
+# init (silent fallback to CPU).  sys.path.insert is process-local.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -70,8 +77,35 @@ def _invert_compare(ends, lens, n_out):
     return hit.sum(axis=-1, dtype=jnp.int32)
 
 
+def _onehot_T(idx, D, dtype):
+    """Transposed one-hot: out[r, d, q] = [idx[r, q] == d]."""
+    iota = jnp.arange(D, dtype=jnp.int32)[None, :, None]
+    return (idx[:, None, :] == iota).astype(dtype)
+
+
+def _gather_T(idx, planes, int8=False):
+    """planes[r, idx[r,q], v] computed transposed: (V,D)@(D,Q) so the
+    tiny V dim pads in the sublane (M) position, not the 128-lane (N)
+    position — 8x less MXU padding than the rqd,rdv->rqv form."""
+    dt = jnp.int8 if int8 else _oh_dtype()
+    A_T = _onehot_T(idx, planes.shape[1], dt)  # (R, D, Q)
+    P_T = planes.swapaxes(1, 2)  # (R, V, D)
+    if int8:
+        out = jax.lax.dot_general(
+            (P_T - 128).astype(jnp.int8), A_T,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        ) + 128  # one-hot cols sum to 1
+        return out.swapaxes(1, 2).astype(jnp.float32)
+    out = jax.lax.dot_general(
+        P_T.astype(dt), A_T, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    return out.swapaxes(1, 2)  # (R, Q, V)
+
+
 def make_kernel(value_lo_bits=None, attr_lo_bits=None, invert="hist",
-                int8=False):
+                int8=False, transposed=False):
     """Build a decode_local_rows variant. None = shipping einsum."""
 
     def onehot_dot(idx, planes):
@@ -88,6 +122,8 @@ def make_kernel(value_lo_bits=None, attr_lo_bits=None, invert="hist",
         return (out + 128).astype(jnp.float32)
 
     def gather(idx, planes, lo_bits):
+        if transposed:
+            return _gather_T(idx, planes, int8=int8)
         if lo_bits is None:
             return onehot_dot(idx, planes)
         return _radix_gather(idx, planes, lo_bits)
@@ -160,6 +196,10 @@ VARIANTS = {
     "v3b_cmponly": dict(invert="cmp"),
     "v4_int8": dict(value_lo_bits=4, attr_lo_bits=3, invert="cmp", int8=True),
     "v4b_int8_hist": dict(value_lo_bits=4, attr_lo_bits=3, int8=True),
+    "v5_T": dict(transposed=True),
+    "v5b_T_cmp": dict(transposed=True, invert="cmp"),
+    "v6_T_int8": dict(transposed=True, int8=True),
+    "v6b_T_int8_cmp": dict(transposed=True, int8=True, invert="cmp"),
 }
 
 
@@ -171,6 +211,10 @@ def main():
     args = ap.parse_args()
 
     jaxcfg.enable_compile_cache()
+    assert jax.default_backend() == "tpu", (
+        f"ablation must run on the TPU, got {jax.default_backend()} "
+        "(is another process holding the chip?)"
+    )
     plan = dl.load_plan(args.plan)
     assert plan is not None, f"no plan at {args.plan}"
     eng = dl.LocalDecodeEngine(plan)
