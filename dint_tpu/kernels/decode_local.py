@@ -55,10 +55,14 @@ from ..dictionary.dictionary import DecodeView
 # data-dependent access as a one-hot x table einsum over the 512-wide
 # local domain (exact: one-hot is 0/1, tables are split into u8 planes
 # which are integer-exact in bf16, accumulation in f32).
-W_TOKENS = 128  # tokens per sub-unit row (one-hot domain of 2 of 4 einsums)
-N_OUT = 512  # output ints per sub-unit row
-TABLE_CLS = 512  # local content table words per row
+W_TOKENS = 128  # tokens per sub-unit row
+N_OUT = 256  # output ints per sub-unit row
+TABLE_CLS = 256  # local content table words per row
 ROW_TILE = 4096  # sub-unit rows per device call (fixed shape)
+# Geometry chosen by measurement (scripts/kernel_ablate.py): the hot
+# cost is the value gather, ~ rows x N_OUT x TABLE_CLS one-hot bytes;
+# (256, 256) has 0.44x the gather volume of (512, 512) at 86% row
+# occupancy on the bench stream.
 
 _LEN_SHIFT = 13
 _OFF_MASK = (1 << _LEN_SHIFT) - 1
@@ -313,7 +317,38 @@ def _plan_stream_py(
     )
 
 
-PLAN_VERSION = 1
+PLAN_VERSION = 2  # v2: (W,NO,TC) = (128,256,256), vidx-gather engine
+
+
+def plan_to_vidx(plan: LocalPlan) -> np.ndarray:
+    """Per-output-position table indices, hosted once at load.
+
+    The serving plan fully determines which local-table word every
+    output position reads: vidx[r, j] = off(tok_j) + j - start(tok_j).
+    Hosting this turns the device decode into a pure table gather (one
+    int8 one-hot matmul) — the cumsum/band/attrs stages the device
+    kernel would otherwise re-derive every run are measured pure
+    overhead (scripts/kernel_ablate.py v9 vs v0).
+    """
+    meta_pos = np.take_along_axis(plan.meta, plan.tokens, axis=1).astype(
+        np.int64
+    )
+    lens = meta_pos >> _LEN_SHIFT
+    offs = meta_pos & _OFF_MASK
+    ends = np.cumsum(lens, axis=1)
+    starts = ends - lens
+    R = lens.shape[0]
+    n = plan.out_n.astype(np.int64)
+    flat_lens = lens.ravel()
+    rep_off = np.repeat(offs.ravel(), flat_lens)
+    rep_start = np.repeat(starts.ravel(), flat_lens)
+    total = int(n.sum())
+    row_base = np.concatenate([[0], np.cumsum(n)[:-1]])
+    j_flat = np.arange(total, dtype=np.int64) - np.repeat(row_base, n)
+    vidx = np.zeros((R, N_OUT), np.int32)
+    rows_flat = np.repeat(np.arange(R, dtype=np.int64), n)
+    vidx[rows_flat, j_flat] = rep_off + j_flat - rep_start
+    return vidx
 
 
 def save_plan(plan: LocalPlan, path: str) -> None:
@@ -486,17 +521,57 @@ def decode_local_rows(
     return jnp.where(valid, val, 0)
 
 
+def decode_gather_rows(vidx, table, n, salt):
+    """out[r, j] = table[r, vidx[r, j]] for j < n[r], else 0 — the whole
+    decode once vidx is hosted (plan_to_vidx).
+
+    Implemented as a transposed int8 one-hot matmul: the gather matrix
+    A_T[r, d, j] = [vidx[r,j]==d] is 0/1 int8, the table is split into
+    four u8 byte planes biased into int8 (the one-hot's single 1 per
+    column restores the +128 bias exactly), and the MXU contracts them
+    with int32 accumulation — exact by construction and the fastest
+    measured data-dependent-access form on this stack.  `salt` is mixed
+    into the table words and cancelled after reconstruction (defeats
+    execution memoization in timing harnesses; outputs identical).
+    """
+    TC = table.shape[-1]
+    NO = vidx.shape[-1]
+    t32 = table + salt.astype(jnp.uint32)
+    planes = [
+        (((t32 >> (8 * k)) & 255).astype(jnp.int32) - 128).astype(jnp.int8)
+        for k in range(4)
+    ]
+    P_T = jnp.stack(planes, axis=1)  # (R, 4, TC)
+    iota_d = jnp.arange(TC, dtype=jnp.int32)[None, :, None]
+    A_T = (vidx[:, None, :] == iota_d).astype(jnp.int8)  # (R, TC, NO)
+    vv = (
+        jax.lax.dot_general(
+            P_T, A_T, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )
+        + 128
+    )  # (R, 4, NO)
+    val = (
+        vv[:, 0, :].astype(jnp.uint32)
+        + (vv[:, 1, :].astype(jnp.uint32) << 8)
+        + (vv[:, 2, :].astype(jnp.uint32) << 16)
+        + (vv[:, 3, :].astype(jnp.uint32) << 24)
+    ) - salt.astype(jnp.uint32)
+    jpos = jnp.arange(NO, dtype=jnp.int32)[None, :]
+    return jnp.where(jpos < n[:, None], val, 0)
+
+
 @functools.partial(jax.jit, static_argnames=())
-def _decode_all_tiles(tokens, meta, table, n, salt):
+def _decode_all_tiles(vidx, table, n, salt):
     """Scan over (T, ROW_TILE, ...) stacked tiles — ONE device dispatch
     per full-stream decode (per-dispatch overhead through the runtime
     is large and would otherwise dominate)."""
 
     def body(_, tile):
-        t, m, tb, nn = tile
-        return 0, decode_local_rows(t, m, tb, nn, salt, n_out=N_OUT)
+        vi, tb, nn = tile
+        return 0, decode_gather_rows(vi, tb, nn, salt)
 
-    _, outs = jax.lax.scan(body, 0, (tokens, meta, table, n))
+    _, outs = jax.lax.scan(body, 0, (vidx, table, n))
     return outs
 
 
@@ -516,17 +591,14 @@ class LocalDecodeEngine:
                 pad = np.full((padR - a.shape[0],) + a.shape[1:], fill, a.dtype)
                 a = np.concatenate([a, pad])
             return a.reshape((T, row_tile) + a.shape[1:])
-        self.tokens = jnp.asarray(stack(plan.tokens))
-        self.meta = jnp.asarray(stack(plan.meta))
+        self.vidx = jnp.asarray(stack(plan_to_vidx(plan)))
         self.table = jnp.asarray(stack(plan.table))
         self.n = jnp.asarray(stack(plan.out_n))
         self.T = T
 
     def decode_all(self, salt=0):
         salt = salt if isinstance(salt, jnp.ndarray) else jnp.uint32(salt)
-        return _decode_all_tiles(
-            self.tokens, self.meta, self.table, self.n, salt
-        )
+        return _decode_all_tiles(self.vidx, self.table, self.n, salt)
 
     def total_ints(self) -> int:
         return int(self.plan.out_n.astype(np.int64).sum())

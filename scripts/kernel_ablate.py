@@ -203,6 +203,152 @@ VARIANTS = {
 }
 
 
+def host_vidx(eng):
+    """Precompute per-output-position table indices from the plan.
+
+    The serving plan fully determines which table word every output
+    position reads: vidx[r, j] = off(tok_j) + j - start(tok_j).  The
+    XLA kernel re-derives this on device every run (cumsum + band +
+    attrs gather); hosting it turns decode into a pure table gather.
+    """
+    tokens = np.asarray(eng.tokens).reshape(-1, W_TOKENS)
+    meta = np.asarray(eng.meta).reshape(-1, W_TOKENS)
+    n = np.asarray(eng.n).reshape(-1).astype(np.int64)
+    meta_pos = np.take_along_axis(meta, tokens, axis=1).astype(np.int64)
+    lens = meta_pos >> 13
+    offs = meta_pos & ((1 << 13) - 1)
+    ends = np.cumsum(lens, axis=1)
+    starts = ends - lens
+    R = lens.shape[0]
+    flat_lens = lens.ravel()
+    rep_off = np.repeat(offs.ravel(), flat_lens)
+    rep_start = np.repeat(starts.ravel(), flat_lens)
+    total = int(n.sum())
+    row_base = np.concatenate([[0], np.cumsum(n)[:-1]])
+    j_flat = np.arange(total, dtype=np.int64) - np.repeat(row_base, n)
+    vidx_flat = rep_off + j_flat - rep_start
+    vidx = np.zeros((R, N_OUT), np.int32)
+    rows_flat = np.repeat(np.arange(R, dtype=np.int64), n)
+    vidx[rows_flat, j_flat] = vidx_flat
+    return vidx
+
+
+def make_gather_kernel(radix):
+    """Value-only decode: out = table[vidx] (+salt dance, n mask)."""
+
+    @jax.jit
+    def rows(vidx, table, n, salt):
+        R, NO = vidx.shape
+        TC = table.shape[1]
+        t32 = table + salt
+        planes = jnp.stack(
+            [((t32 >> (8 * k)) & 255).astype(jnp.int32) - 128 for k in range(4)],
+            axis=-1,
+        ).astype(jnp.int8)  # (R, TC, 4)
+        if radix:
+            L, H = 16, TC // 16
+            hi = vidx >> 4
+            lo = vidx & 15
+            iota_h = jnp.arange(H, dtype=jnp.int32)[None, None, :]
+            A_hi = (hi[:, :, None] == iota_h).astype(jnp.int8)  # (R, NO, H)
+            T2 = planes.reshape(R, H, L * 4)
+            M1 = jax.lax.dot_general(
+                A_hi, T2, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            )  # (R, NO, L*4)
+            M1 = M1.reshape(R, NO, L, 4)
+            iota_l = jnp.arange(L, dtype=jnp.int32)[None, None, :]
+            Alo = (lo[:, :, None] == iota_l).astype(jnp.int32)  # (R, NO, L)
+            vv = jnp.sum(M1 * Alo[..., None], axis=2) + 128  # (R, NO, 4)
+        else:
+            iota_d = jnp.arange(TC, dtype=jnp.int32)[None, :, None]
+            A_T = (vidx[:, None, :] == iota_d).astype(jnp.int8)  # (R, TC, NO)
+            P_T = planes.swapaxes(1, 2)  # (R, 4, TC)
+            vv = (
+                jax.lax.dot_general(
+                    P_T, A_T, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.int32,
+                )
+                + 128
+            ).swapaxes(1, 2)  # (R, NO, 4)
+        val = (
+            vv[:, :, 0].astype(jnp.uint32)
+            + (vv[:, :, 1].astype(jnp.uint32) << 8)
+            + (vv[:, :, 2].astype(jnp.uint32) << 16)
+            + (vv[:, :, 3].astype(jnp.uint32) << 24)
+        ) - salt.astype(jnp.uint32)
+        jpos = jnp.arange(NO, dtype=jnp.int32)[None, :]
+        return jnp.where(jpos < n[:, None], val, 0)
+
+    return rows
+
+
+def time_vidx_variant(name, eng, ref, total, runs, radix):
+    vidx_np = host_vidx(eng)
+    table = np.asarray(eng.table).reshape(-1, TABLE_CLS)
+    n = np.asarray(eng.n).reshape(-1)
+    vidx = jnp.asarray(vidx_np)
+    tbl = jnp.asarray(table.view(np.int32))
+    nn = jnp.asarray(n)
+    kern = make_gather_kernel(radix)
+    got = np.asarray(kern(vidx, tbl, nn, jnp.uint32(0))).reshape(ref.shape)
+    if not np.array_equal(got, ref):
+        bad = np.argwhere(got != ref)
+        print(f"{name}: MISMATCH at {bad[:3]}")
+        return
+    outs = kern(vidx, tbl, nn, jnp.uint32(1))
+    salt = (outs.ravel()[0] & jnp.uint32(1)) + jnp.uint32(2)
+    _ = int(np.asarray(salt))
+    t0 = time.perf_counter()
+    salt = jnp.uint32(1)
+    for k in range(runs):
+        outs = kern(vidx, tbl, nn, salt)
+        salt = (outs.ravel()[0] & jnp.uint32(1)) + jnp.uint32(k + 1)
+    _ = int(np.asarray(salt))
+    dt = (time.perf_counter() - t0) / runs
+    print(f"{name:14s} {dt*1e3:8.2f} ms/run  "
+          f"{total/dt/1e9:6.3f} G ints/s  EXACT")
+
+
+def time_pallas(eng, ref, total, runs):
+    from dint_tpu.kernels import decode_pallas as dp
+
+    tokens = np.asarray(eng.tokens).reshape(-1, W_TOKENS)
+    meta = np.asarray(eng.meta).reshape(-1, W_TOKENS)
+    table = np.asarray(eng.table).reshape(-1, TABLE_CLS)
+    n = np.asarray(eng.n).reshape(-1)
+    R = tokens.shape[0]
+    RB = dp.ROW_BLOCK
+    padR = ((R + RB - 1) // RB) * RB
+    if padR != R:
+        z = lambda a: np.concatenate(
+            [a, np.zeros((padR - R,) + a.shape[1:], a.dtype)])
+        tokens, meta, table, n = z(tokens), z(meta), z(table), z(n)
+    meta_pos = jnp.asarray(
+        np.take_along_axis(meta, tokens, axis=1).astype(np.int32))
+    tbl = jnp.asarray(table.view(np.int32))
+    nn = jnp.asarray(n)
+
+    out = dp.decode_rows_pallas(meta_pos, tbl, nn, jnp.uint32(0))
+    got = np.asarray(out).view(np.uint32)[:R].reshape(ref.shape)
+    if not np.array_equal(got, ref):
+        bad = np.argwhere(got != ref)
+        print(f"v7_pallas: MISMATCH at {bad[:3]}")
+        return
+    outs = dp.decode_rows_pallas(meta_pos, tbl, nn, jnp.uint32(1))
+    salt = (outs[0, 0] & 1) + 2
+    _ = int(np.asarray(salt))
+    t0 = time.perf_counter()
+    salt = jnp.int32(1)
+    for k in range(runs):
+        outs = dp.decode_rows_pallas(meta_pos, tbl, nn, salt)
+        salt = (outs[0, 0] & 1) + (k + 1)
+    _ = int(np.asarray(salt))
+    dt = (time.perf_counter() - t0) / runs
+    print(f"{'v7_pallas':14s} {dt*1e3:8.2f} ms/run  "
+          f"{total/dt/1e9:6.3f} G ints/s  EXACT")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=20)
@@ -224,6 +370,13 @@ def main():
     ref = np.asarray(eng.decode_all(0))  # shipping kernel output
 
     for name in args.variants.split(","):
+        if name == "v7_pallas":
+            time_pallas(eng, ref, total, args.runs)
+            continue
+        if name in ("v8_vidx_radix", "v9_vidx_full"):
+            time_vidx_variant(name, eng, ref, total, args.runs,
+                              radix=(name == "v8_vidx_radix"))
+            continue
         kern = make_kernel(**VARIANTS[name])
         out = kern(eng.tokens, eng.meta, eng.table, eng.n, jnp.uint32(0))
         got = np.asarray(out)
