@@ -1,36 +1,33 @@
-"""Fused Pallas decode kernel — one-hots live and die in VMEM.
+"""Fused Pallas decode kernel: the hosted-vidx gather, one-hots in VMEM.
 
-The XLA path (decode_local.decode_local_rows) materializes the int8
-one-hot selector matrices in HBM between the compare that builds them
-and the MXU dot that consumes them: ~640 bytes of HBM traffic per
-decoded int, which is the measured bottleneck (scripts/kernel_ablate).
-This kernel generates each selector tile in VMEM via broadcasted-iota
-compares and feeds the MXU directly, so HBM traffic drops to the plan
-rows themselves (~12 B/int).
+The shipping XLA path (decode_local.decode_gather_rows) materializes
+the int8 one-hot selector A_T (R, TC, NO) in HBM between the compare
+that builds it and the MXU dot that consumes it — ~TC bytes of HBM
+traffic per decoded int, the measured bottleneck once everything else
+was hosted (scripts/kernel_ablate.py).  Here the selector tiles are
+generated in VMEM and fed straight to the MXU, so HBM traffic drops to
+the plan rows themselves (~8 B/int).
 
-Key structural choices (all measured/forced on real hardware):
+Batching trick: a single row's gather dot is (4, TC)@(TC, NO) — M=4
+pads to the int8 sublane tile (32) and tiny dots drown in per-op
+overhead (measured 6x slower than XLA when looped row-at-a-time).
+Instead G=8 rows fuse into ONE block-diagonal dot:
 
-* Every dot is INTEGER (int8 operands, int32 accumulation).  Mosaic
-  lowers f32 matmuls to single-pass bf16 by default, which silently
-  rounds integers > 256 (offsets up to 512 came back off by one).
-  int8 x int8 -> int32 is exact and runs at 2x the bf16 MXU rate.
-  u8-ranged planes are biased by -128 into int8; a one-hot column has
-  exactly one 1, so adding 128 after the dot restores the value.
-* The token->output inversion is the BAND identity: token t covers
-  output j iff start_t <= j < end_t, so the selector matrix is built
-  directly from compares — no histogram, no prefix sum, no o[] array
-  (the XLA path needs all three).
-* Mosaic supports dynamic slicing only on the sublane (second-minor)
-  axis, so per-row W-vectors are read as (1, W) row slices and turned
-  into (W, 1) columns with tiny supported transposes.
+    P_blk (4G, G*TC)  u8 byte planes of row g in column block g,
+                      zero elsewhere (v-major rows: m = v*G + g)
+    A_stk (G*TC, NO)  A_stk[(g,d), j] = [vidx_g[j] == d]
+    out   (4G, NO)    row (v,g) = byte plane v of row g's outputs
 
-Semantics are identical to decode_local_rows (same serving plan,
-bit-exact outputs); the reference hot loop it replaces is the
-dictionary-copy decode of include/dint/dint_codecs.hpp:13-49 /
+M = 32 exactly fills the int8 sublane tile, so the block-diagonal
+zeros cost nothing beyond the padding a single row would pay anyway.
+Bias correctness: planes are biased into int8 by -128 *inside* the
+masked block only; A_stk has one 1 per column per row-block, but the
+zeroed P region nullifies foreign blocks, so out = value - 128 and
++128 restores it exactly.  All arithmetic is integer; exact.
+
+Semantics match decode_gather_rows bit-for-bit (same plan, same salt
+dance).  Reference hot loop: include/dint/dint_codecs.hpp:13-49,
 vroom_env/dint_codecs.hpp:37-107.
-
-The host pre-gathers meta by position (meta_pos[q] = meta[tokens[q]]),
-removing the token->meta gather from the device entirely.
 """
 
 from __future__ import annotations
@@ -42,115 +39,147 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .decode_local import _LEN_SHIFT, _OFF_MASK, N_OUT, TABLE_CLS, W_TOKENS
+from .decode_local import N_OUT, TABLE_CLS
 
 ROW_BLOCK = 256  # rows per grid program
+G = 8  # rows fused per block-diagonal dot
 
 
-def _decode_block_kernel(salt_ref, meta_ref, table_ref, n_ref, out_ref,
-                         ends_sc, starts_sc, offs_sc):
-    """One grid program: decode ROW_BLOCK sub-unit rows."""
-    RB = meta_ref.shape[0]
-    W = meta_ref.shape[1]
-    NO = out_ref.shape[1]
+def _gather_block_kernel(salt_ref, vidx_ref, table_ref, n_ref, out_ref,
+                         A_sc):
+    RB = vidx_ref.shape[0]
+    NO = vidx_ref.shape[1]
     TC = table_ref.shape[1]
-
-    meta = meta_ref[:]
-    lens = (meta >> _LEN_SHIFT).astype(jnp.int8)  # (RB, W), values <= 16
-    offs_sc[:] = meta & _OFF_MASK
-
-    # ends[r, t] = sum_{s<=t} lens[r, s]: one int8 MXU matmul with an
-    # upper-triangular ones matrix for the whole block.
-    ti = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
-    tj = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
-    tri = (ti <= tj).astype(jnp.int8)  # tri[s, t] = 1 if s <= t
-    ends = jax.lax.dot_general(
-        lens, tri, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )  # (RB, W)
-    ends_sc[:] = ends
-    starts_sc[:] = ends - lens.astype(jnp.int32)
-
     salt = salt_ref[0, 0]
 
-    def row_body(r, _):
-        ends_r = ends_sc[pl.ds(r, 1), :]  # (1, W)
-        starts_r = starts_sc[pl.ds(r, 1), :]
-        offs_r = offs_sc[pl.ds(r, 1), :]
-        ends_c = ends_r.swapaxes(0, 1)  # (W, 1)
-        starts_c = starts_r.swapaxes(0, 1)
+    # Constant masks (hoisted by the compiler out of the row loop).
+    km = jax.lax.broadcasted_iota(jnp.int32, (4 * G, G * TC), 1)  # col id
+    mm = jax.lax.broadcasted_iota(jnp.int32, (4 * G, G * TC), 0)  # row id
+    blockmask = ((km // TC) == (mm % G)).astype(jnp.int8)
+    iota_d = jax.lax.broadcasted_iota(jnp.int32, (TC, NO), 0)
 
-        # Band selector: token t covers output j iff start <= j < end.
-        # (Padding tokens have start == end: never hit.  Output columns
-        # j >= n have no covering token: garbage, masked at the end.)
-        jrow = jax.lax.broadcasted_iota(jnp.int32, (W, NO), 1)
-        A_o = ((starts_c <= jrow) & (jrow < ends_c)).astype(jnp.int8)  # (W, NO)
+    def group_body(gi, _):
+        r0 = gi * G
+        t32 = table_ref[pl.ds(r0, G), :] + salt  # (G, TC) i32 wrap
 
-        # attrs of the covering token: u8 lo/hi planes of start & off.
-        P_att = jnp.concatenate(
-            [(starts_r & 255) - 128, (starts_r >> 8) - 128,
-             (offs_r & 255) - 128, (offs_r >> 8) - 128], axis=0,
-        ).astype(jnp.int8)  # (4, W)
-        att = (
-            jax.lax.dot_general(
-                P_att, A_o, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-            + 128
-        )  # (4, NO)
-        start_o = att[0:1, :] + (att[1:2, :] << 8)  # (1, NO)
-        off_o = att[2:3, :] + (att[3:4, :] << 8)
-        jpos = jax.lax.broadcasted_iota(jnp.int32, (1, NO), 1)
-        vidx = jnp.clip(off_o + jpos - start_o, 0, TC - 1)  # (1, NO)
-
-        # values: table[vidx] via int8 one-hot dot over the local table
-        # domain; 4 u8 planes of the (salted) u32 words.
-        t32 = table_ref[pl.ds(r, 1), :] + salt  # (1, TC) i32, wrapping
+        # P_blk (4G, G*TC): v-major byte planes, block-diagonal
+        # (column block g holds row g's planes; K order is (g, d)).
         p0 = (t32 & 255) - 128
         p1 = ((t32 >> 8) & 255) - 128
         p2 = ((t32 >> 16) & 255) - 128
         p3 = ((t32 >> 24) & 255) - 128
-        P_v = jnp.concatenate([p0, p1, p2, p3], axis=0).astype(jnp.int8)  # (4, TC)
-        drow = jax.lax.broadcasted_iota(jnp.int32, (TC, NO), 0)
-        A_v = (vidx == drow).astype(jnp.int8)  # (TC, NO)
-        vv = (
-            jax.lax.dot_general(
-                P_v, A_v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-            + 128
-        )  # (4, NO)
+        planes = jnp.concatenate([p0, p1, p2, p3], axis=0)  # (4G, TC)
+        P_wide = jnp.concatenate([planes] * G, axis=1)  # (4G, G*TC)
+        P_blk = (P_wide * blockmask).astype(jnp.int8)
+
+        # A_stk (G*TC, NO), block g rows: [vidx_g[j] == d].  Built with
+        # G static compares into scratch (pltpu.repeat is tile-order,
+        # not block-order, so it can't produce this layout directly).
+        for g in range(G):
+            vrow = vidx_ref[pl.ds(r0 + g, 1), :]  # (1, NO)
+            A_sc[g * TC:(g + 1) * TC, :] = (vrow == iota_d).astype(jnp.int8)
+
+        out = jax.lax.dot_general(
+            P_blk, A_sc[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (4G, NO), row (v*G+g)
         val = (
-            vv[0:1, :]
-            + (vv[1:2, :] << 8)
-            + (vv[2:3, :] << 16)
-            + (vv[3:4, :] << 24)
+            (out[0:G, :] + 128)
+            + ((out[G : 2 * G, :] + 128) << 8)
+            + ((out[2 * G : 3 * G, :] + 128) << 16)
+            + ((out[3 * G : 4 * G, :] + 128) << 24)
             - salt
-        )  # (1, NO) int32, wrapping
-        nmask = jax.lax.broadcasted_iota(jnp.int32, (1, NO), 1) < n_ref[
-            pl.ds(r, 1), :
-        ]
-        out_ref[pl.ds(r, 1), :] = jnp.where(nmask, val, 0)
+        )  # (G, NO) i32 wrap
+        nmask = (
+            jax.lax.broadcasted_iota(jnp.int32, (G, NO), 1)
+            < n_ref[pl.ds(r0, G), :]
+        )
+        out_ref[pl.ds(r0, G), :] = jnp.where(nmask, val, 0)
         return 0
 
-    jax.lax.fori_loop(0, RB, row_body, 0)
+    jax.lax.fori_loop(0, RB // G, group_body, 0)
+
+
+def _gather_group_kernel(salt_ref, vidx_ref, table_ref, n_ref, out_ref):
+    """One grid program = one G-row group (grid pipelining instead of an
+    in-kernel fori_loop; the loop variant measured 4.4us/group, far
+    above the ~1us of compute)."""
+    NO = vidx_ref.shape[1]
+    TC = table_ref.shape[1]
+    salt = salt_ref[0, 0]
+
+    km = jax.lax.broadcasted_iota(jnp.int32, (4 * G, G * TC), 1)
+    mm = jax.lax.broadcasted_iota(jnp.int32, (4 * G, G * TC), 0)
+    blockmask = ((km // TC) == (mm % G)).astype(jnp.int8)
+    iota_d = jax.lax.broadcasted_iota(jnp.int32, (TC, NO), 0)
+
+    t32 = table_ref[:] + salt  # (G, TC)
+    p0 = (t32 & 255) - 128
+    p1 = ((t32 >> 8) & 255) - 128
+    p2 = ((t32 >> 16) & 255) - 128
+    p3 = ((t32 >> 24) & 255) - 128
+    planes = jnp.concatenate([p0, p1, p2, p3], axis=0)  # (4G, TC)
+    P_blk = (jnp.concatenate([planes] * G, axis=1) * blockmask).astype(
+        jnp.int8
+    )
+    A_parts = [
+        (vidx_ref[g:g + 1, :] == iota_d).astype(jnp.int8) for g in range(G)
+    ]
+    A_stk = jnp.concatenate(A_parts, axis=0)  # (G*TC, NO)
+    out = jax.lax.dot_general(
+        P_blk, A_stk, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    val = (
+        (out[0:G, :] + 128)
+        + ((out[G:2 * G, :] + 128) << 8)
+        + ((out[2 * G:3 * G, :] + 128) << 16)
+        + ((out[3 * G:4 * G, :] + 128) << 24)
+        - salt
+    )
+    nmask = jax.lax.broadcasted_iota(jnp.int32, (G, NO), 1) < n_ref[:]
+    out_ref[:] = jnp.where(nmask, val, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def decode_rows_pallas(meta_pos, table, n, salt, *, interpret=False):
-    """meta_pos (R, W) i32 position-indexed len<<13|off; table (R, TC)
-    i32 (u32 bits); n (R,) i32; salt i32 scalar. Returns (R, N_OUT)
-    int32 (u32 bits). R must be a multiple of ROW_BLOCK."""
-    R = meta_pos.shape[0]
+def decode_gather_pallas_grid(vidx, table, n, salt, *, interpret=False):
+    """Grid-pipelined variant: one program per G-row group."""
+    R = vidx.shape[0]
+    assert R % G == 0, R
+    salt_arr = jnp.reshape(salt.astype(jnp.int32), (1, 1))
+    return pl.pallas_call(
+        _gather_group_kernel,
+        out_shape=jax.ShapeDtypeStruct((R, N_OUT), jnp.int32),
+        grid=(R // G,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((G, N_OUT), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, TABLE_CLS), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((G, N_OUT), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(salt_arr, vidx, table, n.reshape(R, 1))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def decode_gather_pallas(vidx, table, n, salt, *, interpret=False):
+    """vidx (R, N_OUT) i32; table (R, TABLE_CLS) i32 (u32 bits);
+    n (R,) i32; salt u32/i32 scalar.  Returns (R, N_OUT) i32 (u32
+    bits).  R must be a multiple of ROW_BLOCK."""
+    R = vidx.shape[0]
     assert R % ROW_BLOCK == 0, R
     salt_arr = jnp.reshape(salt.astype(jnp.int32), (1, 1))
     return pl.pallas_call(
-        _decode_block_kernel,
+        _gather_block_kernel,
         out_shape=jax.ShapeDtypeStruct((R, N_OUT), jnp.int32),
         grid=(R // ROW_BLOCK,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((ROW_BLOCK, W_TOKENS), lambda i: (i, 0),
+            pl.BlockSpec((ROW_BLOCK, N_OUT), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ROW_BLOCK, TABLE_CLS), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -159,10 +188,6 @@ def decode_rows_pallas(meta_pos, table, n, salt, *, interpret=False):
         ],
         out_specs=pl.BlockSpec((ROW_BLOCK, N_OUT), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((ROW_BLOCK, W_TOKENS), jnp.int32),
-            pltpu.VMEM((ROW_BLOCK, W_TOKENS), jnp.int32),
-            pltpu.VMEM((ROW_BLOCK, W_TOKENS), jnp.int32),
-        ],
+        scratch_shapes=[pltpu.VMEM((G * TABLE_CLS, N_OUT), jnp.int8)],
         interpret=interpret,
-    )(salt_arr, meta_pos, table, n.reshape(R, 1))
+    )(salt_arr, vidx, table, n.reshape(R, 1))
