@@ -16,7 +16,7 @@ import numpy as np
 from ..codecs import interpolative
 from ..config import BLOCK_SIZE, NUM_SELECTORS
 from ..index.dint_index import DintIndex
-from ..kernels import pipeline
+from ..kernels import decode_local
 
 
 class TermDecoder:
@@ -47,28 +47,17 @@ class TermDecoder:
     def _decode_units(
         self, starts, byte_lens, sizes, view, b_bits, ctxs
     ) -> List[np.ndarray]:
-        """Decode DINT units via the device pipeline; returns raw values."""
-        out: List[Optional[np.ndarray]] = [None] * len(starts)
+        """Decode DINT units via the localized serving-image engine —
+        the same fast path as full-stream decode (plan once per term
+        batch with the native planner, one device dispatch)."""
         arena = self.index.arena
-        order = np.arange(len(starts))
-        for bits in (16, 8):
-            m = np.asarray(b_bits) == bits
-            if not m.any():
-                continue
-            sel = order[m]
-            buckets = pipeline.plan_buckets(
-                arena,
-                np.asarray(starts)[sel],
-                np.asarray(byte_lens)[sel],
-                np.asarray(sizes)[sel],
-                np.asarray(ctxs)[sel],
-                bits,
-            )
-            engine = pipeline.DecodeEngine(view, buckets)
-            outs = engine.decode_all()
-            for uid, row, k in engine.iter_unit_outputs(outs):
-                out[sel[uid]] = row[:k]
-        return out  # type: ignore[return-value]
+        plan = decode_local.plan_stream(
+            arena, np.asarray(starts), np.asarray(byte_lens),
+            np.asarray(sizes), np.asarray(ctxs), np.asarray(b_bits), view,
+        )
+        engine = decode_local.LocalDecodeEngine(plan)
+        outs = engine.decode_all()
+        return engine.gather_units(outs, len(starts), sizes)
 
     def decode_docids(self, terms: Sequence[int]) -> Dict[int, np.ndarray]:
         """{term: docids} decoding every uncached term in one batch."""
