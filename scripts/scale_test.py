@@ -1,0 +1,112 @@
+"""Large-scale pipeline shakedown (BASELINE configs 4/5 rehearsal).
+
+Synthesizes a Gov2-shaped collection (default ~10^8 postings), then
+runs every build stage with timings: dictionary training (chunked
+statistics merging), native encode, native serving-image planning, and
+a TPU decode of the resulting stream.  Spot-checks decode exactness on
+a sample of lists against the scalar oracle.
+
+Stages are create-or-load cached under .scale/ so reruns resume.
+
+Usage: python scripts/scale_test.py [--ints 1e8] [--decode]
+(--decode needs the TPU; run it alone, without PYTHONPATH — see
+scripts/kernel_ablate.py header.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale")
+
+
+def log_stage(name, t0):
+    dt = time.perf_counter() - t0
+    print(f"[scale] {name}: {dt:.1f}s", flush=True)
+    return time.perf_counter()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ints", type=float, default=1e8)
+    ap.add_argument("--num-lists", type=int, default=20000)
+    ap.add_argument("--decode", action="store_true")
+    ap.add_argument("--runs", type=int, default=5)
+    args = ap.parse_args()
+
+    from dint_tpu.io import collection, synth
+
+    os.makedirs(CACHE, exist_ok=True)
+    base = os.path.join(CACHE, "scale_collection")
+    avg_len = args.ints / args.num_lists
+    num_docs = int(args.ints // 4)
+
+    t = time.perf_counter()
+    if not os.path.exists(base + ".docs"):
+        docs, freqs = synth.make_collection(
+            args.num_lists, num_docs, seed=11, avg_len=avg_len
+        )
+        collection.write_freq_collection(base, docs, freqs, num_docs)
+        del docs, freqs
+    t = log_stage("synthesize+write", t)
+
+    coll = collection.open_freq_collection(base)
+    total = int(sum(len(d) for d, _ in coll))
+    print(f"[scale] collection: {args.num_lists} lists, {total} postings")
+    t = log_stage("count", t)
+
+    stream = os.path.join(CACHE, "scale.single_rect_dint.bin")
+    dict_file = os.path.join(
+        CACHE, "dict.scale_collection.docs.rectangular.DSF-65536-16"
+    )
+    if not os.path.exists(stream):
+        from dint_tpu.tools import encode
+
+        encode.encode_collection(
+            "single_rect_dint", base + ".docs", stream, cache_dir=CACHE
+        )
+    t = log_stage("dict-train + encode", t)
+
+    if not args.decode:
+        print("[scale] build stages done; rerun with --decode on the TPU")
+        return
+
+    from dint_tpu.tools import decode as dtool
+
+    rec = dtool.decode_stream(
+        "single_rect_dint", stream, dict_file, runs=args.runs
+    )
+    t = log_stage("decode (timed)", t)
+
+    # spot-check: 50 random lists, decoded vs the input collection
+    from dint_tpu.index import stream as stream_mod
+    from dint_tpu.utils import gaps as gap_mod
+
+    arena, meta = stream_mod.load_stream(stream)
+    d = dtool.load_dictionary("single_rect_dint", dict_file)
+    from dint_tpu.kernels import decode_local
+
+    dec = dtool.StreamDecoder(
+        arena, meta, d.decode_view(), False,
+        plan_cache=stream + f".plan.v{decode_local.PLAN_VERSION}.npz",
+    )
+    lists = dec.gather_lists()
+    rng = np.random.default_rng(5)
+    picks = rng.choice(len(lists), size=min(50, len(lists)), replace=False)
+    docs_iter = list(collection.open_freq_collection(base))
+    for i in picks:
+        want = gap_mod.docs_to_gaps(docs_iter[i][0])
+        np.testing.assert_array_equal(lists[i], want, err_msg=f"list {i}")
+    log_stage(f"spot-check {len(picks)} lists", t)
+    print("[scale] OK", rec["ints_x_sec"], "ints/s")
+
+
+if __name__ == "__main__":
+    main()
