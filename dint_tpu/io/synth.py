@@ -57,23 +57,74 @@ def random_freqs(rng: np.random.Generator, n: int) -> np.ndarray:
     return np.minimum(f, 1 << 20).astype(np.uint32)
 
 
+def zipf_lengths(
+    rng: np.random.Generator,
+    num_lists: int,
+    target_sum: int,
+    cap: int,
+) -> np.ndarray:
+    """Zipf-tailed list lengths with an EXACT total, each in [1, cap].
+
+    Rank-frequency power law (Zipf's law proper): len(rank) =
+    cap * rank^-alpha, with alpha binary-searched so the total hits
+    target_sum.  (Sampling i.i.d. Zipf values and rescaling degenerates
+    when cap << the tail: the cap destroys the mass and ~everything
+    collapses to length 1.)
+    """
+    ranks = np.arange(1, num_lists + 1, dtype=np.float64)
+
+    def lens_of(alpha: float) -> np.ndarray:
+        return np.maximum(
+            1, np.round(cap * ranks ** -alpha)
+        ).astype(np.int64)
+
+    lo, hi = 0.0, 12.0  # sum decreases as alpha grows
+    for _ in range(80):
+        mid = (lo + hi) / 2
+        if int(lens_of(mid).sum()) > target_sum:
+            lo = mid
+        else:
+            hi = mid
+    lens = lens_of(lo)
+    rng.shuffle(lens)
+    # exact correction: walk off the residual one list at a time
+    diff = int(lens.sum()) - target_sum
+    i = 0
+    order = np.argsort(-lens)
+    while diff != 0 and i < num_lists:
+        j = order[i % num_lists]
+        if diff > 0 and lens[j] > 1:
+            lens[j] -= 1
+            diff -= 1
+        elif diff < 0 and lens[j] < cap:
+            lens[j] += 1
+            diff += 1
+        i += 1
+    return lens
+
+
 def make_collection(
     num_lists: int,
     num_docs: int,
     seed: int = 1,
     avg_len: float = 30.0,
     cluster: float = 0.3,
+    target_postings: int = 0,
 ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
     """A (doc_lists, freq_lists) pair shaped like the bundled sample.
 
     List lengths follow a truncated Zipf so a few terms are dense (long
     runs, highly compressible) and the long tail is short, as in real
-    collections.
+    collections.  With target_postings > 0 the lengths are rescaled so
+    the total posting count is exact even when num_docs caps the tail.
     """
     rng = np.random.default_rng(seed)
-    raw = rng.zipf(1.35, size=num_lists).astype(np.float64)
-    lens = np.maximum(1, (raw / raw.mean() * avg_len)).astype(np.int64)
-    lens = np.minimum(lens, num_docs)
+    if target_postings:
+        lens = zipf_lengths(rng, num_lists, int(target_postings), num_docs)
+    else:
+        raw = rng.zipf(1.35, size=num_lists).astype(np.float64)
+        lens = np.maximum(1, (raw / raw.mean() * avg_len)).astype(np.int64)
+        lens = np.minimum(lens, num_docs)
     doc_lists: List[np.ndarray] = []
     freq_lists: List[np.ndarray] = []
     for n in lens:
