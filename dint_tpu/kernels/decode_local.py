@@ -575,6 +575,17 @@ def _decode_all_tiles(vidx, table, n, salt):
     return outs
 
 
+@functools.partial(jax.jit, static_argnames=("runs",))
+def _decode_chain(vidx, table, n, *, runs: int):
+    def body(salt, _):
+        outs = _decode_all_tiles(vidx, table, n, salt)
+        nxt = jnp.sum(outs, dtype=jnp.uint32) + salt + jnp.uint32(1)
+        return nxt, None
+
+    salt, _ = jax.lax.scan(body, jnp.uint32(1), None, length=runs)
+    return salt
+
+
 class LocalDecodeEngine:
     """Single-dispatch runner over a LocalPlan (stacked fixed tiles)."""
 
@@ -599,6 +610,17 @@ class LocalDecodeEngine:
     def decode_all(self, salt=0):
         salt = salt if isinstance(salt, jnp.ndarray) else jnp.uint32(salt)
         return _decode_all_tiles(self.vidx, self.table, self.n, salt)
+
+    def decode_chain(self, runs: int):
+        """`runs` full-stream decodes as ONE device dispatch.
+
+        Each run's salt is a u32 reduction over the previous run's
+        ENTIRE output (no element can be skipped or memoized), so all
+        runs are distinct, fully-materialized decodes; per-dispatch
+        runtime overhead (~ms through this stack) amortizes across the
+        chain.  Returns the final salt (fetch it to force completion).
+        """
+        return _decode_chain(self.vidx, self.table, self.n, runs=runs)
 
     def total_ints(self) -> int:
         return int(self.plan.out_n.astype(np.int64).sum())

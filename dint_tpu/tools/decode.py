@@ -165,24 +165,15 @@ class StreamDecoder:
         import numpy as np
 
         if self.kind_engine == "local":
-            import jax.numpy as jnp
-
             total_ints = self.engine.total_ints()
-            # warmup: plain + one chained step (compiles both patterns)
-            outs = self.engine.decode_all(0)
-            salt = (outs[0, 0, 0] & jnp.uint32(1)) + jnp.uint32(1)
-            outs = self.engine.decode_all(salt)
-            salt = (outs[0, 0, 0] & jnp.uint32(1)) + jnp.uint32(2)
-            _ = int(np.asarray(salt))
-            # timed: chain each run's salt on the previous run's output —
-            # a data dependency the lazy runtime cannot skip — and fetch
-            # once at the end so the per-sync overhead amortizes.
+            # The whole salted run-chain executes as ONE device dispatch
+            # (decode_local._decode_chain): each run's salt is a u32
+            # reduction over the previous run's ENTIRE output, so every
+            # run is distinct, fully-materialized work the lazy/memoizing
+            # runtime cannot skip, and per-dispatch overhead amortizes.
+            _ = int(np.asarray(self.engine.decode_chain(runs)))  # warmup
             t0 = time.perf_counter()
-            salt = jnp.uint32(1)
-            for k in range(runs):
-                outs = self.engine.decode_all(salt)
-                salt = (outs[0, 0, 0] & jnp.uint32(1)) + jnp.uint32(k + 1)
-            _ = int(np.asarray(salt))
+            _ = int(np.asarray(self.engine.decode_chain(runs)))
             t1 = time.perf_counter()
             return t1 - t0, total_ints
         outs = self.decode_all()
