@@ -168,3 +168,24 @@ def test_local_multi_blocks_b8_b16(setup):  # noqa: F811
         got = _roundtrip_units(view, bufs, ns, ctxs, b_bits)
         merged = np.concatenate(got)
         np.testing.assert_array_equal(merged, g)
+
+
+def test_decode_chain_runs_distinct_and_complete(setup):  # noqa: F811
+    gap_lists, ds, _ = setup
+    lt = ds.lookup_table()
+    view = ds.decode_view()
+    lists = [g for g in gap_lists if 0 < len(g) <= 2000][:6]
+    bufs = [dint.encode_opt_single(lt, g) for g in lists]
+    starts = np.cumsum([0] + [len(b) for b in bufs])[:-1]
+    arena = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    ns = [len(g) for g in lists]
+    plan = decode_local.plan_stream(
+        arena, starts, [len(b) for b in bufs], ns, [0] * len(bufs),
+        [16] * len(bufs), view,
+    )
+    eng = decode_local.LocalDecodeEngine(plan)
+    s1 = int(np.asarray(eng.decode_chain(1)))
+    s3 = int(np.asarray(eng.decode_chain(3)))
+    # deterministic and runs-dependent (each run folds into the salt)
+    assert s1 == int(np.asarray(eng.decode_chain(1)))
+    assert s3 != s1

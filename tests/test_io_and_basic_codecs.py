@@ -101,3 +101,21 @@ def test_interpolative_size_matches_dfs_reference_bitcount(rng):
         bits = interpolative.encoded_bits(psums[: n - 1], 0, s)
         buf = interpolative.encode_block(vals, s)
         assert len(buf) == (bits + 7) // 8
+
+
+def test_synth_exact_target_postings(rng):
+    from dint_tpu.io import synth
+
+    docs, freqs = synth.make_collection(
+        500, 2000, seed=3, target_postings=30_000
+    )
+    total = sum(len(d) for d in docs)
+    assert total == 30_000
+    assert all(1 <= len(d) <= 2000 for d in docs)
+    assert all(len(d) == len(f) for d, f in zip(docs, freqs))
+    # realistic spread, not a singleton collapse
+    import numpy as np
+
+    lens = np.array([len(d) for d in docs])
+    assert (lens == 1).mean() < 0.5
+    assert lens.max() > 100
