@@ -137,6 +137,80 @@ def encode_prefix_sums(vals: np.ndarray, low0: int, high0: int) -> bytes:
     return bw.to_bytes()
 
 
+def _decode_prefix_sums_level(buf, pos: int, n: int, low0: int, high0: int):
+    """Level-vectorized single-block decode — measured SLOWER than the
+    scalar walk for lone blocks (numpy per-op overhead on <=128-node
+    levels); kept as the stepping stone to the cross-block batch below,
+    which is where vectorization pays."""
+    if n == 0:
+        return np.zeros(0, dtype=np.int64), 0
+    out = np.zeros(n, dtype=np.int64)
+    # Each code is <= 33 bits (u <= 2^32), so n codes span <= 33n bits;
+    # slice just that much (the buffer may be a whole index arena).
+    # 8 bytes starting at each code's first byte cover any b <= 57 bits.
+    ub = min(len(buf) - pos, (33 * n + 7) // 8 + 8)
+    arr = np.frombuffer(bytes(buf[pos : pos + ub]), np.uint8)
+    bitpos = 0
+    # level state: node arrays (s, e, low, high)
+    s = np.array([0], np.int64)
+    e = np.array([n], np.int64)
+    low = np.array([low0], np.int64)
+    high = np.array([high0], np.int64)
+    pad = np.zeros(8, np.uint8)
+    ab = np.concatenate([arr, pad])
+    while s.size:
+        mid = s + (e - s) // 2
+        u = high - low + 1
+        # floor_log2 via frexp (exact for u < 2^53): bit_length(u) - 1
+        b = np.frexp(u.astype(np.float64))[1].astype(np.int64) - 1
+        m = (np.int64(1) << (b + 1)) - u
+        # fixed-plane reads: widths b at offsets bitpos + cumsum
+        offs = bitpos + np.concatenate([[0], np.cumsum(b)[:-1]])
+        first = (offs >> 3).astype(np.int64)
+        words = np.zeros(s.size, np.uint64)
+        for k in range(8):
+            words |= ab[first + k].astype(np.uint64) << np.uint64(8 * k)
+        v = ((words >> (offs & 7).astype(np.uint64))
+             & ((np.uint64(1) << b.astype(np.uint64)) - np.uint64(1))
+             ).astype(np.int64)
+        bitpos += int(b.sum())
+        # extra-plane: one bit for each v >= m, in node order
+        need = v >= m
+        cnt = int(need.sum())
+        if cnt:
+            eoffs = bitpos + np.arange(cnt, dtype=np.int64)
+            bits = (ab[eoffs >> 3] >> (eoffs & 7).astype(np.uint8)) & 1
+            extra = np.zeros(s.size, np.int64)
+            extra[need] = bits
+            v = np.where(need, (v << 1) + extra - m, v)
+            bitpos += cnt
+        val = low + v
+        out[mid] = val
+        # children: (s, mid, low, val) and (mid+1, e, val, high)
+        lmask = mid - s > 0
+        rmask = e - (mid + 1) > 0
+        # interleave in the exact order level_nodes produces: for each
+        # node, left child (if any) then right child (if any)
+        ns_ = np.empty(int(lmask.sum()) + int(rmask.sum()), np.int64)
+        ne_ = np.empty_like(ns_)
+        nlow = np.empty_like(ns_)
+        nhigh = np.empty_like(ns_)
+        idx = np.cumsum(lmask.astype(np.int64) + rmask.astype(np.int64))
+        base = idx - (lmask.astype(np.int64) + rmask.astype(np.int64))
+        lpos = base[lmask]
+        ns_[lpos] = s[lmask]
+        ne_[lpos] = mid[lmask]
+        nlow[lpos] = low[lmask]
+        nhigh[lpos] = val[lmask]
+        rpos = (base + lmask.astype(np.int64))[rmask]
+        ns_[rpos] = mid[rmask] + 1
+        ne_[rpos] = e[rmask]
+        nlow[rpos] = val[rmask]
+        nhigh[rpos] = high[rmask]
+        s, e, low, high = ns_, ne_, nlow, nhigh
+    return out, (bitpos + 7) // 8
+
+
 def decode_prefix_sums(buf, pos: int, n: int, low0: int, high0: int):
     """Inverse of encode_prefix_sums; returns (values, bytes_consumed)."""
     out = np.zeros(n, dtype=np.int64)
@@ -230,3 +304,124 @@ def decode_block(buf, pos: int, n: int, sum_of_values: int):
     vals[0] = full[0]
     vals[1:] = full[1:] - full[:-1]
     return vals.astype(np.uint32), pos
+
+
+def decode_blocks_batch(buf, specs):
+    """Decode MANY interpolative blocks at once; returns a list of value
+    arrays.  ``specs`` is a sequence of (pos, n, sum_of_values) (with
+    UNKNOWN_SUM handled per block).
+
+    This is where the level-ordered layout pays: all blocks' level-d
+    nodes process as one numpy batch (bit extraction, bound updates,
+    child expansion), so the per-level numpy overhead amortizes across
+    blocks — the single-block scalar walk stays faster for lone blocks.
+    """
+    B = len(specs)
+    if B == 0:
+        return []
+    buf = np.asarray(buf, dtype=np.uint8)
+    poss = np.empty(B, np.int64)
+    ns = np.empty(B, np.int64)
+    sums = np.empty(B, np.int64)
+    for i, (pos, n, sv) in enumerate(specs):
+        if sv == UNKNOWN_SUM:
+            sv, pos = vbyte.decode_single(buf, pos)
+        poss[i] = pos
+        ns[i] = n
+        sums[i] = sv
+    # consolidated bit arena: slice each block's max span into one pad-
+    # safe buffer so byte gathers never index past the end
+    spans = (33 * np.maximum(ns - 1, 0) + 7) // 8 + 8
+    spans = np.minimum(spans, len(buf) - poss)
+    starts = np.concatenate([[0], np.cumsum(spans)[:-1]])
+    ab = np.zeros(int(spans.sum()) + 8, np.uint8)
+    for i in range(B):
+        ab[starts[i] : starts[i] + spans[i]] = buf[poss[i] : poss[i] + spans[i]]
+
+    out_off = np.concatenate([[0], np.cumsum(ns)[:-1]])
+    out_flat = np.zeros(int(ns.sum()), np.int64)
+    blk_bit = np.zeros(B, np.int64)  # per-block bit cursor
+
+    # live node state (grouped by block, block-major order)
+    m_root = ns - 1 > 0
+    bid = np.flatnonzero(m_root)
+    s = np.zeros(bid.size, np.int64)
+    e = (ns - 1)[bid]
+    low = np.zeros(bid.size, np.int64)
+    high = sums[bid]
+
+    while bid.size:
+        mid = s + (e - s) // 2
+        u = high - low + 1
+        b = np.frexp(u.astype(np.float64))[1].astype(np.int64) - 1
+        m = (np.int64(1) << (b + 1)) - u
+        # per-block exclusive cumsum of widths (nodes are block-grouped)
+        csum = np.cumsum(b)
+        excl = csum - b
+        seg_first = np.concatenate([[True], bid[1:] != bid[:-1]])
+        seg_idx = np.cumsum(seg_first) - 1
+        seg_base = excl[seg_first][seg_idx]
+        offs = blk_bit[bid] + starts[bid] * 8 + (excl - seg_base)
+        first = offs >> 3
+        words = np.zeros(bid.size, np.uint64)
+        for k in range(8):
+            words |= ab[first + k].astype(np.uint64) << np.uint64(8 * k)
+        v = (
+            (words >> (offs & 7).astype(np.uint64))
+            & ((np.uint64(1) << b.astype(np.uint64)) - np.uint64(1))
+        ).astype(np.int64)
+        # advance per-block cursors by each block's fixed-plane total
+        seg_start_ids = bid[seg_first]
+        seg_last = np.concatenate([seg_first[1:], [True]])
+        fixed_tot = csum[seg_last] - np.concatenate([[0], csum[seg_last][:-1]])
+        np.add.at(blk_bit, seg_start_ids, fixed_tot)
+        # extra-plane bits: rank among needy nodes of the same block
+        need = v >= m
+        nb = need.astype(np.int64)
+        ncsum = np.cumsum(nb)
+        nexcl = ncsum - nb
+        nbase = nexcl[seg_first][seg_idx]
+        eoffs = blk_bit[bid] + starts[bid] * 8 + (nexcl - nbase)
+        bits = (ab[eoffs >> 3] >> (eoffs & 7).astype(np.uint8)) & 1
+        v = np.where(need, (v << 1) + bits.astype(np.int64) - m, v)
+        ntot = ncsum[seg_last] - np.concatenate([[0], ncsum[seg_last][:-1]])
+        np.add.at(blk_bit, seg_start_ids, ntot)
+        val = low + v
+        out_flat[out_off[bid] + mid] = val
+        # children
+        lmask = mid - s > 0
+        rmask = e - (mid + 1) > 0
+        cnt = lmask.astype(np.int64) + rmask.astype(np.int64)
+        base = np.cumsum(cnt) - cnt
+        tot = int(cnt.sum())
+        nbid = np.empty(tot, np.int64)
+        ns_ = np.empty(tot, np.int64)
+        ne_ = np.empty(tot, np.int64)
+        nlow = np.empty(tot, np.int64)
+        nhigh = np.empty(tot, np.int64)
+        lpos = base[lmask]
+        nbid[lpos] = bid[lmask]
+        ns_[lpos] = s[lmask]
+        ne_[lpos] = mid[lmask]
+        nlow[lpos] = low[lmask]
+        nhigh[lpos] = val[lmask]
+        rpos = (base + lmask.astype(np.int64))[rmask]
+        nbid[rpos] = bid[rmask]
+        ns_[rpos] = mid[rmask] + 1
+        ne_[rpos] = e[rmask]
+        nlow[rpos] = val[rmask]
+        nhigh[rpos] = high[rmask]
+        bid, s, e, low, high = nbid, ns_, ne_, nlow, nhigh
+
+    # rebuild gap values from prefix sums: set each block's final
+    # prefix sum, then adjacent differences within block boundaries
+    out_flat[out_off + ns - 1] = sums
+    diffs = np.empty_like(out_flat)
+    diffs[0] = out_flat[0]
+    diffs[1:] = out_flat[1:] - out_flat[:-1]
+    diffs[out_off] = out_flat[out_off]  # block firsts keep raw value
+    res = [
+        diffs[out_off[i] : out_off[i] + int(ns[i])].astype(np.uint32)
+        for i in range(B)
+    ]
+    return res

@@ -105,18 +105,20 @@ class TermDecoder:
             for row, vals in zip(dint_rows, decoded):
                 values[(row[0], row[1])] = vals
 
-        for t, b, pos, size, base in part_rows:
-            if docs:
-                sum_v = int(idx.block_max[b]) - base - (size - 1)
-                vals, _ = interpolative.decode_block(
-                    idx.arena, idx.block_start(b), size, sum_v
-                )
-            else:
-                vals, _ = interpolative.decode_block(
-                    idx.arena, int(idx.docs_end[b]), size,
-                    interpolative.UNKNOWN_SUM,
-                )
-            values[(t, b)] = vals
+        if part_rows:
+            # all partial (interpolative) blocks decode as ONE batch
+            specs = []
+            for t, b, pos, size, base in part_rows:
+                if docs:
+                    sum_v = int(idx.block_max[b]) - base - (size - 1)
+                    specs.append((idx.block_start(b), size, sum_v))
+                else:
+                    specs.append(
+                        (int(idx.docs_end[b]), size, interpolative.UNKNOWN_SUM)
+                    )
+            decoded_parts = interpolative.decode_blocks_batch(idx.arena, specs)
+            for (t, b, pos, size, base), vals in zip(part_rows, decoded_parts):
+                values[(t, b)] = vals
 
         # assemble per-term arrays
         for t in terms:

@@ -119,3 +119,41 @@ def test_synth_exact_target_postings(rng):
     lens = np.array([len(d) for d in docs])
     assert (lens == 1).mean() < 0.5
     assert lens.max() > 100
+
+
+def test_interpolative_vectorized_matches_scalar(rng):
+    from dint_tpu.codecs import interpolative as ic
+
+    for trial in range(40):
+        n = int(rng.integers(1, 300))
+        hi = int(rng.integers(n, 1 << int(rng.integers(10, 32))) + n)
+        vals = np.sort(rng.integers(0, hi + 1, n)).astype(np.int64)
+        buf = ic.encode_prefix_sums(vals, 0, hi)
+        pad = bytes(buf) + b"\x7f" * 11  # trailing garbage must not leak
+        got, used = ic._decode_prefix_sums_level(
+            np.frombuffer(pad, np.uint8), 0, n, 0, hi
+        )
+        want, used2 = ic.decode_prefix_sums(np.frombuffer(pad, np.uint8), 0, n, 0, hi)
+        np.testing.assert_array_equal(got, want)
+        assert used == used2 == len(buf)
+
+
+def test_interpolative_batch_matches_scalar(rng):
+    from dint_tpu.codecs import interpolative as ic
+
+    blocks, specs, stream = [], [], bytearray()
+    for t in range(200):
+        n = int(rng.integers(1, 256))
+        vals = rng.integers(0, 1 << int(rng.integers(2, 20)), n).astype(np.uint32)
+        known = bool(rng.integers(0, 2))
+        sv = int(vals.sum()) if known else ic.UNKNOWN_SUM
+        enc = ic.encode_block(vals, sv)
+        specs.append((len(stream), n, sv))
+        stream += enc
+        blocks.append(vals)
+    buf = np.frombuffer(bytes(stream), np.uint8)
+    got = ic.decode_blocks_batch(buf, specs)
+    for (pos, n, sv), vals, g in zip(specs, blocks, got):
+        want, _ = ic.decode_block(buf, pos, n, sv)
+        np.testing.assert_array_equal(want, vals)
+        np.testing.assert_array_equal(g, vals)
