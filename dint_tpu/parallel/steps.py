@@ -95,6 +95,24 @@ def term_sharded_and_step(cand: jnp.ndarray, shard_docs: jnp.ndarray,
     return misses == 0
 
 
+def term_sharded_topk_step(shard_scores: jnp.ndarray, k: int,
+                           axis: str = "dp"):
+    """Term-sharded ranked top-k under shard_map.
+
+    The ranked-retrieval analogue of term_sharded_and_step: with the
+    index term-partitioned, each device holds the BM25 contributions of
+    ITS terms to every (query, doc) pair; the global score is a psum
+    over the mesh and the top-k selection runs replicated (the
+    collective pattern that replaces the reference's single-threaded
+    wand/maxscore accumulation, queries.hpp:190-307).
+
+    shard_scores: (Q, D) this shard's partial scores
+    returns       (values (Q, k), doc_ids (Q, k))
+    """
+    total = jax.lax.psum(shard_scores, axis)
+    return jax.lax.top_k(total, k)
+
+
 def stats_training_step(blocks: jnp.ndarray, n_buckets: int = 1 << 16):
     """One sharded statistics pass over a batch of 256-int gap blocks.
 
