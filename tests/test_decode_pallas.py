@@ -60,3 +60,45 @@ def test_pallas_gather_matches_xla(setup):  # noqa: F811
             )
         ).view(np.uint32)
         np.testing.assert_array_equal(got, want, err_msg=f"salt={salt}")
+
+
+def test_lane_gather_kernel_interpret(setup):  # noqa: F811
+    """The shipping VPU lane-gather kernel (decode_local._pallas_gather_
+    kernel) vs the one-hot XLA formulation, in interpret mode on CPU."""
+    gap_lists, ds, _ = setup
+    lt = ds.lookup_table()
+    view = ds.decode_view()
+    lists = [g for g in gap_lists if 0 < len(g) <= 2000][:8]
+    bufs = [dint.encode_opt_single(lt, g) for g in lists]
+    starts = np.cumsum([0] + [len(b) for b in bufs])[:-1]
+    arena = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    ns = [len(g) for g in lists]
+    plan = decode_local.plan_stream(
+        arena, starts, [len(b) for b in bufs], ns, [0] * len(bufs),
+        [16] * len(bufs), view,
+    )
+    rt = 32
+    padR = -(-plan.rows // rt) * rt
+
+    def pad(a):
+        if a.shape[0] == padR:
+            return a
+        z = np.zeros((padR - a.shape[0],) + a.shape[1:], a.dtype)
+        return np.concatenate([a, z])
+
+    vidx = pad(decode_local.plan_to_vidx(plan))
+    table = pad(plan.table)
+    out_n = pad(plan.out_n)
+    vidx8 = jnp.asarray(vidx.astype(np.uint8).view(np.int8))
+    tab_i32 = jnp.asarray(table.view(np.int32))
+    n2 = jnp.asarray(out_n.astype(np.int32)[:, None])
+    decode, _ = decode_local._pallas_decode_fns(padR, rt, interpret=True)
+    for salt in (0, 13, 0xDEADBEEF):
+        want = np.asarray(
+            decode_local.decode_gather_rows(
+                jnp.asarray(vidx), jnp.asarray(table), jnp.asarray(out_n),
+                jnp.uint32(salt),
+            )
+        )
+        got = np.asarray(decode(vidx8, tab_i32, n2, jnp.uint32(salt)))
+        np.testing.assert_array_equal(got, want, err_msg=f"salt={salt}")
