@@ -34,6 +34,55 @@ def percentiles(us):
     }
 
 
+def run_op_device(index, decoder, wdata, queries_list, op, runs, k):
+    """Whole-batch device execution (query/device_batch.py): every
+    timed run is one dispatch over a distinct row permutation of the
+    device-resident batch (identical work, distinct buffers — the
+    runtime memoizes repeated identical executions), so the reported
+    per-query number is the honest amortized batch latency."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..query import device_batch
+
+    Q = len(queries_list)
+    if op in ("and", "or"):
+        d, nterms = device_batch.build_boolean_batch(decoder, queries_list)
+        _, boolean_counts, _ = device_batch._kernels()
+        rng = np.random.default_rng(7)
+        perms = [np.arange(Q)] + [rng.permutation(Q) for _ in range(runs)]
+        variants = [
+            (jnp.asarray(d[p]), jnp.asarray(nterms[p])) for p in perms
+        ]
+        out = boolean_counts(*variants[0])
+        jax.block_until_ready(out)  # warmup/compile
+        t_us = []
+        for dv, nv in variants[1:]:
+            t0 = time.perf_counter()
+            out = boolean_counts(dv, nv)
+            jax.block_until_ready(out)
+            t_us.append((time.perf_counter() - t0) * 1e6 / Q)
+        return percentiles(t_us), d.shape
+    if op in ("wand", "maxscore", "ranked_or"):
+        d, s = device_batch.build_ranked_batch(
+            index, decoder, wdata, queries_list
+        )
+        ranked_union_topk, _, _ = device_batch._kernels()
+        rng = np.random.default_rng(7)
+        perms = [np.arange(Q)] + [rng.permutation(Q) for _ in range(runs)]
+        variants = [(jnp.asarray(d[p]), jnp.asarray(s[p])) for p in perms]
+        out = ranked_union_topk(*variants[0], k=k)
+        jax.block_until_ready(out)
+        t_us = []
+        for dv, sv in variants[1:]:
+            t0 = time.perf_counter()
+            out = ranked_union_topk(dv, sv, k=k)
+            jax.block_until_ready(out)
+            t_us.append((time.perf_counter() - t0) * 1e6 / Q)
+        return percentiles(t_us), d.shape
+    raise ValueError(f"device engine does not support query type {op}")
+
+
 def run_op(index, decoder, wdata, queries_list, op, runs, k):
     # warm the term cache (reference warms posting lists, queries.cpp:74-83)
     all_terms = sorted({int(t) for q in queries_list for t in q})
@@ -83,8 +132,16 @@ def main(argv=None):
     ap.add_argument("--queries", required=True)
     ap.add_argument("--runs", type=int, default=10)
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument(
+        "--engine", choices=["host", "device"], default="host",
+        help="host: per-query numpy merges; device: whole-batch "
+        "sort-merge dispatches (query/device_batch.py)",
+    )
     args = ap.parse_args(argv)
 
+    from ..utils import jaxcfg
+
+    jaxcfg.enable_compile_cache()
     if args.index_type in common.BLOCK_KINDS:
         from ..index.block_index import BlockIndex, BlockTermDecoder
 
@@ -110,14 +167,25 @@ def main(argv=None):
     ]
     common.log(f"running {len(queries_list)} queries")
     for op in args.query_types.split(":"):
-        stats = run_op(index, decoder, wdata, queries_list, op, args.runs, args.k)
+        extra = {}
+        if args.engine == "device":
+            stats, shape = run_op_device(
+                index, decoder, wdata, queries_list, op, args.runs, args.k
+            )
+            extra["batch_shape"] = "x".join(map(str, shape))
+        else:
+            stats = run_op(
+                index, decoder, wdata, queries_list, op, args.runs, args.k
+            )
         common.stats_line(
             {
                 "type": op,
                 "index": args.index_type,
+                "engine": args.engine,
                 "queries": str(len(queries_list)),
                 "runs": str(args.runs),
                 **{k: f"{v:.2f}" for k, v in stats.items()},
+                **extra,
             }
         )
 

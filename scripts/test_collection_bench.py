@@ -66,12 +66,23 @@ def build_index(type_name, base, out):
     return out
 
 
-def run_queries(type_name, index_file, ops):
+def run_queries(type_name, index_file, ops, engine="host", wand_file=None):
     from dint_tpu.tools import queries as qtool
 
-    qtool.main([
-        type_name, ops, index_file, "--queries", REF_QUERIES, "--runs", "3",
-    ])
+    argv = [type_name, ops, index_file]
+    if wand_file:
+        argv.append(wand_file)
+    argv += ["--queries", REF_QUERIES, "--runs", "3", "--engine", engine]
+    qtool.main(argv)
+
+
+def build_wand(base):
+    out = os.path.join(CACHE, "wand.npz")
+    if not os.path.exists(out):
+        from dint_tpu.tools import create_wand_data
+
+        create_wand_data.main([base, out[: -len(".npz")]])
+    return out
 
 
 def verify(type_name, index_file, base):
@@ -83,11 +94,20 @@ def verify(type_name, index_file, base):
 
 def main():
     base = build_collection()
+    wand_file = build_wand(base)
     # config 1: single_packed_dint + AND over the real 500-query log
     idx1 = build_index(
         "single_packed_dint", base, os.path.join(CACHE, "idx.spd.bin")
     )
     run_queries("single_packed_dint", idx1, "and")
+    run_queries("single_packed_dint", idx1, "and:or", engine="device")
+    run_queries(
+        "single_packed_dint", idx1, "wand:maxscore", wand_file=wand_file
+    )
+    run_queries(
+        "single_packed_dint", idx1, "wand", engine="device",
+        wand_file=wand_file,
+    )
     verify("single_packed_dint", idx1, base)
     # config 3: multi_packed_dint + OR + verification
     idx3 = build_index(

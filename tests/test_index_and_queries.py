@@ -132,3 +132,43 @@ def test_ranked_and_subset_of_or(built):
     # every AND score appears among the OR scores
     for s in ra:
         assert np.isclose(ro, s, rtol=1e-5).any()
+
+
+def test_device_batch_boolean_parity(built):
+    """Device sort-merge batch engine vs the host merges (exact)."""
+    from dint_tpu.query import device_batch
+
+    idx, base, docs, freqs = built
+    dec = TermDecoder(idx)
+    rng = np.random.default_rng(31)
+    queries = _random_queries(rng, len(docs), n=25) + [[]]
+    res_and = device_batch.and_results_batch(dec, queries)
+    counts_and = device_batch.boolean_count_batch(dec, queries, "and")
+    counts_or = device_batch.boolean_count_batch(dec, queries, "or")
+    for q, ra, ca, co in zip(queries, res_and, counts_and, counts_or):
+        terms = boolean.dedup_terms(q)
+        if not terms:
+            assert ca == 0 and co == 0 and ra.shape[0] == 0
+            continue
+        want_and = boolean.and_query(dec._doc_cache, terms)
+        want_or = boolean.or_query(dec._doc_cache, terms)
+        np.testing.assert_array_equal(ra, want_and)
+        assert int(ca) == want_and.shape[0]
+        assert int(co) == want_or.shape[0]
+
+
+def test_device_batch_ranked_parity(built):
+    """Device batched union top-k vs the host oracle (reference
+    tolerance: test_ranked_queries.cpp compares within 0.1%)."""
+    from dint_tpu.query import device_batch
+
+    idx, base, docs, freqs = built
+    dec = TermDecoder(idx)
+    wdata = ranked.build_wand_data(base)
+    rng = np.random.default_rng(37)
+    queries = _random_queries(rng, len(docs), n=12)
+    got = device_batch.ranked_or_batch(idx, dec, wdata, queries, k=10)
+    for q, g in zip(queries, got):
+        want = ranked.ranked_or(idx, dec, wdata, q, k=10)
+        assert g.shape[0] == want.shape[0]
+        np.testing.assert_allclose(g, want, rtol=1e-3)
