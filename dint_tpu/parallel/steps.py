@@ -55,11 +55,16 @@ def window_bucket_hashes(blocks: jnp.ndarray, size: int) -> jnp.ndarray:
 
 
 def make_shard_map(fn, mesh, in_specs, out_specs):
-    """shard_map across jax versions (new jax.shard_map lacks check_rep)."""
+    """shard_map across jax versions (replication checking is disabled:
+    collective outputs like all_gather-merge results are replicated in
+    ways the static checker cannot always infer)."""
     try:
         from jax import shard_map as sm
 
-        return sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+        return sm(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
     except (ImportError, TypeError):
         from jax.experimental.shard_map import shard_map as sm
 
@@ -111,6 +116,33 @@ def term_sharded_topk_step(shard_scores: jnp.ndarray, k: int,
     """
     total = jax.lax.psum(shard_scores, axis)
     return jax.lax.top_k(total, k)
+
+
+def doc_sharded_topk_step(local_docs: jnp.ndarray,
+                          local_scores: jnp.ndarray, k: int,
+                          axis: str = "dp"):
+    """Doc-sharded ranked top-k under shard_map.
+
+    The complementary partitioning to term_sharded_topk_step: the index
+    is partitioned by document range (SURVEY §2.6's doc-sharded option),
+    so each device fully scores ITS documents for every query and the
+    global top-k merges the per-shard top-k candidates with an
+    all_gather (k << D makes the gathered candidate set tiny — the
+    classic distributed-search gather-merge).
+
+    local_docs:   (Q, D) docids owned by this shard
+    local_scores: (Q, D) their complete scores on this shard
+    returns       (values (Q, k), doc_ids (Q, k)) — globally exact
+    """
+    lv, li = jax.lax.top_k(local_scores, k)  # (Q, k) per shard
+    ld = jnp.take_along_axis(local_docs, li, axis=1)
+    gv = jax.lax.all_gather(lv, axis, axis=1)  # (Q, S, k)
+    gd = jax.lax.all_gather(ld, axis, axis=1)
+    Q = gv.shape[0]
+    gv = gv.reshape(Q, -1)
+    gd = gd.reshape(Q, -1)
+    v, i = jax.lax.top_k(gv, k)
+    return v, jnp.take_along_axis(gd, i, axis=1)
 
 
 def stats_training_step(blocks: jnp.ndarray, n_buckets: int = 1 << 16):

@@ -63,3 +63,32 @@ def test_term_sharded_and(mesh):
         jnp.asarray(cand), jnp.asarray(lists), jnp.asarray(valid)
     )
     np.testing.assert_array_equal(np.asarray(got), expect)
+
+
+def test_doc_sharded_topk(mesh):
+    rng = np.random.default_rng(3)
+    S, Q, D, K = 8, 5, 64, 10
+    # each shard owns a disjoint docid range with complete scores
+    docs = np.stack(
+        [np.arange(s * D, (s + 1) * D, dtype=np.int32)[None, :].repeat(Q, 0)
+         for s in range(S)]
+    )  # (S, Q, D)
+    scores = rng.random((S, Q, D)).astype(np.float32)
+    fn = steps.make_shard_map(
+        lambda d, s: steps.doc_sharded_topk_step(d[0], s[0], K),
+        mesh,
+        (P("dp", None, None), P("dp", None, None)),
+        P(),
+    )
+    v, ids = fn(jnp.asarray(docs), jnp.asarray(scores))
+    flat_scores = scores.transpose(1, 0, 2).reshape(Q, -1)
+    flat_docs = docs.transpose(1, 0, 2).reshape(Q, -1)
+    order = np.argsort(-flat_scores, axis=1)[:, :K]
+    np.testing.assert_allclose(
+        np.sort(np.asarray(v), axis=1),
+        np.sort(np.take_along_axis(flat_scores, order, axis=1), axis=1),
+        rtol=1e-6,
+    )
+    got_ids = np.sort(np.asarray(ids), axis=1)
+    want_ids = np.sort(np.take_along_axis(flat_docs, order, axis=1), axis=1)
+    np.testing.assert_array_equal(got_ids, want_ids)
