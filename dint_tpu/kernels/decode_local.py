@@ -650,6 +650,18 @@ def _chain_flat_xla(vidx8, table, n2, *, runs: int):
     return salt
 
 
+@jax.jit
+def _docid_rebuild(gaps, base, n2):
+    """Per-row docid rebuild: docid[j] = base + cumsum(gap+1) - 1 for
+    j < n (the dict_posting_list.hpp:284-309 reconstruction, batched —
+    the 'segmented prefix-sums to rebuild docIDs' device step; rows are
+    independent because each block's base comes from block_maxs)."""
+    c = jnp.cumsum(gaps + jnp.uint32(1), axis=1)
+    doc = base[:, None] + c - jnp.uint32(1)
+    jpos = jnp.arange(gaps.shape[1], dtype=jnp.int32)[None, :]
+    return jnp.where(jpos < n2, doc, 0)
+
+
 class LocalDecodeEngine:
     """Single-dispatch runner over a LocalPlan (flat padded rows).
 
@@ -681,6 +693,52 @@ class LocalDecodeEngine:
         tab = pad(plan.table)
         self.table = jnp.asarray(tab.view(np.int32) if self.use_pallas else tab)
         self.n = jnp.asarray(pad(plan.out_n).astype(np.int32)[:, None])
+        self._pad = pad
+        self._row_carry = None
+
+    def row_carry(self) -> np.ndarray:
+        """(rows,) u32: sum of (gap+1) over all PRIOR rows of the same
+        unit — the docid offset each row starts at within its unit.
+        Pure plan state (the planner knows every decoded value), hosted
+        once like vidx."""
+        if self._row_carry is None:
+            plan = self.plan
+            vals = np.take_along_axis(
+                plan.table, plan_to_vidx(plan), axis=1
+            ).astype(np.uint64)
+            jpos = np.arange(vals.shape[1])[None, :]
+            valid = jpos < plan.out_n[:, None]
+            s = (vals * valid).sum(axis=1).astype(np.uint64) + plan.out_n
+            carry = np.zeros(plan.rows, np.uint32)
+            if plan.rows:
+                csum = np.cumsum(s)
+                same = plan.unit_id[1:] == plan.unit_id[:-1]
+                first = np.concatenate([[0], np.where(same, 0, 1)]).astype(bool)
+                # exclusive prefix within unit: csum[r-1] - csum[last row
+                # of previous unit]
+                unit_start_csum = np.where(
+                    first, np.concatenate([[0], csum[:-1]]), 0
+                )
+                unit_base = np.maximum.accumulate(unit_start_csum)
+                carry = (
+                    np.concatenate([[0], csum[:-1]]) - unit_base
+                ).astype(np.uint32)
+            self._row_carry = carry
+        return self._row_carry
+
+    def decode_docids_all(self, unit_bases: np.ndarray, salt=0):
+        """Decode AND rebuild docids on device: gather + per-row
+        segmented prefix-sum with hosted carries (rows of one unit are
+        chained through row_carry; unit_bases come from block_maxs)."""
+        salt = salt if isinstance(salt, jnp.ndarray) else jnp.uint32(salt)
+        bases = np.zeros(self.n.shape[0], np.uint32)
+        nb = (
+            np.asarray(unit_bases, np.uint32)[self.plan.unit_id]
+            + self.row_carry()
+        )
+        bases[: nb.shape[0]] = nb
+        gaps = self.decode_all(salt)
+        return _docid_rebuild(gaps, jnp.asarray(bases), self.n)
 
     def decode_all(self, salt=0):
         salt = salt if isinstance(salt, jnp.ndarray) else jnp.uint32(salt)

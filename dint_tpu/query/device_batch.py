@@ -1,8 +1,10 @@
 """Device-batched query execution — sort-merge set algebra on TPU.
 
 TPU-native re-design of the reference's per-query enumerator loops
-(queries.hpp:34-573): a whole batch of queries executes as ONE device
-dispatch over dense padded arrays.  Measured primitive rates on this
+(queries.hpp:34-573): a whole batch of queries executes as a handful of
+device dispatches over dense padded arrays (queries group into
+power-of-4 size buckets so one monster union cannot inflate the whole
+batch's padding).  Measured primitive rates on this
 stack (salted, fetch-forced): XLA dynamic gathers and searchsorted are
 unusable (~2.6 M searches/s), while lax.sort runs at ~134 M elems/s and
 top_k at ~125 M elems/s — so every merge is expressed as
@@ -26,7 +28,7 @@ via the serving-image engine) and pads the batch.
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
@@ -146,13 +148,26 @@ def pad_batch(rows: List[np.ndarray], pad_val, dtype) -> np.ndarray:
     return out
 
 
-def build_ranked_batch(
+def bucket_queries(lengths: Sequence[int]) -> Dict[int, List[int]]:
+    """Group query indices by padded posting count (powers of 4, so at
+    most 4x padding waste and a handful of compiled shapes) — one long
+    query must not inflate the whole batch's padded width."""
+    buckets: Dict[int, List[int]] = {}
+    for i, ln in enumerate(lengths):
+        p = 1 << max(int(np.ceil(np.log2(max(ln, 1)))), 5)
+        if (p.bit_length() - 1) % 2:
+            p <<= 1  # powers of 4
+        buckets.setdefault(p, []).append(i)
+    return buckets
+
+
+def build_ranked_rows(
     index,
     decoder,
     wdata,
     queries: Sequence[Sequence[int]],
-) -> Tuple[np.ndarray, np.ndarray]:
-    """(docids (Q, P) i32, scores (Q, P) f32) padded union postings.
+) -> Tuple[List[np.ndarray], List[np.ndarray]]:
+    """Per-query (docids i32, scores f32) union posting rows.
 
     Scores are the per-(term, doc) BM25 partials (query weight x doc
     term weight) — the same quantities the reference computes inside
@@ -179,16 +194,13 @@ def build_ranked_batch(
         )
         drows.append(dr.astype(np.int32))
         srows.append(sr.astype(np.float32))
-    return (
-        pad_batch(drows, PAD_DOC, np.int32),
-        pad_batch(srows, 0.0, np.float32),
-    )
+    return drows, srows
 
 
-def build_boolean_batch(
+def build_boolean_rows(
     decoder, queries: Sequence[Sequence[int]]
-) -> Tuple[np.ndarray, np.ndarray]:
-    """(docids (Q, P) i32, nterms (Q,) i32) for AND/OR counting."""
+) -> Tuple[List[np.ndarray], np.ndarray]:
+    """Per-query concatenated docid rows + nterms for AND/OR counting."""
     from .boolean import dedup_terms
 
     all_terms = sorted({int(t) for q in queries for t in q})
@@ -203,7 +215,7 @@ def build_boolean_batch(
         else:
             drows.append(np.zeros(0, np.int32))
         nterms.append(len(terms))
-    return pad_batch(drows, PAD_DOC, np.int32), np.asarray(nterms, np.int32)
+    return drows, np.asarray(nterms, np.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -214,32 +226,38 @@ def build_boolean_batch(
 def ranked_or_batch(
     index, decoder, wdata, queries: Sequence[Sequence[int]], k: int = 10
 ) -> List[np.ndarray]:
-    """Top-k scores (descending) per query — one device dispatch for the
-    whole batch; identical results to ranked.ranked_or within float
+    """Top-k scores (descending) per query — one device dispatch per
+    size bucket; identical results to ranked.ranked_or within float
     summation-order tolerance."""
     import jax.numpy as jnp
 
     ranked_union_topk, _, _ = _kernels()
-    d, s = build_ranked_batch(index, decoder, wdata, queries)
-    top, _ = ranked_union_topk(jnp.asarray(d), jnp.asarray(s), k=k)
-    top = np.asarray(top)
-    out = []
-    for i, q in enumerate(queries):
-        row = top[i]
-        out.append(row[np.isfinite(row)].astype(np.float32))
+    drows, srows = build_ranked_rows(index, decoder, wdata, queries)
+    out: List[np.ndarray] = [None] * len(queries)
+    for P, idxs in sorted(bucket_queries([len(r) for r in drows]).items()):
+        d = pad_batch([drows[i] for i in idxs], PAD_DOC, np.int32)
+        s = pad_batch([srows[i] for i in idxs], 0.0, np.float32)
+        top, _ = ranked_union_topk(jnp.asarray(d), jnp.asarray(s), k=k)
+        top = np.asarray(top)
+        for row, i in zip(top, idxs):
+            out[i] = row[np.isfinite(row)].astype(np.float32)
     return out
 
 
 def boolean_count_batch(
     decoder, queries: Sequence[Sequence[int]], op: str
 ) -> np.ndarray:
-    """AND or OR result-set sizes per query, one device dispatch."""
+    """AND or OR result-set sizes per query, one dispatch per bucket."""
     import jax.numpy as jnp
 
     _, boolean_counts, _ = _kernels()
-    d, nterms = build_boolean_batch(decoder, queries)
-    and_c, or_c = boolean_counts(jnp.asarray(d), jnp.asarray(nterms))
-    return np.asarray(and_c if op == "and" else or_c)
+    drows, nterms = build_boolean_rows(decoder, queries)
+    res = np.zeros(len(queries), np.int64)
+    for P, idxs in sorted(bucket_queries([len(r) for r in drows]).items()):
+        d = pad_batch([drows[i] for i in idxs], PAD_DOC, np.int32)
+        and_c, or_c = boolean_counts(jnp.asarray(d), jnp.asarray(nterms[idxs]))
+        res[idxs] = np.asarray(and_c if op == "and" else or_c)
+    return res
 
 
 def and_results_batch(
@@ -250,9 +268,12 @@ def and_results_batch(
     import jax.numpy as jnp
 
     _, _, and_members = _kernels()
-    d, nterms = build_boolean_batch(decoder, queries)
-    ds, mask = and_members(jnp.asarray(d), jnp.asarray(nterms))
-    ds, mask = np.asarray(ds), np.asarray(mask)
-    return [
-        ds[i][mask[i]].astype(np.uint32) for i in range(len(queries))
-    ]
+    drows, nterms = build_boolean_rows(decoder, queries)
+    out: List[np.ndarray] = [None] * len(queries)
+    for P, idxs in sorted(bucket_queries([len(r) for r in drows]).items()):
+        d = pad_batch([drows[i] for i in idxs], PAD_DOC, np.int32)
+        ds, mask = and_members(jnp.asarray(d), jnp.asarray(nterms[idxs]))
+        ds, mask = np.asarray(ds), np.asarray(mask)
+        for j, i in enumerate(idxs):
+            out[i] = ds[j][mask[j]].astype(np.uint32)
+    return out

@@ -45,18 +45,26 @@ class TermDecoder:
         return rows
 
     def _decode_units(
-        self, starts, byte_lens, sizes, view, b_bits, ctxs
+        self, starts, byte_lens, sizes, view, b_bits, ctxs, bases=None
     ) -> List[np.ndarray]:
         """Decode DINT units via the localized serving-image engine —
         the same fast path as full-stream decode (plan once per term
-        batch with the native planner, one device dispatch)."""
+        batch with the native planner, one device dispatch).
+
+        With ``bases`` (per-unit docid bases from block_maxs) the
+        docid rebuild fuses into the device pass (gather + segmented
+        prefix-sum, decode_local._docid_rebuild) and the returned
+        arrays are docids rather than gaps."""
         arena = self.index.arena
         plan = decode_local.plan_stream(
             arena, np.asarray(starts), np.asarray(byte_lens),
             np.asarray(sizes), np.asarray(ctxs), np.asarray(b_bits), view,
         )
         engine = decode_local.LocalDecodeEngine(plan)
-        outs = engine.decode_all()
+        if bases is not None:
+            outs = engine.decode_docids_all(np.asarray(bases, np.uint32))
+        else:
+            outs = engine.decode_all()
         return engine.gather_units(outs, len(starts), sizes)
 
     def decode_docids(self, terms: Sequence[int]) -> Dict[int, np.ndarray]:
@@ -83,7 +91,7 @@ class TermDecoder:
         values: Dict[Tuple[int, int], np.ndarray] = {}
 
         if dint_rows:
-            starts, byte_lens, sizes, b_bits, ctxs = [], [], [], [], []
+            starts, byte_lens, sizes, b_bits, ctxs, bases = [], [], [], [], [], []
             for t, b, pos, size, base in dint_rows:
                 s = idx.block_start(b) if docs else int(idx.docs_end[b])
                 e = int(idx.docs_end[b]) if docs else int(idx.block_end[b])
@@ -98,9 +106,11 @@ class TermDecoder:
                 starts.append(s)
                 byte_lens.append(e - s)
                 sizes.append(size)
+                bases.append(base)
             view = self.docs_view if docs else self.freqs_view
             decoded = self._decode_units(
-                starts, byte_lens, sizes, view, b_bits, ctxs
+                starts, byte_lens, sizes, view, b_bits, ctxs,
+                bases=bases if docs else None,
             )
             for row, vals in zip(dint_rows, decoded):
                 values[(row[0], row[1])] = vals
@@ -120,7 +130,9 @@ class TermDecoder:
             for (t, b, pos, size, base), vals in zip(part_rows, decoded_parts):
                 values[(t, b)] = vals
 
-        # assemble per-term arrays
+        # assemble per-term arrays (full DINT doc blocks arrive as
+        # device-rebuilt docids; partial blocks rebuild here)
+        partial = {(r[0], r[1]) for r in part_rows}
         for t in terms:
             p0, p1 = idx.list_blocks(t)
             parts = []
@@ -128,11 +140,16 @@ class TermDecoder:
                 pos = (b - p0) * BLOCK_SIZE
                 size = min(BLOCK_SIZE, int(idx.list_n[t]) - pos)
                 base = int(idx.block_max[b - 1]) + 1 if b > p0 else 0
-                vals = values[(t, b)].astype(np.int64)
+                vals = values[(t, b)]
                 if docs:
-                    parts.append(np.cumsum(vals + 1) - 1 + base)
+                    if (t, b) in partial:
+                        parts.append(
+                            np.cumsum(vals.astype(np.int64) + 1) - 1 + base
+                        )
+                    else:
+                        parts.append(vals)  # device docids
                 else:
-                    parts.append(vals + 1)
+                    parts.append(vals.astype(np.int64) + 1)
             arr = np.concatenate(parts).astype(np.uint32)
             if docs:
                 self._doc_cache[t] = arr

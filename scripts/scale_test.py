@@ -33,11 +33,87 @@ def log_stage(name, t0):
     return time.perf_counter()
 
 
+def serve_stage(base, args):
+    """BASELINE config 5 analog at synthetic scale: multi_packed_dint
+    index build + create_wand_data + WAND top-10, host and device-batch
+    engines, over a sampled query log."""
+    from dint_tpu.index import dint_index
+    from dint_tpu.query import boolean, device_batch, ranked
+    from dint_tpu.query.term_decode import TermDecoder
+    from dint_tpu.tools import queries as qtool
+
+    t = time.perf_counter()
+    idx_file = os.path.join(CACHE, "scale.idx.mpd.bin")
+    if not os.path.exists(idx_file + ".npz"):  # save() writes .npz parts
+        idx = dint_index.build_index(base, kind="multi", cache_dir=CACHE)
+        idx.save(idx_file)
+        t = log_stage("multi_packed_dint index build", t)
+    idx = dint_index.DintIndex.load(idx_file)
+    t = log_stage("index load", t)
+
+    if not os.path.exists(base + ".sizes"):
+        from dint_tpu.io import collection as coll_mod
+
+        sizes = np.zeros(idx.num_docs, np.int64)
+        for docs, freqs in coll_mod.open_freq_collection(base):
+            np.add.at(sizes, docs.astype(np.int64), freqs.astype(np.int64))
+        coll_mod.write_sizes_file(base, sizes.astype(np.uint32))
+        t = log_stage("synthesize .sizes", t)
+
+    wand_file = os.path.join(CACHE, "scale.wand")
+    if not os.path.exists(wand_file + ".npz"):
+        w = ranked.build_wand_data(base)
+        w.save(wand_file)
+        t = log_stage("create_wand_data", t)
+    wdata = ranked.WandData.load(wand_file)
+
+    qlog = os.path.join(CACHE, "scale.queries")
+    if not os.path.exists(qlog):
+        rng = np.random.default_rng(23)
+        with open(qlog, "w") as f:
+            for _ in range(args.queries):
+                k = int(rng.integers(1, 5))
+                f.write(" ".join(str(int(x)) for x in
+                                 rng.integers(0, idx.num_lists, k)) + "\n")
+    queries_list = boolean.parse_query_log(qlog)
+    dec = TermDecoder(idx)
+
+    stats, shape = qtool.run_op_device(
+        idx, dec, wdata, queries_list, "wand", 3, 10
+    )
+    print(f"[scale] device wand batch {shape}: "
+          f"{stats['avg']:.1f}us avg, q95 {stats['q95']:.1f}us/query")
+    t = log_stage("device wand batch", t)
+    # host on the SAME query set (1 run: the monster-union tail costs
+    # seconds per query on the host sort path)
+    stats = qtool.run_op(idx, dec, wdata, queries_list, "wand", 1, 10)
+    print(f"[scale] host wand (all queries): avg {stats['avg']:.1f}us, "
+          f"q50 {stats['q50']:.1f}us, q95 {stats['q95']:.1f}us")
+    t = log_stage("host wand all", t)
+    stats, shape = qtool.run_op_device(
+        idx, dec, wdata, queries_list, "and", 3, 10
+    )
+    print(f"[scale] device AND batch {shape}: {stats['avg']:.1f}us avg")
+    stats = qtool.run_op(idx, dec, wdata, queries_list, "and", 3, 10)
+    print(f"[scale] host AND: p50 {stats['q50']:.1f}us, avg {stats['avg']:.1f}us")
+    log_stage("boolean", t)
+
+    # exactness spot-check: device ranked vs host oracle on a sample
+    sample = queries_list[:20]
+    got = device_batch.ranked_or_batch(idx, dec, wdata, sample, k=10)
+    for q, g in zip(sample, got):
+        want = ranked.ranked_or(idx, dec, wdata, q, k=10)
+        np.testing.assert_allclose(g, want, rtol=1e-3)
+    print("[scale] device ranked top-10 matches host oracle on 20 queries")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ints", type=float, default=1e8)
     ap.add_argument("--num-lists", type=int, default=20000)
     ap.add_argument("--decode", action="store_true")
+    ap.add_argument("--serve", action="store_true")
+    ap.add_argument("--queries", type=int, default=512)
     ap.add_argument("--runs", type=int, default=5)
     args = ap.parse_args()
 
@@ -73,6 +149,10 @@ def main():
             "single_rect_dint", base + ".docs", stream, cache_dir=CACHE
         )
     t = log_stage("dict-train + encode", t)
+
+    if args.serve:
+        serve_stage(base, args)
+        return
 
     if not args.decode:
         print("[scale] build stages done; rerun with --decode on the TPU")
