@@ -242,7 +242,11 @@ def build_index(
     doc_sums: List[int] = []
     freq_units: List[np.ndarray] = []
     freq_sums: List[int] = []
+    from ..utils.progress import ProgressLogger
+
+    prog = ProgressLogger(len(view), "indexed lists")
     for docs, freqs in view:
+        prog.add()
         n = int(docs.shape[0])
         list_n.append(n)
         dgaps = gap_mod.docs_to_gaps(docs)

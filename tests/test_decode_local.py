@@ -189,3 +189,58 @@ def test_decode_chain_runs_distinct_and_complete(setup):  # noqa: F811
     # deterministic and runs-dependent (each run folds into the salt)
     assert s1 == int(np.asarray(eng.decode_chain(1)))
     assert s3 != s1
+
+
+def test_local_u32_boundary_values(setup):  # noqa: F811
+    """Max-magnitude gaps (4-byte exceptions at the u32 edge) survive
+    the salt wrap-add arithmetic exactly."""
+    _, ds, _ = setup
+    lt = ds.lookup_table()
+    view = ds.decode_view()
+    rng = np.random.default_rng(41)
+    lists = []
+    for _ in range(4):
+        n = int(rng.integers(20, 400))
+        g = rng.integers(0, 1 << 32, n, dtype=np.uint64).astype(np.uint32)
+        g[rng.random(n) < 0.2] = 0xFFFFFFFF
+        g[rng.random(n) < 0.2] = 0
+        lists.append(g)
+    bufs = [dint.encode_opt_single(lt, g) for g in lists]
+    got = _roundtrip_units(
+        view, bufs, [len(g) for g in lists], [0] * len(bufs), [16] * len(bufs)
+    )
+    for g, r in zip(lists, got):
+        np.testing.assert_array_equal(r, g)
+
+
+def test_decode_docids_all_matches_host_rebuild(setup):  # noqa: F811
+    """Device docid rebuild (decode_docids_all with row carries) vs the
+    host cumsum, including units that span multiple plan rows."""
+    _, ds, _ = setup
+    lt = ds.lookup_table()
+    view = ds.decode_view()
+    rng = np.random.default_rng(43)
+    lists = []
+    for _ in range(5):
+        n = int(rng.integers(100, 1200))
+        g = np.where(rng.random(n) < 0.5, 0, rng.integers(0, 60, n)).astype(
+            np.uint32
+        )
+        lists.append(g)
+    bufs = [dint.encode_opt_single(lt, g) for g in lists]
+    starts = np.cumsum([0] + [len(b) for b in bufs])[:-1]
+    arena = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    ns = [len(g) for g in lists]
+    plan = decode_local.plan_stream(
+        arena, starts, [len(b) for b in bufs], ns, [0] * len(bufs),
+        [16] * len(bufs), view,
+    )
+    eng = decode_local.LocalDecodeEngine(plan)
+    bases = np.asarray([7, 0, 1000, 123456, 42], np.uint32)
+    outs = eng.decode_docids_all(bases)
+    got = eng.gather_units(outs, len(bufs), ns)
+    for g, base, r in zip(lists, bases, got):
+        want = (np.cumsum(g.astype(np.uint64) + 1) - 1 + base).astype(
+            np.uint32
+        )
+        np.testing.assert_array_equal(r, want)

@@ -157,3 +157,17 @@ def test_interpolative_batch_matches_scalar(rng):
         want, _ = ic.decode_block(buf, pos, n, sv)
         np.testing.assert_array_equal(want, vals)
         np.testing.assert_array_equal(g, vals)
+
+
+def test_progress_logger(capsys):
+    from dint_tpu.utils.progress import ProgressLogger
+
+    p = ProgressLogger(10, "x", every_s=0.0)
+    for _ in range(10):
+        p.add()
+    p.done()
+    err = capsys.readouterr().err
+    assert "10/10" in err and "100.0%" in err
+    p2 = ProgressLogger(None, "y", every_s=0.0)
+    p2.add(3)
+    assert "y: 3" in capsys.readouterr().err
