@@ -34,13 +34,13 @@ NUM_LISTS = 6000
 NUM_DOCS = 4_000_000
 AVG_LEN = 5000.0
 SEED = 2026
-# 500 timed runs chained inside ONE device dispatch: the pallas gather
+# 2000 timed runs chained inside ONE device dispatch: the pallas gather
 # kernel is HBM-bandwidth-bound at ~0.22ms per full-stream pass (~76 G
 # ints/s steady-state) while the axon relay costs ~23ms fixed per
 # dispatch, so the run count sets how much of the steady-state rate the
 # metric sees (each chained run is a full, serialized, salted decode —
 # nothing overlaps or memoizes; total timed work stays < 1s).
-RUNS = 500
+RUNS = 2000
 REFERENCE_CPU_INTS_PER_SEC = 1.5e9
 
 
