@@ -101,7 +101,18 @@ class WindowCounter:
     def _merge(self) -> None:
         rows = np.concatenate(self._rows)
         weights = np.concatenate(self._weights)
-        r, w = unique_weighted(rows, weights)
+        merged = None
+        try:  # device sort-merge when profitable (stats/device_merge.py)
+            from . import device_merge
+
+            got = device_merge.unique_weighted_device(
+                rows.view("<u4").reshape(-1, self.size), weights
+            )
+            if got is not None:
+                merged = (_rows_view(got[0]), got[1])
+        except Exception:
+            merged = None
+        r, w = merged if merged is not None else unique_weighted(rows, weights)
         self._rows = [r]
         self._weights = [w]
         self._pending = r.shape[0]

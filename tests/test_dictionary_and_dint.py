@@ -250,3 +250,67 @@ def test_lookup_batch_matches_scalar(single_stats):
         batch = lt.lookup_batch(wins)
         for i in range(200):
             assert batch[i] == lt.lookup_one(wins[i])
+
+
+def test_device_merge_matches_numpy_unique():
+    """Device sort-merge dedup (stats/device_merge.py) vs the numpy
+    weighted-unique, across window widths incl. the 16-wide worst case
+    and u32 values above 2^31 (signed-sort order must not affect
+    dedup exactness)."""
+    import numpy as np
+
+    from dint_tpu.stats import collectors, device_merge
+
+    rng = np.random.default_rng(11)
+    for s in (1, 2, 4, 8, 16):
+        N = 5000
+        pool = rng.integers(0, 2**32, (200, s), dtype=np.uint64).astype(
+            np.uint32
+        )
+        windows = pool[rng.integers(0, 200, N)]
+        weights = rng.integers(1, 5, N).astype(np.int64)
+        got = device_merge.unique_weighted_device(windows, weights, force=True)
+        assert got is not None
+        gw, gc = got
+        want_rows, want_w = collectors.unique_weighted(
+            collectors._rows_view(windows), weights
+        )
+        want = {
+            bytes(r.tobytes()): int(w) for r, w in zip(want_rows, want_w)
+        }
+        gotmap = {
+            bytes(gw[i].tobytes()): int(gc[i]) for i in range(gw.shape[0])
+        }
+        assert gotmap == want, f"size {s}"
+
+
+def test_device_merge_chunked_tree():
+    """Tree-merge path (input larger than one chunk) stays exact."""
+    import numpy as np
+
+    from dint_tpu.stats import collectors, device_merge
+
+    rng = np.random.default_rng(13)
+    old = device_merge.CHUNK
+    device_merge.CHUNK = 1 << 12
+    try:
+        s = 4
+        N = 3 * (1 << 12) + 777
+        pool = rng.integers(0, 2**32, (500, s), dtype=np.uint64).astype(
+            np.uint32
+        )
+        windows = pool[rng.integers(0, 500, N)]
+        weights = rng.integers(1, 3, N).astype(np.int64)
+        got = device_merge.unique_weighted_device(windows, weights, force=True)
+        assert got is not None
+        gw, gc = got
+        want_rows, want_w = collectors.unique_weighted(
+            collectors._rows_view(windows), weights
+        )
+        want = {bytes(r.tobytes()): int(w) for r, w in zip(want_rows, want_w)}
+        gotmap = {
+            bytes(gw[i].tobytes()): int(gc[i]) for i in range(gw.shape[0])
+        }
+        assert gotmap == want
+    finally:
+        device_merge.CHUNK = old
