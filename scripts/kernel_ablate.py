@@ -63,7 +63,12 @@ def time_ship(eng, ref, total, runs):
 def time_pallas(eng, ref, total, runs):
     from dint_tpu.kernels import decode_pallas as dp
 
-    vidx = np.asarray(eng.vidx).reshape(-1, N_OUT)
+    # the engine stores vidx as u8 and the table as i32 (pallas lane-
+    # gather layout); the legacy fused variants take i32/u32 arrays
+    vidx = (
+        np.asarray(eng.vidx).view(np.uint8).astype(np.int32)
+        .reshape(-1, N_OUT)
+    )
     table = np.asarray(eng.table).reshape(-1, TABLE_CLS)
     n = np.asarray(eng.n).reshape(-1)
     R = vidx.shape[0]
