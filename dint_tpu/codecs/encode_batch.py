@@ -268,7 +268,13 @@ def encode_opt_lists(
 def encode_single_lists(
     d, lists: Sequence[np.ndarray], prefer_native: bool = True
 ) -> Tuple[List[bytes], List[List[int]]]:
-    """Single-dict optimal encode; native C++ path when available."""
+    """Single-dict optimal encode; native C++ path when available.
+
+    DS2I_HEURISTIC_GREEDY=1 selects the greedy parse instead of the
+    shortest-path DP (configuration.hpp:29-34 / the reference's
+    heuristic_greedy switch in the opt coders)."""
+    import os
+
     units: List[np.ndarray] = []
     spans: List[Tuple[int, int]] = []
     for g in lists:
@@ -276,6 +282,14 @@ def encode_single_lists(
         for i in range(0, max(1, g.shape[0]), OPT_CHUNK):
             units.append(g[i : i + OPT_CHUNK])
         spans.append((s, len(units)))
+    if os.environ.get("DS2I_HEURISTIC_GREEDY", "") in ("1", "true", "True"):
+        from . import dint as dint_mod
+
+        lt = d.lookup_table()
+        encoded = [dint_mod.encode_greedy_single(lt, u) for u in units]
+        streams = [b"".join(encoded[s:e]) for s, e in spans]
+        chunk_lens = [[len(u) for u in encoded[s:e]] for s, e in spans]
+        return streams, chunk_lens
     encoded = None
     if prefer_native:
         from . import native

@@ -195,3 +195,26 @@ def test_xla_decode_tiny_b8_unit(setup):
     buf = bytes([0, 0x2A, 0x01])
     out, produced = _xla_decode_lists(view, [buf], [1], b=8, ctxs=[0])
     assert produced[0] == 1 and out[0, 0] == 0x012A
+
+
+def test_heuristic_greedy_env_switch(setup, monkeypatch):  # noqa: F811
+    """DS2I_HEURISTIC_GREEDY=1 selects the greedy parse (decodes to the
+    same ints; size >= the optimal parse's)."""
+    import numpy as np
+
+    from dint_tpu.codecs import dint, encode_batch
+
+    gap_lists, ds, _ = setup
+    lists = [g for g in gap_lists if 0 < len(g) <= 1500][:6]
+    opt_streams, _ = encode_batch.encode_single_lists(ds, lists)
+    monkeypatch.setenv("DS2I_HEURISTIC_GREEDY", "1")
+    greedy_streams, _ = encode_batch.encode_single_lists(ds, lists)
+    view = ds.decode_view()
+    lt = ds.lookup_table()
+    for g, ob, gb in zip(lists, opt_streams, greedy_streams):
+        assert len(gb) >= len(ob)
+        assert gb == dint.encode_greedy_single(lt, g)
+        out = np.zeros(len(g), np.uint32)
+        buf = np.frombuffer(gb, dtype=np.uint8)
+        dint.decode_single(view, buf, 0, len(g), out, 0, 16, 0)
+        np.testing.assert_array_equal(out, g)

@@ -78,6 +78,14 @@ def test_index_tools(workdir):
         pair_wise_intersect.main(
             ["single_packed_dint", "idx", "--queries", qf, "--runs", "1"]
         )
+        # device-batch engine end-to-end through the CLI (CPU backend)
+        queries.main(
+            [
+                "single_packed_dint", "and:or:wand",
+                "idx", "wand.npz", "--queries", qf, "--runs", "1",
+                "--engine", "device",
+            ]
+        )
 
 
 def test_dict_perf_tool(workdir):
