@@ -71,6 +71,35 @@ def build_artifacts():
     return stream, dict_file
 
 
+def spot_check(stream, dict_file, sample=50):
+    """Decode once through the timed engine and verify a sample of
+    lists int-for-int against the source collection — the headline
+    number is only reported over a kernel proven exact this run."""
+    import numpy as np
+
+    from dint_tpu.index import stream as stream_mod
+    from dint_tpu.kernels import decode_local
+    from dint_tpu.tools import decode as dtool
+    from dint_tpu.utils import gaps as gap_mod
+    from dint_tpu.io import collection
+
+    arena, meta = stream_mod.load_stream(stream)
+    d = dtool.load_dictionary("single_rect_dint", dict_file)
+    dec = dtool.StreamDecoder(
+        arena, meta, d.decode_view(), False,
+        plan_cache=stream + f".plan.v{decode_local.PLAN_VERSION}.npz",
+    )
+    lists = dec.gather_lists()
+    base = os.path.join(CACHE, "bench_collection")
+    docs_iter = list(collection.open_freq_collection(base))
+    rng = np.random.default_rng(3)
+    picks = rng.choice(len(lists), size=min(sample, len(lists)), replace=False)
+    for i in picks:
+        want = gap_mod.docs_to_gaps(docs_iter[i][0])
+        np.testing.assert_array_equal(lists[i], want, err_msg=f"list {i}")
+    print(f"bench: spot-check ok ({len(picks)} lists exact)", file=sys.stderr)
+
+
 def main():
     import contextlib
 
@@ -81,6 +110,7 @@ def main():
         rec = decode.decode_stream(
             "single_rect_dint", stream, dict_file, runs=RUNS
         )
+        spot_check(stream, dict_file)
     ints_per_sec = float(rec["ints_x_sec"])
     print(
         json.dumps(
