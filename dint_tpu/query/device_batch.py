@@ -69,8 +69,6 @@ def _kernels():
         return x
 
     def sort_rows(d, *vals):
-        import jax
-
         return jax.lax.sort([d, *vals], num_keys=1)
 
     @functools.partial(jax.jit, static_argnames=("k",))

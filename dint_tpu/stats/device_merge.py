@@ -2,7 +2,9 @@
 
 The north-star mapping makes dictionary training "a batched JAX
 statistics-collection pipeline" (BASELINE.json): the exact-content
-window counting of collectors.py spends its time in sort-based
+window counting of collectors.py (the reference's adjusted collectors,
+statistics_collectors.hpp:66-118, counted by content instead of
+collision-tolerant murmur) spends its time in sort-based
 weighted-unique merges, which numpy runs over void-dtype rows (memcmp
 argsort, a few M rows/s).  Here the same merge runs on device:
 lexicographic lax.sort over the window's u32 columns (content is the
