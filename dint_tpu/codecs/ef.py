@@ -155,10 +155,14 @@ class compact_elias_fano:
                 + i * np.uint64(of.lower_bits)
             )
             bb.set_bits_batch(pos, low, of.lower_bits)
-        # 1-pointers: for i multiple of 2^log_sampling1 (i>0) store high
+        # 1-pointers: for i multiple of 2^log_sampling1, 0 < i < n
+        # (compact_elias_fano.hpp:120-126 writes inside the i<n loop, so
+        # a slot whose sample index equals n stays zero)
         if of.pointers1:
             idx = np.arange(1, of.pointers1 + 1, dtype=np.int64)
             ii = idx << p.ef_log_sampling1
+            keep = ii < n
+            idx, ii = idx[keep], ii[keep]
             pos = (
                 np.uint64(of.pointers1_offset)
                 + (idx - 1).astype(np.uint64) * np.uint64(of.pointer_size)
@@ -171,6 +175,12 @@ class compact_elias_fano:
             # we need position z_k of the (k<<log0)-th zero, k=1..pointers0
             idx = np.arange(1, of.pointers0 + 1, dtype=np.uint64)
             targets = idx << np.uint64(p.ef_log_sampling0)  # zero ranks
+            # reference writes while (ptr0 << log0) < end_zeros — STRICT
+            # (compact_elias_fano.hpp:91-99): a slot whose target equals
+            # the total zero count stays zero
+            total_zeros = np.uint64(of.higher_bits_length - n)
+            keep = targets < total_zeros
+            idx, targets = idx[keep], targets[keep]
             # position of the t-th zero (1-based): t + (#ones <= position)
             # ones sorted = high; solve pos = t + rank_ones(pos):
             # for each gap between ones, zeros accumulate linearly.

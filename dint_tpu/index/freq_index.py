@@ -196,17 +196,44 @@ def build_freq_index(basename: str, kind: str = "opt") -> FreqIndexEF:
 
 class EFTermDecoder:
     """TermDecoder-compatible reader for the EF-family indexes: decodes
-    whole posting lists with caching (the batched query access path)."""
+    whole posting lists with caching (the batched query access path).
 
-    def __init__(self, index: FreqIndexEF):
+    For the plain-EF index kind on TPU, uncached docid lists decode in
+    batched device dispatches (codecs/ef_device.py — gather-free XLA
+    select_1 + field unpack), grouped by compiled shape."""
+
+    def __init__(self, index: FreqIndexEF, device_ef: bool | None = None):
         self.index = index
         self._doc_cache = {}
         self._freq_cache = {}
+        if device_ef is None:
+            import os
+
+            # measured on this stack: the select_1-by-sort pays ~8x
+            # data blowup and loses to the numpy host decode (11 vs 19
+            # M ints/s at 8x256Ki) — opt-in, like the stats merge
+            device_ef = os.environ.get("DINT_TPU_DEVICE_EF") == "1"
+        self.device_ef = device_ef and index.kind == "ef"
 
     def decode_docids(self, terms):
-        for t in dict.fromkeys(terms):
-            if t not in self._doc_cache:
-                self._doc_cache[t] = self.index.list_docids(int(t))
+        todo = [
+            int(t) for t in dict.fromkeys(terms) if t not in self._doc_cache
+        ]
+        if todo and self.device_ef:
+            from ..codecs import ef_device
+
+            idx = self.index
+            specs = []
+            for t in todo:
+                _, n, pos = idx._list_header(t)
+                specs.append((pos, idx.num_docs, n))
+            for t, vals in zip(
+                todo, ef_device.decode_lists(idx.docs.words, specs, idx.params)
+            ):
+                self._doc_cache[t] = vals.astype(np.uint32)
+        else:
+            for t in todo:
+                self._doc_cache[t] = self.index.list_docids(t)
         return {t: self._doc_cache[t] for t in dict.fromkeys(terms)}
 
     def decode_freqs(self, terms):

@@ -179,3 +179,66 @@ def test_pef_beats_ef_on_clustered_docs(tmp_path):
         idx = freq_index.build_freq_index(base, kind)
         bpis[kind] = idx.size_stats()["docs_bpi"]
     assert bpis["opt"] <= bpis["ef"] * 1.05
+
+
+def test_ef_device_decode_matches_host():
+    """Gather-free device EF decode (codecs/ef_device.py) vs the host
+    decode_all, batched across lists of mixed shapes/offsets."""
+    from dint_tpu.codecs import ef_device
+
+    rng = np.random.default_rng(55)
+    bb = BitBuilder()
+    specs = []
+    wants = []
+    bb.append_bits(int(rng.integers(0, 2**20)), 37)  # misalign the base
+    for (universe, n) in [
+        (1, 1), (100, 5), (100, 100), (1 << 20, 700), (1 << 31, 900),
+        (5000, 64), ((1 << 32) - 1, 257), (263, 200),
+    ]:
+        vals = np.sort(
+            rng.choice(universe, size=min(n, universe), replace=False)
+        ).astype(np.uint64)
+        n = vals.shape[0]
+        off = bb.size
+        ef.compact_elias_fano.write(bb, vals, universe, n, ef.PARAMS)
+        specs.append((off, universe, n))
+        wants.append(vals)
+    words = bb.words()
+    got = ef_device.decode_lists(words, specs, ef.PARAMS)
+    for g, want, (off, universe, n) in zip(got, wants, specs):
+        host = ef.compact_elias_fano.decode_all(words, off, universe, n, ef.PARAMS)
+        np.testing.assert_array_equal(host, want)
+        np.testing.assert_array_equal(g, want, err_msg=f"u={universe} n={n}")
+
+
+def test_ef_term_decoder_device_parity(tmp_path):
+    """EFTermDecoder with the device-EF engine forced on (CPU backend:
+    same XLA graph) matches the host per-list decode exactly."""
+    base = str(tmp_path / "c")
+    docs, freqs = synth.make_collection(40, 6000, seed=29, avg_len=80)
+    collection.write_freq_collection(base, docs, freqs, 6000)
+    idx = freq_index.build_freq_index(base, "ef")
+    dev = freq_index.EFTermDecoder(idx, device_ef=True)
+    host = freq_index.EFTermDecoder(idx, device_ef=False)
+    terms = [t for t in range(len(docs)) if len(docs[t])][:25]
+    got = dev.decode_docids(terms)
+    want = host.decode_docids(terms)
+    for t in terms:
+        np.testing.assert_array_equal(got[t], want[t], err_msg=f"term {t}")
+        np.testing.assert_array_equal(got[t], docs[t])
+
+
+def test_ef_write_exact_sampling_multiples():
+    """n an exact multiple of 2^log_sampling1 (and zero counts hitting
+    2^log_sampling0 multiples) must write like the reference: sample
+    slots whose index equals n (or the total zero count) stay zero
+    (compact_elias_fano.hpp:91-99,120-126)."""
+    rng = np.random.default_rng(77)
+    ls1 = ef.PARAMS.ef_log_sampling1
+    n = 1 << (ls1 + 1)  # exact multiple
+    universe = n * 4
+    vals = np.sort(rng.choice(universe, size=n, replace=False)).astype(np.uint64)
+    bb = BitBuilder()
+    ef.compact_elias_fano.write(bb, vals, universe, n, ef.PARAMS)
+    got = ef.compact_elias_fano.decode_all(bb.words(), 0, universe, n, ef.PARAMS)
+    np.testing.assert_array_equal(got, vals)
