@@ -181,14 +181,15 @@ class compact_elias_fano:
             total_zeros = np.uint64(of.higher_bits_length - n)
             keep = targets < total_zeros
             idx, targets = idx[keep], targets[keep]
-            # position of the t-th zero (1-based): t + (#ones <= position)
-            # ones sorted = high; solve pos = t + rank_ones(pos):
-            # for each gap between ones, zeros accumulate linearly.
+            # stored slot = position of the zero with 0-based rank `target`
+            # (compact_elias_fano.hpp set_ptr0s stores
+            # (ptr0<<log0) + rank_end, i.e. pos = target + #ones before it).
+            # A one at hs[j] precedes that zero iff the count of zeros
+            # strictly before it (hs[j] - j) is <= target.
             hs = np.sort(high)
-            # zeros before one position hs[j] (0-based count of ones = j):
             zeros_before_one = hs - np.arange(hs.shape[0], dtype=np.uint64)
-            k = np.searchsorted(zeros_before_one, targets, side="left")
-            pos_of_zero = targets + k.astype(np.uint64) - np.uint64(1)
+            k = np.searchsorted(zeros_before_one, targets, side="right")
+            pos_of_zero = targets + k.astype(np.uint64)
             ptr_pos = (
                 np.uint64(of.pointers0_offset)
                 + (idx - np.uint64(1)) * np.uint64(of.pointer_size)

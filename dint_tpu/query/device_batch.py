@@ -37,6 +37,19 @@ from . import ranked as ranked_mod
 PAD_DOC = np.int32(2**31 - 1)
 
 
+def _check_docid_range(docs) -> None:
+    """Docids are sorted as int32 with PAD_DOC = 2^31-1 as the padding
+    sentinel; a docid >= 2^31-1 would wrap negative (mis-sort) or
+    collide with the pad.  Reject such collections up front instead of
+    silently corrupting results."""
+    for t, d in docs.items():
+        if d.size and int(d[-1]) >= int(PAD_DOC):
+            raise ValueError(
+                f"device batch engine requires docids < 2^31-1; term {t} "
+                f"has docid {int(d[-1])}"
+            )
+
+
 def _next_pow2(x: int) -> int:
     return 1 << max(int(np.ceil(np.log2(max(x, 1)))), 5)
 
@@ -173,6 +186,7 @@ def build_ranked_rows(
     all_terms = sorted({int(t) for q in queries for t in q})
     docs = decoder.decode_docids(all_terms)
     freqs = decoder.decode_freqs(all_terms)
+    _check_docid_range(docs)
     drows, srows = [], []
     for q in queries:
         weighted = ranked_mod._query_weights(index, q)
@@ -203,6 +217,7 @@ def build_boolean_rows(
 
     all_terms = sorted({int(t) for q in queries for t in q})
     docs = decoder.decode_docids(all_terms)
+    _check_docid_range(docs)
     drows, nterms = [], []
     for q in queries:
         terms = dedup_terms(q)

@@ -104,14 +104,27 @@ class WindowCounter:
         merged = None
         try:  # device sort-merge when profitable (stats/device_merge.py)
             from . import device_merge
+        except ImportError:
+            device_merge = None
+        if device_merge is not None:
+            try:
+                got = device_merge.unique_weighted_device(
+                    rows.view("<u4").reshape(-1, self.size), weights
+                )
+                if got is not None:
+                    merged = (_rows_view(got[0]), got[1])
+            except ImportError:
+                pass  # jax backend unavailable on this host
+            except Exception as e:
+                # a genuine device-path bug (shape/dtype drift, device
+                # error) must be visible, not masked by the numpy path
+                import sys
 
-            got = device_merge.unique_weighted_device(
-                rows.view("<u4").reshape(-1, self.size), weights
-            )
-            if got is not None:
-                merged = (_rows_view(got[0]), got[1])
-        except Exception:
-            merged = None
+                print(
+                    f"WindowCounter: device merge failed, falling back "
+                    f"to numpy: {type(e).__name__}: {e}",
+                    file=sys.stderr,
+                )
         r, w = merged if merged is not None else unique_weighted(rows, weights)
         self._rows = [r]
         self._weights = [w]

@@ -58,7 +58,10 @@ def run_op_device(index, decoder, wdata, queries_list, op, runs, k):
 
         @jax.jit
         def timed(d, nt, shift):
-            return kernel(jnp.roll(d, shift, axis=0), jnp.roll(nt, shift))
+            # roll along axis 1 (the kernel sorts rows, so results are
+            # identical) — axis-0 rolls are the identity for single-row
+            # buckets, which would let the runtime memoize repeat runs
+            return kernel(jnp.roll(d, shift, axis=1), nt)
 
         srows = None
     elif op in ("wand", "maxscore", "ranked_or"):
@@ -69,8 +72,9 @@ def run_op_device(index, decoder, wdata, queries_list, op, runs, k):
 
         @functools.partial(jax.jit, static_argnames=("k",))
         def timed(d, s, shift, *, k):
+            # same-shift axis-1 rolls keep (docid, score) pairs aligned
             return kernel(
-                jnp.roll(d, shift, axis=0), jnp.roll(s, shift, axis=0), k=k
+                jnp.roll(d, shift, axis=1), jnp.roll(s, shift, axis=1), k=k
             )
 
     else:

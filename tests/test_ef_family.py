@@ -242,3 +242,53 @@ def test_ef_write_exact_sampling_multiples():
     ef.compact_elias_fano.write(bb, vals, universe, n, ef.PARAMS)
     got = ef.compact_elias_fano.decode_all(bb.words(), 0, universe, n, ef.PARAMS)
     np.testing.assert_array_equal(got, vals)
+
+
+def test_ef_zero_pointer_slots_match_reference_loop():
+    """0-pointer slot contents must equal the reference writer's
+    set_ptr0s output byte-for-byte: the stored value is the position of
+    the zero with 0-based rank ptr0<<log_sampling0, i.e.
+    (ptr0<<log0) + rank_end (compact_elias_fano.hpp:85-99).  Emulates
+    the reference loop and diffs every slot (regression for an
+    off-by-one where slots held the position of the previous zero)."""
+    rng = np.random.default_rng(123)
+    p = ef.PARAMS
+    log0 = p.ef_log_sampling0
+    checked = 0
+    for _ in range(40):
+        n = int(rng.integers(1, 2500))
+        universe = n + int(rng.integers(1, 150000))
+        vals = np.sort(
+            rng.choice(universe, size=n, replace=False)
+        ).astype(np.uint64)
+        of = ef.ef_offsets(0, universe, n, p)
+        # emulate the reference write loop's set_ptr0s calls
+        slots = {}
+
+        def set_ptr0s(begin, end, rank_end):
+            begin_zeros = begin - rank_end
+            end_zeros = end - rank_end
+            ptr0 = -(-begin_zeros // (1 << log0))
+            while (ptr0 << log0) < end_zeros:
+                if ptr0:
+                    slots[ptr0 - 1] = (ptr0 << log0) + rank_end
+                ptr0 += 1
+
+        last_high = 0
+        for i, v in enumerate(vals.tolist()):
+            high = (v >> of.lower_bits) + i + 1
+            set_ptr0s(last_high + 1, high, i)
+            last_high = high
+        set_ptr0s(last_high + 1, of.higher_bits_length, n)
+
+        bb = BitBuilder()
+        ef.compact_elias_fano.write(bb, vals, universe, n, p)
+        words = bb.words()
+        for sl in range(of.pointers0):
+            pos = np.array(
+                [of.pointers0_offset + sl * of.pointer_size], dtype=np.uint64
+            )
+            got = int(bitio.read_fields(words, pos, of.pointer_size)[0])
+            assert got == slots.get(sl, 0), (n, universe, sl, got, slots.get(sl))
+        checked += of.pointers0
+    assert checked > 0
