@@ -160,17 +160,32 @@ class DintIndex:
     def ensure_docs_end(self) -> None:
         """Recover per-block docs/freqs split offsets after load.
 
-        Decodes every block's docs half once (host oracle for partial
-        blocks, codeword walk for DINT blocks) — the load-time analogue
-        of the enumerator's sequential discovery."""
+        Parses every block's docs half once — the load-time analogue of
+        the enumerator's sequential discovery.  Full DINT blocks batch
+        through the vectorized parser (query/lazy_decode.py, chunked to
+        bound memory); partial interpolative blocks walk individually."""
         if self.docs_end is not None:
             return
-        from ..codecs import dint as dint_mod
         from ..codecs import interpolative as interp_mod
+        from ..query.lazy_decode import decode_units_fast_batch
 
         view = self.docs_dict.decode_view()
         NB = self.num_blocks
         docs_end = np.zeros(NB, dtype=np.uint64)
+        multi = self.kind == "multi"
+        f_start, f_lim, f_sz, f_ctx, f_b, f_ids = [], [], [], [], [], []
+
+        def flush():
+            if not f_start:
+                return
+            _, consumed = decode_units_fast_batch(
+                self.arena, f_start, f_lim, f_sz, view, f_ctx, f_b
+            )
+            for b, s, c in zip(f_ids, f_start, consumed):
+                docs_end[b] = s + int(c)
+            f_start.clear(); f_lim.clear(); f_sz.clear()
+            f_ctx.clear(); f_b.clear(); f_ids.clear()
+
         for i in range(self.num_lists):
             p0, p1 = self.list_blocks(i)
             n = int(self.list_n[i])
@@ -184,17 +199,24 @@ class DintIndex:
                     _, end = interp_mod.decode_block(
                         self.arena, start, size, sum_v
                     )
-                elif self.kind == "multi":
-                    out = np.zeros(size, np.uint32)
-                    end = dint_mod.decode_multi(
-                        view, self.arena, start, size, out
-                    )
+                    docs_end[b] = end
+                    continue
+                s = start
+                if multi:
+                    sc = int(self.arena[s])
+                    f_ctx.append(sc % NUM_SELECTORS)
+                    f_b.append(16 if sc < NUM_SELECTORS else 8)
+                    s += 1
                 else:
-                    out = np.zeros(size, np.uint32)
-                    end = dint_mod.decode_single(
-                        view, self.arena, start, size, out
-                    )
-                docs_end[b] = end
+                    f_ctx.append(0)
+                    f_b.append(16)
+                f_start.append(s)
+                f_lim.append(int(self.block_end[b]))
+                f_sz.append(size)
+                f_ids.append(b)
+                if len(f_start) >= 16384:
+                    flush()
+        flush()
         self.docs_end = docs_end
 
 

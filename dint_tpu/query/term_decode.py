@@ -29,6 +29,17 @@ class TermDecoder:
         self.freqs_view = index.freqs_dict.decode_view()
         self._doc_cache: Dict[int, np.ndarray] = {}
         self._freq_cache: Dict[int, np.ndarray] = {}
+        self._lazy_cache = None
+
+    @property
+    def lazy_cache(self):
+        """Skip-aware per-block decoder shared by WAND/maxscore/lazy AND
+        (query/lazy_decode.py) — decodes only the blocks skips land in."""
+        if self._lazy_cache is None:
+            from .lazy_decode import BlockCache
+
+            self._lazy_cache = BlockCache(self.index)
+        return self._lazy_cache
 
     # ---- block geometry ----
     def _block_geometry(self, terms: Sequence[int]):

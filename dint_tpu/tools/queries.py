@@ -52,6 +52,7 @@ def run_op_device(index, decoder, wdata, queries_list, op, runs, k):
     jaxcfg.enable_compile_cache()
 
     Q = len(queries_list)
+    pruned_stats = None
     if op in ("and", "or"):
         drows, nterms = device_batch.build_boolean_rows(decoder, queries_list)
         _, kernel, _ = device_batch._kernels()
@@ -65,9 +66,23 @@ def run_op_device(index, decoder, wdata, queries_list, op, runs, k):
 
         srows = None
     elif op in ("wand", "maxscore", "ranked_or"):
-        drows, srows = device_batch.build_ranked_rows(
-            index, decoder, wdata, queries_list
-        )
+        if (
+            op in ("wand", "maxscore")
+            and getattr(wdata, "block_maxw", None) is not None
+            and hasattr(decoder, "lazy_cache")
+        ):
+            # Block-Max pruning: mask whole blocks out of the sort-merge
+            # before decode (query/bmw.py; exact top-k by construction)
+            from ..query import bmw as bmw_mod
+            from ..query.lazy_decode import BlockCache
+
+            drows, srows, pruned_stats = bmw_mod.build_pruned_rows(
+                BlockCache(index), index, wdata, queries_list, k
+            )
+        else:
+            drows, srows = device_batch.build_ranked_rows(
+                index, decoder, wdata, queries_list
+            )
         kernel, _, _ = device_batch._kernels()
 
         @functools.partial(jax.jit, static_argnames=("k",))
@@ -116,36 +131,73 @@ def run_op_device(index, decoder, wdata, queries_list, op, runs, k):
         t0 = time.perf_counter()
         one_pass(jnp.int32(r + 1))
         t_us.append((time.perf_counter() - t0) * 1e6 / Q)
-    return percentiles(t_us), (Q, widest, len(buckets))
+    extra = {}
+    if pruned_stats:
+        extra["postings_kept"] = str(pruned_stats["postings_kept"])
+        extra["postings_total"] = str(pruned_stats["postings_total"])
+    return percentiles(t_us), (Q, widest, len(buckets)), extra
 
 
 def run_op(index, decoder, wdata, queries_list, op, runs, k):
-    # warm the term cache (reference warms posting lists, queries.cpp:74-83)
-    all_terms = sorted({int(t) for q in queries_list for t in q})
-    decoder.decode_docids(all_terms)
-    if op not in ("and", "or"):
-        decoder.decode_freqs(all_terms)
+    """Host engine.  Timings are DECODE-INCLUSIVE for the skip-aware
+    ops (and/or/_freq via the lazy block engine, wand/maxscore via
+    lazy cursors): each query starts from a fresh block cache, so the
+    reported latency covers exactly the block decodes the query's skips
+    landed in — the reference's timed runs likewise re-decode blocks
+    inside the enumerators (src/queries.cpp:15-61).  ranked_or /
+    ranked_and are exhaustive by definition and keep the pre-decoded
+    warm cache (their decode is the untimed warmup, like the
+    reference's index warm, queries.cpp:74-83)."""
+    lazy_ops = ("and", "and_freq", "or", "or_freq", "wand", "maxscore")
+    lazy = op in lazy_ops and hasattr(decoder, "lazy_cache")
+    if not lazy:
+        all_terms = sorted({int(t) for q in queries_list for t in q})
+        decoder.decode_docids(all_terms)
+        if op not in ("and", "or"):
+            decoder.decode_freqs(all_terms)
+
+    def one_query_lazy(q):
+        from ..query.lazy_decode import BlockCache
+
+        cache = BlockCache(index)
+        t0 = time.perf_counter()
+        if op in ("and", "and_freq"):
+            res = boolean.and_query_lazy(cache, q)
+            if op == "and_freq" and res.shape[0]:
+                boolean.matched_freqs_lazy(cache, q, res)
+        elif op in ("or", "or_freq"):
+            res = boolean.or_query_lazy(cache, q)
+            if op == "or_freq" and res.shape[0]:
+                boolean.matched_freqs_lazy(cache, q, res)
+        else:
+            decoder._lazy_cache = cache  # fresh per query: decode included
+            if op == "wand":
+                ranked.wand(index, decoder, wdata, q, k)
+            else:
+                ranked.maxscore(index, decoder, wdata, q, k)
+        return (time.perf_counter() - t0) * 1e6
+
+    def one_query_warm(q):
+        t0 = time.perf_counter()
+        if op == "ranked_and":
+            ranked.ranked_and(index, decoder, wdata, q, k)
+        elif op == "ranked_or":
+            ranked.ranked_or(index, decoder, wdata, q, k)
+        elif op in ("and", "and_freq"):
+            boolean.and_query(decoder._doc_cache, boolean.dedup_terms(q))
+        elif op in ("or", "or_freq"):
+            boolean.or_query(decoder._doc_cache, boolean.dedup_terms(q))
+        elif op in ("wand", "maxscore"):
+            fn = ranked.wand if op == "wand" else ranked.maxscore
+            fn(index, decoder, wdata, q, k)
+        else:
+            raise ValueError(f"unsupported query type {op}")
+        return (time.perf_counter() - t0) * 1e6
+
+    one_query = one_query_lazy if lazy else one_query_warm
 
     def one_pass():
-        t_us = []
-        for q in queries_list:
-            t0 = time.perf_counter()
-            if op in ("and", "and_freq"):
-                boolean.and_query(decoder._doc_cache, boolean.dedup_terms(q))
-            elif op in ("or", "or_freq"):
-                boolean.or_query(decoder._doc_cache, boolean.dedup_terms(q))
-            elif op == "wand":
-                ranked.wand(index, decoder, wdata, q, k)
-            elif op == "maxscore":
-                ranked.maxscore(index, decoder, wdata, q, k)
-            elif op == "ranked_and":
-                ranked.ranked_and(index, decoder, wdata, q, k)
-            elif op == "ranked_or":
-                ranked.ranked_or(index, decoder, wdata, q, k)
-            else:
-                raise ValueError(f"unsupported query type {op}")
-            t_us.append((time.perf_counter() - t0) * 1e6)
-        return t_us
+        return [one_query(q) for q in queries_list]
 
     one_pass()  # untimed warmup run (queries.cpp:29-32 discards first)
     t_us = []
@@ -205,10 +257,11 @@ def main(argv=None):
     for op in args.query_types.split(":"):
         extra = {}
         if args.engine == "device":
-            stats, shape = run_op_device(
+            stats, shape, dev_extra = run_op_device(
                 index, decoder, wdata, queries_list, op, args.runs, args.k
             )
             extra["batch_shape"] = "x".join(map(str, shape))
+            extra.update(dev_extra)
         else:
             stats = run_op(
                 index, decoder, wdata, queries_list, op, args.runs, args.k

@@ -78,11 +78,12 @@ def serve_stage(base, args):
     queries_list = boolean.parse_query_log(qlog)
     dec = TermDecoder(idx)
 
-    stats, shape = qtool.run_op_device(
+    stats, shape, dev_extra = qtool.run_op_device(
         idx, dec, wdata, queries_list, "wand", 3, 10
     )
     print(f"[scale] device wand batch {shape}: "
-          f"{stats['avg']:.1f}us avg, q95 {stats['q95']:.1f}us/query")
+          f"{stats['avg']:.1f}us avg, q95 {stats['q95']:.1f}us/query "
+          f"{dev_extra}")
     t = log_stage("device wand batch", t)
     # host on the SAME query set (1 run: the monster-union tail costs
     # seconds per query on the host sort path)
@@ -90,7 +91,7 @@ def serve_stage(base, args):
     print(f"[scale] host wand (all queries): avg {stats['avg']:.1f}us, "
           f"q50 {stats['q50']:.1f}us, q95 {stats['q95']:.1f}us")
     t = log_stage("host wand all", t)
-    stats, shape = qtool.run_op_device(
+    stats, shape, _ = qtool.run_op_device(
         idx, dec, wdata, queries_list, "and", 3, 10
     )
     print(f"[scale] device AND batch {shape}: {stats['avg']:.1f}us avg")
