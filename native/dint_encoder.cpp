@@ -54,20 +54,45 @@ static inline uint64_t hash_window(const uint32_t* w, uint32_t len) {
   return h;
 }
 
-// Open-addressing hash table: content-verified window -> codeword index.
+// Open-addressing hash table: window -> codeword indices.  One fused
+// table per context holds BOTH the b=16 index and the b=8 index
+// (entries with codeword < 256 only), so one probe pass serves both
+// trial parses of the multi encoder.
+//
+// Slots are a single 16-byte struct (key + both values): a probe costs
+// ONE cache line.  The probe key folds the window length into the
+// 64-bit rolling hash and is trusted without content comparison on the
+// hot path — every emitted unit is decode-verified against its input
+// afterwards (encode_units), and the vanishingly-rare hash collision
+// falls back to a content-verified re-parse.  Insertions always verify
+// content (lens/ent_off kept separately, cold), so the map's final
+// content->index assignment matches the oracle exactly.
+constexpr uint32_t kNoHit = 0xffffffffu;
+constexpr uint16_t kNoHit8 = 0xffffu;
+
+static inline uint64_t slot_key(uint64_t h, uint32_t len) {
+  uint64_t k = h ^ (uint64_t(len) * 0x9ddfea08eb382d69ull);
+  // upper 48 bits form the stored fingerprint; must be nonzero
+  return (k >> 16) ? k : (k | (1ull << 16));
+}
+
 struct LookupMap {
-  std::vector<uint64_t> keys;   // 0 = empty slot sentinel (keys are mixed)
-  std::vector<uint32_t> vals;
-  std::vector<uint32_t> lens;
-  const uint32_t* table = nullptr;      // shared flat entry table
-  std::vector<uint32_t> ent_off;        // per stored value: entry offset
+  // hot: one u64 per slot = fingerprint48 << 16 | val16codeword.
+  // 131072 slots x 8B = 1 MiB — L2-resident on this machine (2 MiB L2),
+  // which is what makes the probe passes fast.
+  std::vector<uint64_t> slots;
+  std::vector<uint16_t> vals8;    // b=8 codeword (kNoHit8 if none); only
+                                  // read on hit by the multi encoder
+  std::vector<uint32_t> lens;     // insert-time verification only
+  std::vector<uint32_t> ent_off;  // insert-time verification only
+  const uint32_t* table = nullptr;  // shared flat entry table
   uint64_t mask = 0;
 
-  void init(size_t capacity_pow2) {
+  void init(size_t capacity) {
     size_t cap = 1;
-    while (cap < capacity_pow2 * 2) cap <<= 1;
-    keys.assign(cap, 0);
-    vals.assign(cap, 0);
+    while (cap < capacity * 2) cap <<= 1;  // load factor <= 0.5
+    slots.assign(cap, 0);
+    vals8.assign(cap, kNoHit8);
     lens.assign(cap, 0);
     ent_off.assign(cap, 0);
     mask = cap - 1;
@@ -78,20 +103,21 @@ struct LookupMap {
   // (single_dictionary.hpp:154-165).
   void insert(const uint32_t* content, uint32_t len, uint32_t off,
               uint32_t index) {
-    uint64_t h = hash_window(content, len);
-    if (h == 0) h = 1;
-    uint64_t slot = h & mask;
+    uint64_t k = slot_key(hash_window(content, len), len);
+    uint64_t fp = k & ~0xffffull;
+    uint64_t slot = k & mask;
     while (true) {
-      if (keys[slot] == 0) {
-        keys[slot] = h;
-        vals[slot] = index;
+      if (slots[slot] == 0) {
+        slots[slot] = fp | index;
+        if (index < 256) vals8[slot] = uint16_t(index);
         lens[slot] = len;
         ent_off[slot] = off;
         return;
       }
-      if (keys[slot] == h && lens[slot] == len &&
+      if ((slots[slot] & ~0xffffull) == fp && lens[slot] == len &&
           std::memcmp(table + ent_off[slot], content, len * 4) == 0) {
-        vals[slot] = index;  // override
+        slots[slot] = fp | index;  // override
+        if (index < 256) vals8[slot] = uint16_t(index);
         ent_off[slot] = off;
         return;
       }
@@ -99,24 +125,54 @@ struct LookupMap {
     }
   }
 
-  inline int64_t lookup_hashed(uint64_t h, const uint32_t* w,
-                               uint32_t len) const {
-    if (h == 0) h = 1;
-    uint64_t slot = h & mask;
+  // Trusted probe (hot path): matches the 48-bit fingerprint only;
+  // verify_parse backstops collisions.  Returns slot index or SIZE_MAX.
+  inline size_t find_fast(uint64_t h, uint32_t len) const {
+    uint64_t k = slot_key(h, len);
+    uint64_t fp = k & ~0xffffull;
+    uint64_t slot = k & mask;
     while (true) {
-      if (keys[slot] == 0) return -1;
-      if (keys[slot] == h && lens[slot] == len &&
-          std::memcmp(table + ent_off[slot], w, len * 4) == 0)
-        return vals[slot];
+      uint64_t s = slots[slot];
+      if ((s & ~0xffffull) == fp && s != 0) return size_t(slot);
+      if (s == 0) return size_t(-1);
       slot = (slot + 1) & mask;
     }
+  }
+
+  // Content-verified probe (fallback path).
+  inline size_t find_verified(uint64_t h, const uint32_t* w,
+                              uint32_t len) const {
+    uint64_t k = slot_key(h, len);
+    uint64_t fp = k & ~0xffffull;
+    uint64_t slot = k & mask;
+    while (true) {
+      uint64_t s = slots[slot];
+      if (s == 0) return size_t(-1);
+      if ((s & ~0xffffull) == fp && lens[slot] == len &&
+          std::memcmp(table + ent_off[slot], w, len * 4) == 0)
+        return size_t(slot);
+      slot = (slot + 1) & mask;
+    }
+  }
+
+  inline uint32_t val16_at(size_t slot) const {
+    return uint32_t(slots[slot] & 0xffff);
+  }
+
+  inline int64_t lookup_hashed(uint64_t h, const uint32_t* w,
+                               uint32_t len) const {
+    size_t s = find_verified(h, w, len);
+    return s == size_t(-1) ? -1 : int64_t(val16_at(s));
   }
 };
 
 struct Encoder {
   std::vector<uint32_t> table;          // flat entry table (+16 zero pad)
-  std::vector<LookupMap> maps16;        // per context
-  std::vector<LookupMap> maps8;         // per context (indices < 256 only)
+  std::vector<LookupMap> maps;          // per context (fused 16/8 values)
+  // constant lookup result for an all-zero window of each target size
+  // (windows inside zero runs hit these without probing)
+  uint32_t zhit16[8][kNumTargetSizes];
+  uint32_t zhit8[8][kNumTargetSizes];
   int n_contexts = 0;
 
   // per-unit scratch (reused across units and trials)
@@ -126,7 +182,56 @@ struct Encoder {
   std::vector<uint32_t> zrun;
   std::vector<uint64_t> prefix;            // rolling-hash prefix sums
   std::vector<uint64_t> winhash[kNumTargetSizes];  // per-size window hashes
+  // per-position codeword hits, filled by lookup_pass for one context
+  std::vector<uint32_t> hit16[kNumTargetSizes];
+  std::vector<uint32_t> hit8[kNumTargetSizes];
+  // decode tables for the verification pass (row-major per context)
+  std::vector<uint32_t> dec_off;
+  std::vector<int32_t> dec_len;
+  int32_t entries_per_ctx = 0;
 };
+
+// Verify the current parse against the source gaps — the backstop
+// that lets the hot lookup path trust 64-bit hashes.  Every used DICT
+// codeword's entry content is compared to its source window (runs
+// check the zero-run table; exceptions copy the value verbatim in
+// emit, nothing to check).  Touches each used codeword once (vs 5
+// probes per position for content-verified probing) with lookahead
+// prefetching of the scattered entry reads.
+static bool verify_parse(Encoder* e, const uint32_t* gaps, int64_t n,
+                         int ctx) {
+  const uint32_t* offs = e->dec_off.data() + int64_t(ctx) * e->entries_per_ctx;
+  const int32_t* lens = e->dec_len.data() + int64_t(ctx) * e->entries_per_ctx;
+  static thread_local std::vector<int64_t> srcs;
+  static thread_local std::vector<int32_t> cws;
+  srcs.clear();
+  cws.clear();
+  for (int64_t i = n; i != 0; i = e->parent[i]) {
+    int32_t cw = e->codeword[i];
+    if (cw >= (int32_t)kExceptions) {
+      srcs.push_back(e->parent[i]);
+      cws.push_back(cw);
+    }
+  }
+  size_t m = srcs.size();
+  constexpr size_t PF = 8;
+  for (size_t t = 0; t < m; ++t) {
+    if (t + PF < m) __builtin_prefetch(&offs[cws[t + PF]]);
+    if (t + PF / 2 < m)
+      __builtin_prefetch(e->table.data() + offs[cws[t + PF / 2]]);
+    int32_t cw = cws[t];
+    int64_t src = srcs[t];
+    int64_t ln = lens[cw];
+    if (ln > (int64_t)kMaxEntrySize) {  // run entry: all zeros
+      if (e->zrun[src] < (uint32_t)ln) return false;
+    } else {
+      if (std::memcmp(e->table.data() + offs[cw], gaps + src,
+                      size_t(ln) * 4) != 0)
+        return false;
+    }
+  }
+  return true;
+}
 
 // Precompute zero-run lengths and all window hashes for one unit; shared
 // by every trial parse (the multi encoder runs 12 parses per unit).
@@ -151,14 +256,64 @@ static void precompute_unit(Encoder* e, const uint32_t* gaps, int64_t n) {
   }
 }
 
-// DP parse of gaps[0..n) under one lookup map; fills enc->cost/parent/cw.
-// precompute_unit must have run for this unit.
-static void parse(Encoder* e, const LookupMap& map, const uint32_t* gaps,
-                  int64_t n) {
+// Probe all window hashes of one context sequentially, filling the
+// per-position hit arrays for both b=16 and b=8 parses.  Hoisting the
+// probes out of the DP recurrence is the main speed lever: iterations
+// are independent, so out-of-order execution + explicit prefetch keep
+// many cache misses in flight (the DP loop serialized them), and
+// windows lying inside zero runs resolve to a precomputed constant
+// without touching the table at all.
+static void lookup_pass(Encoder* e, int ctx, const uint32_t* gaps, int64_t n,
+                        bool verified = false, bool need8 = true) {
+  const LookupMap& map = e->maps[ctx];
+  for (int t = 0; t < kNumTargetSizes; ++t) {
+    int64_t s = kTargetSizes[t];
+    int64_t cnt = n - s + 1;
+    if (cnt < 0) cnt = 0;
+    e->hit16[t].resize(cnt);
+    e->hit8[t].resize(cnt);
+    const uint64_t* wh = e->winhash[t].data();
+    uint32_t* h16 = e->hit16[t].data();
+    uint32_t* h8 = e->hit8[t].data();
+    const uint32_t z16 = e->zhit16[ctx][t], z8 = e->zhit8[ctx][t];
+    constexpr int64_t PF = 32;
+    for (int64_t i = 0; i < cnt; ++i) {
+      if (i + PF < cnt && e->zrun[i + PF] < (uint32_t)s) {
+        uint64_t kp = slot_key(wh[i + PF], (uint32_t)s);
+        __builtin_prefetch(&map.slots[kp & map.mask]);
+      }
+      if (e->zrun[i] >= (uint32_t)s) {  // all-zero window: constant hit
+        h16[i] = z16;
+        h8[i] = z8;
+        continue;
+      }
+      size_t sl = verified ? map.find_verified(wh[i], gaps + i, (uint32_t)s)
+                           : map.find_fast(wh[i], (uint32_t)s);
+      if (sl == size_t(-1)) {
+        h16[i] = kNoHit;
+        if (need8) h8[i] = kNoHit;
+      } else {
+        h16[i] = map.val16_at(sl);
+        if (need8) {
+          uint16_t v8 = map.vals8[sl];
+          h8[i] = v8 == kNoHit8 ? kNoHit : uint32_t(v8);
+        }
+      }
+    }
+  }
+}
+
+// DP parse of gaps[0..n) using the hit arrays of the last lookup_pass;
+// fills enc->cost/parent/cw.  Relaxation order (runs largest-first,
+// dict sizes 16..1, exception; strict '<') matches the oracle exactly.
+static void parse_hits(Encoder* e, bool b8, const uint32_t* gaps, int64_t n) {
   e->cost.assign(n + 1, kBig);
   e->parent.assign(n + 1, 0);
   e->codeword.assign(n + 1, 1);
   e->cost[0] = 0;
+  const uint32_t* hits[kNumTargetSizes];
+  for (int t = 0; t < kNumTargetSizes; ++t)
+    hits[t] = b8 ? e->hit8[t].data() : e->hit16[t].data();
   for (int64_t j = 1; j <= n; ++j) {
     int64_t best = kBig;
     int32_t bpar = 0, bcw = 1;
@@ -175,8 +330,8 @@ static void parse(Encoder* e, const LookupMap& map, const uint32_t* gaps,
       int64_t s = kTargetSizes[t];
       if (j >= s) {
         int64_t i = j - s;
-        int64_t hit = map.lookup_hashed(e->winhash[t][i], gaps + i, (uint32_t)s);
-        if (hit >= 0) {
+        uint32_t hit = hits[t][i];
+        if (hit != kNoHit) {
           int64_t c = e->cost[i] + 1;
           if (c < best) { best = c; bpar = int32_t(i); bcw = int32_t(hit); }
         }
@@ -248,28 +403,39 @@ void* dint_encoder_create(const uint32_t* table, int64_t table_len,
   e->table.assign(table, table + table_len);
   e->table.resize(table_len + kMaxEntrySize, 0);
   static const uint32_t zeros[256] = {0};
-  e->maps16.resize(n_contexts);
-  e->maps8.resize(n_contexts);
+  e->maps.resize(n_contexts);
   for (int32_t d = 0; d < n_contexts; ++d) {
     int32_t cnt = counts[d];
-    e->maps16[d].table = e->table.data();
-    e->maps8[d].table = e->table.data();
-    e->maps16[d].init(size_t(cnt) + 16);
-    e->maps8[d].init(512);
+    e->maps[d].table = e->table.data();
+    e->maps[d].init(size_t(cnt) + 16);
     // runs first (indices 2..6), then entries ascending (overrides)
     uint32_t idx = kExceptions;
-    for (uint32_t nrun = 256; nrun >= 16; nrun /= 2, ++idx) {
-      e->maps16[d].insert(zeros, nrun, /*off=*/0, idx);
-      e->maps8[d].insert(zeros, nrun, 0, idx);
-    }
+    for (uint32_t nrun = 256; nrun >= 16; nrun /= 2, ++idx)
+      e->maps[d].insert(zeros, nrun, /*off=*/0, idx);
     for (int32_t i = kExceptions + 5; i < cnt; ++i) {
       uint32_t off = offsets[int64_t(d) * entries_per_ctx + i];
       int32_t len = lengths[int64_t(d) * entries_per_ctx + i];
       if (len > (int32_t)kMaxEntrySize) continue;  // run rows: not content
-      e->maps16[d].insert(e->table.data() + off, len, off, uint32_t(i));
-      if (i < 256) e->maps8[d].insert(e->table.data() + off, len, off, uint32_t(i));
+      e->maps[d].insert(e->table.data() + off, len, off, uint32_t(i));
+    }
+    // constant results for all-zero windows of each target size
+    for (int t = 0; t < kNumTargetSizes; ++t) {
+      uint32_t s = kTargetSizes[t];
+      size_t sl = e->maps[d].find_verified(hash_window(zeros, s), zeros, s);
+      if (sl == size_t(-1)) {
+        e->zhit16[d][t] = kNoHit;
+        e->zhit8[d][t] = kNoHit;
+      } else {
+        e->zhit16[d][t] = e->maps[d].val16_at(sl);
+        uint16_t v8 = e->maps[d].vals8[sl];
+        e->zhit8[d][t] = v8 == kNoHit8 ? kNoHit : uint32_t(v8);
+      }
     }
   }
+  // decode tables for the post-emit verification pass
+  e->dec_off.assign(offsets, offsets + int64_t(n_contexts) * entries_per_ctx);
+  e->dec_len.assign(lengths, lengths + int64_t(n_contexts) * entries_per_ctx);
+  e->entries_per_ctx = entries_per_ctx;
   return e;
 }
 
@@ -292,26 +458,41 @@ int64_t dint_encode_units(void* enc, const uint32_t* gaps,
     buf.clear();
     precompute_unit(e, g, n);
     if (mode == 0) {
-      parse(e, e->maps16[0], g, n);
+      lookup_pass(e, 0, g, n, /*verified=*/false, /*need8=*/false);
+      parse_hits(e, /*b8=*/false, g, n);
+      if (!verify_parse(e, g, n, 0)) {
+        // 64-bit hash collision (~never): redo content-verified
+        lookup_pass(e, 0, g, n, /*verified=*/true, /*need8=*/false);
+        parse_hits(e, false, g, n);
+      }
       emit(e, g, n, 16, &buf);
     } else {
-      int64_t best_size = kBig;
-      int32_t best_sc = 0;
-      for (int32_t s = 0; s < e->n_contexts; ++s) {
-        parse(e, e->maps16[s], g, n);
-        int64_t sz16 = stream_bytes(e, n, 16);
-        parse(e, e->maps8[s], g, n);
-        int64_t sz8 = stream_bytes(e, n, 8);
-        int64_t sz = sz16;
-        int32_t sc = s;
-        if (sz8 <= sz16) { sz = sz8; sc = s + e->n_contexts; }
-        if (sz < best_size) { best_size = sz; best_sc = sc; }
+      for (int pass = 0; pass < 2; ++pass) {
+        bool verified = pass == 1;
+        int64_t best_size = kBig;
+        int32_t best_sc = 0;
+        for (int32_t s = 0; s < e->n_contexts; ++s) {
+          lookup_pass(e, s, g, n, verified);  // one probe pass, both widths
+          parse_hits(e, false, g, n);
+          int64_t sz16 = stream_bytes(e, n, 16);
+          parse_hits(e, true, g, n);
+          int64_t sz8 = stream_bytes(e, n, 8);
+          int64_t sz = sz16;
+          int32_t sc = s;
+          if (sz8 <= sz16) { sz = sz8; sc = s + e->n_contexts; }
+          if (sz < best_size) { best_size = sz; best_sc = sc; }
+        }
+        buf.clear();
+        buf.push_back(uint8_t(best_sc));
+        int32_t ctx = best_sc % e->n_contexts;
+        int b = best_sc >= e->n_contexts ? 8 : 16;
+        lookup_pass(e, ctx, g, n, verified);
+        parse_hits(e, b == 8, g, n);
+        if (verified || verify_parse(e, g, n, ctx)) {
+          emit(e, g, n, b, &buf);
+          break;  // hash collision otherwise: retry content-verified
+        }
       }
-      buf.push_back(uint8_t(best_sc));
-      int32_t ctx = best_sc % e->n_contexts;
-      int b = best_sc >= e->n_contexts ? 8 : 16;
-      parse(e, b == 8 ? e->maps8[ctx] : e->maps16[ctx], g, n);
-      emit(e, g, n, b, &buf);
     }
     if (written + int64_t(buf.size()) > out_cap)
       return -(written + int64_t(buf.size()));
