@@ -13,6 +13,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <algorithm>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -166,29 +168,130 @@ struct LookupMap {
   }
 };
 
-struct Encoder {
-  std::vector<uint32_t> table;          // flat entry table (+16 zero pad)
-  std::vector<LookupMap> maps;          // per context (fused 16/8 values)
-  // constant lookup result for an all-zero window of each target size
-  // (windows inside zero runs hit these without probing)
-  uint32_t zhit16[8][kNumTargetSizes];
-  uint32_t zhit8[8][kNumTargetSizes];
-  int n_contexts = 0;
-
-  // per-unit scratch (reused across units and trials)
-  std::vector<int64_t> cost;
-  std::vector<int32_t> parent;
-  std::vector<int32_t> codeword;
+// Per-unit precomputed state shared by every trial parse.
+struct UnitScratch {
   std::vector<uint32_t> zrun;
   std::vector<uint64_t> prefix;            // rolling-hash prefix sums
   std::vector<uint64_t> winhash[kNumTargetSizes];  // per-size window hashes
+};
+
+constexpr int kMaxCtx = 8;
+
+// Combined multi-context map: ONE probe returns every context's b=16
+// and b=8 codeword for the window (the 6 per-context dictionaries
+// share entry contents, multi_dictionary.hpp:152-184, so keying by
+// content once cuts the multi encoder's probe volume 6x).  Codeword
+// sentinels: 0 = absent (indices 0/1 are exception codes, never
+// dictionary entries).
+struct MSlot {
+  uint64_t key;
+  uint16_t v16[kMaxCtx];  // 0 = absent
+  uint8_t v8[kMaxCtx];    // 0 = absent
+};
+
+struct MultiMap {
+  std::vector<MSlot> slots;
+  std::vector<uint32_t> lens;     // insert-time verification only
+  std::vector<uint32_t> ent_off;  // insert-time verification only
+  const uint32_t* table = nullptr;
+  uint64_t mask = 0;
+
+  void init(size_t capacity) {
+    size_t cap = 1;
+    while (cap < capacity * 2) cap <<= 1;
+    slots.assign(cap, MSlot{});
+    lens.assign(cap, 0);
+    ent_off.assign(cap, 0);
+    mask = cap - 1;
+  }
+
+  void insert(const uint32_t* content, uint32_t len, uint32_t off,
+              uint32_t index, int ctx) {
+    uint64_t k = slot_key(hash_window(content, len), len);
+    uint64_t slot = k & mask;
+    while (true) {
+      MSlot& s = slots[slot];
+      if (s.key == 0) {
+        s.key = k;
+        lens[slot] = len;
+        ent_off[slot] = off;
+        s.v16[ctx] = uint16_t(index);
+        if (index < 256) s.v8[ctx] = uint8_t(index);
+        return;
+      }
+      if (s.key == k && lens[slot] == len &&
+          std::memcmp(table + ent_off[slot], content, len * 4) == 0) {
+        s.v16[ctx] = uint16_t(index);  // override (ascending inserts)
+        if (index < 256) s.v8[ctx] = uint8_t(index);
+        ent_off[slot] = off;
+        return;
+      }
+      slot = (slot + 1) & mask;
+    }
+  }
+
+  inline const MSlot* find_fast(uint64_t h, uint32_t len) const {
+    uint64_t k = slot_key(h, len);
+    uint64_t slot = k & mask;
+    while (true) {
+      const MSlot& s = slots[slot];
+      if (s.key == k) return &s;
+      if (s.key == 0) return nullptr;
+      slot = (slot + 1) & mask;
+    }
+  }
+
+  inline const MSlot* find_verified(uint64_t h, const uint32_t* w,
+                                    uint32_t len) const {
+    uint64_t k = slot_key(h, len);
+    uint64_t slot = k & mask;
+    while (true) {
+      const MSlot& s = slots[slot];
+      if (s.key == 0) return nullptr;
+      if (s.key == k && lens[slot] == len &&
+          std::memcmp(table + ent_off[slot], w, len * 4) == 0)
+        return &s;
+      slot = (slot + 1) & mask;
+    }
+  }
+};
+
+struct Encoder {
+  std::vector<uint32_t> table;          // flat entry table (+16 zero pad)
+  std::vector<LookupMap> maps;          // per context (fused 16/8 values)
+  MultiMap mmap;                        // combined map (n_contexts > 1)
+  // constant lookup result for an all-zero window of each target size
+  // (windows inside zero runs hit these without probing)
+  uint32_t zhit16[kMaxCtx][kNumTargetSizes];
+  uint32_t zhit8[kMaxCtx][kNumTargetSizes];
+  int n_contexts = 0;
+
+  // parse scratch (reused across units and trials)
+  std::vector<int64_t> cost;
+  std::vector<int32_t> parent;
+  std::vector<int32_t> codeword;
+  std::vector<UnitScratch> scr;
   // per-position codeword hits, filled by lookup_pass for one context
   std::vector<uint32_t> hit16[kNumTargetSizes];
   std::vector<uint32_t> hit8[kNumTargetSizes];
+  // per-(context, size) hits filled by lookup_pass_multi in one probe pass
+  std::vector<uint32_t> mhit16[kMaxCtx][kNumTargetSizes];
+  std::vector<uint32_t> mhit8[kMaxCtx][kNumTargetSizes];
   // decode tables for the verification pass (row-major per context)
   std::vector<uint32_t> dec_off;
   std::vector<int32_t> dec_len;
   int32_t entries_per_ctx = 0;
+
+  // content-verified unit memo: identical gap units encode identically,
+  // and real freq streams repeat the same 256-gap patterns constantly
+  // (all-ones freqs are an all-zero gap unit).  Keyed by rolling hash,
+  // verified by full content compare, bounded.
+  struct MemoEnt {
+    std::vector<uint32_t> gaps;
+    std::vector<uint8_t> bytes;
+  };
+  std::unordered_map<uint64_t, MemoEnt> memo;
+  static constexpr size_t kMemoCap = 1 << 16;
 };
 
 // Verify the current parse against the source gaps — the backstop
@@ -198,8 +301,8 @@ struct Encoder {
 // emit, nothing to check).  Touches each used codeword once (vs 5
 // probes per position for content-verified probing) with lookahead
 // prefetching of the scattered entry reads.
-static bool verify_parse(Encoder* e, const uint32_t* gaps, int64_t n,
-                         int ctx) {
+static bool verify_parse(Encoder* e, const UnitScratch& u,
+                         const uint32_t* gaps, int64_t n, int ctx) {
   const uint32_t* offs = e->dec_off.data() + int64_t(ctx) * e->entries_per_ctx;
   const int32_t* lens = e->dec_len.data() + int64_t(ctx) * e->entries_per_ctx;
   static thread_local std::vector<int64_t> srcs;
@@ -223,7 +326,7 @@ static bool verify_parse(Encoder* e, const uint32_t* gaps, int64_t n,
     int64_t src = srcs[t];
     int64_t ln = lens[cw];
     if (ln > (int64_t)kMaxEntrySize) {  // run entry: all zeros
-      if (e->zrun[src] < (uint32_t)ln) return false;
+      if (u.zrun[src] < (uint32_t)ln) return false;
     } else {
       if (std::memcmp(e->table.data() + offs[cw], gaps + src,
                       size_t(ln) * 4) != 0)
@@ -235,24 +338,24 @@ static bool verify_parse(Encoder* e, const uint32_t* gaps, int64_t n,
 
 // Precompute zero-run lengths and all window hashes for one unit; shared
 // by every trial parse (the multi encoder runs 12 parses per unit).
-static void precompute_unit(Encoder* e, const uint32_t* gaps, int64_t n) {
-  e->zrun.assign(n, 0);
+static void precompute_unit(UnitScratch* u, const uint32_t* gaps, int64_t n) {
+  u->zrun.assign(n, 0);
   uint32_t run = 0;
   for (int64_t i = n - 1; i >= 0; --i) {
     run = gaps[i] == 0 ? (run < 256 ? run + 1 : 256) : 0;
-    e->zrun[i] = run;
+    u->zrun[i] = run;
   }
   grow_pows(size_t(n) + 1);
-  e->prefix.resize(n + 1);
-  e->prefix[0] = 0;
+  u->prefix.resize(n + 1);
+  u->prefix[0] = 0;
   for (int64_t i = 0; i < n; ++i)
-    e->prefix[i + 1] = e->prefix[i] + mix64(gaps[i]) * g_pinvpow[i];
+    u->prefix[i + 1] = u->prefix[i] + mix64(gaps[i]) * g_pinvpow[i];
   for (int t = 0; t < kNumTargetSizes; ++t) {
     int64_t s = kTargetSizes[t];
     int64_t cnt = n - s + 1;
-    e->winhash[t].resize(cnt > 0 ? cnt : 0);
+    u->winhash[t].resize(cnt > 0 ? cnt : 0);
     for (int64_t i = 0; i < cnt; ++i)
-      e->winhash[t][i] = (e->prefix[i + s] - e->prefix[i]) * g_ppow[i];
+      u->winhash[t][i] = (u->prefix[i + s] - u->prefix[i]) * g_ppow[i];
   }
 }
 
@@ -263,7 +366,8 @@ static void precompute_unit(Encoder* e, const uint32_t* gaps, int64_t n) {
 // many cache misses in flight (the DP loop serialized them), and
 // windows lying inside zero runs resolve to a precomputed constant
 // without touching the table at all.
-static void lookup_pass(Encoder* e, int ctx, const uint32_t* gaps, int64_t n,
+static void lookup_pass(Encoder* e, const UnitScratch& u, int ctx,
+                        const uint32_t* gaps, int64_t n,
                         bool verified = false, bool need8 = true) {
   const LookupMap& map = e->maps[ctx];
   for (int t = 0; t < kNumTargetSizes; ++t) {
@@ -272,17 +376,17 @@ static void lookup_pass(Encoder* e, int ctx, const uint32_t* gaps, int64_t n,
     if (cnt < 0) cnt = 0;
     e->hit16[t].resize(cnt);
     e->hit8[t].resize(cnt);
-    const uint64_t* wh = e->winhash[t].data();
+    const uint64_t* wh = u.winhash[t].data();
     uint32_t* h16 = e->hit16[t].data();
     uint32_t* h8 = e->hit8[t].data();
     const uint32_t z16 = e->zhit16[ctx][t], z8 = e->zhit8[ctx][t];
     constexpr int64_t PF = 32;
     for (int64_t i = 0; i < cnt; ++i) {
-      if (i + PF < cnt && e->zrun[i + PF] < (uint32_t)s) {
+      if (i + PF < cnt && u.zrun[i + PF] < (uint32_t)s) {
         uint64_t kp = slot_key(wh[i + PF], (uint32_t)s);
         __builtin_prefetch(&map.slots[kp & map.mask]);
       }
-      if (e->zrun[i] >= (uint32_t)s) {  // all-zero window: constant hit
+      if (u.zrun[i] >= (uint32_t)s) {  // all-zero window: constant hit
         h16[i] = z16;
         h8[i] = z8;
         continue;
@@ -306,21 +410,20 @@ static void lookup_pass(Encoder* e, int ctx, const uint32_t* gaps, int64_t n,
 // DP parse of gaps[0..n) using the hit arrays of the last lookup_pass;
 // fills enc->cost/parent/cw.  Relaxation order (runs largest-first,
 // dict sizes 16..1, exception; strict '<') matches the oracle exactly.
-static void parse_hits(Encoder* e, bool b8, const uint32_t* gaps, int64_t n) {
+static void parse_hits_arrays(Encoder* e, const UnitScratch& u,
+                              const uint32_t* const hits[kNumTargetSizes],
+                              const uint32_t* gaps, int64_t n) {
   e->cost.assign(n + 1, kBig);
   e->parent.assign(n + 1, 0);
   e->codeword.assign(n + 1, 1);
   e->cost[0] = 0;
-  const uint32_t* hits[kNumTargetSizes];
-  for (int t = 0; t < kNumTargetSizes; ++t)
-    hits[t] = b8 ? e->hit8[t].data() : e->hit16[t].data();
   for (int64_t j = 1; j <= n; ++j) {
     int64_t best = kBig;
     int32_t bpar = 0, bcw = 1;
     // run edges, largest span (earliest source) first
     for (int t = 0; t < 5; ++t) {
       int64_t k = kRunKs[t];
-      if (j >= k && e->zrun[j - k] >= (uint32_t)k) {
+      if (j >= k && u.zrun[j - k] >= (uint32_t)k) {
         int64_t c = e->cost[j - k] + 1;
         if (c < best) { best = c; bpar = int32_t(j - k); bcw = kExceptions + t; }
       }
@@ -347,6 +450,74 @@ static void parse_hits(Encoder* e, bool b8, const uint32_t* gaps, int64_t n) {
     e->parent[j] = bpar;
     e->codeword[j] = bcw;
   }
+}
+
+static void parse_hits(Encoder* e, const UnitScratch& u, bool b8,
+                       const uint32_t* gaps, int64_t n) {
+  const uint32_t* hits[kNumTargetSizes];
+  for (int t = 0; t < kNumTargetSizes; ++t)
+    hits[t] = b8 ? e->hit8[t].data() : e->hit16[t].data();
+  parse_hits_arrays(e, u, hits, gaps, n);
+}
+
+// One probe pass over the COMBINED map fills the hit arrays of every
+// context at once (multi mode's main speed lever: 5 probes/position
+// total instead of 5 per context).
+static void lookup_pass_multi(Encoder* e, const UnitScratch& u,
+                              const uint32_t* gaps, int64_t n,
+                              bool verified = false) {
+  const MultiMap& map = e->mmap;
+  const int nc = e->n_contexts;
+  for (int t = 0; t < kNumTargetSizes; ++t) {
+    int64_t s = kTargetSizes[t];
+    int64_t cnt = n - s + 1;
+    if (cnt < 0) cnt = 0;
+    uint32_t* h16[kMaxCtx];
+    uint32_t* h8[kMaxCtx];
+    for (int c = 0; c < nc; ++c) {
+      e->mhit16[c][t].resize(cnt);
+      e->mhit8[c][t].resize(cnt);
+      h16[c] = e->mhit16[c][t].data();
+      h8[c] = e->mhit8[c][t].data();
+    }
+    const uint64_t* wh = u.winhash[t].data();
+    constexpr int64_t PF = 32;
+    for (int64_t i = 0; i < cnt; ++i) {
+      if (i + PF < cnt && u.zrun[i + PF] < (uint32_t)s) {
+        uint64_t kp = slot_key(wh[i + PF], (uint32_t)s);
+        __builtin_prefetch(&map.slots[kp & map.mask]);
+      }
+      if (u.zrun[i] >= (uint32_t)s) {  // all-zero window: constant hit
+        for (int c = 0; c < nc; ++c) {
+          h16[c][i] = e->zhit16[c][t];
+          h8[c][i] = e->zhit8[c][t];
+        }
+        continue;
+      }
+      const MSlot* sl = verified
+                            ? map.find_verified(wh[i], gaps + i, (uint32_t)s)
+                            : map.find_fast(wh[i], (uint32_t)s);
+      if (!sl) {
+        for (int c = 0; c < nc; ++c) {
+          h16[c][i] = kNoHit;
+          h8[c][i] = kNoHit;
+        }
+      } else {
+        for (int c = 0; c < nc; ++c) {
+          h16[c][i] = sl->v16[c] ? uint32_t(sl->v16[c]) : kNoHit;
+          h8[c][i] = sl->v8[c] ? uint32_t(sl->v8[c]) : kNoHit;
+        }
+      }
+    }
+  }
+}
+
+static void parse_mhits(Encoder* e, const UnitScratch& u, int ctx, bool b8,
+                        const uint32_t* gaps, int64_t n) {
+  const uint32_t* hits[kNumTargetSizes];
+  for (int t = 0; t < kNumTargetSizes; ++t)
+    hits[t] = b8 ? e->mhit8[ctx][t].data() : e->mhit16[ctx][t].data();
+  parse_hits_arrays(e, u, hits, gaps, n);
 }
 
 static void emit(const Encoder* e, const uint32_t* gaps, int64_t n, int b,
@@ -432,6 +603,24 @@ void* dint_encoder_create(const uint32_t* table, int64_t table_len,
       }
     }
   }
+  if (n_contexts > 1 && n_contexts <= kMaxCtx) {
+    // combined map: one probe returns every context's codewords
+    int64_t total_cnt = 0;
+    for (int32_t d = 0; d < n_contexts; ++d) total_cnt += counts[d];
+    e->mmap.table = e->table.data();
+    e->mmap.init(size_t(total_cnt) + 16);
+    for (int32_t d = 0; d < n_contexts; ++d) {
+      uint32_t idx = kExceptions;
+      for (uint32_t nrun = 256; nrun >= 16; nrun /= 2, ++idx)
+        e->mmap.insert(zeros, nrun, /*off=*/0, idx, d);
+      for (int32_t i = kExceptions + 5; i < counts[d]; ++i) {
+        uint32_t off = offsets[int64_t(d) * entries_per_ctx + i];
+        int32_t len = lengths[int64_t(d) * entries_per_ctx + i];
+        if (len > (int32_t)kMaxEntrySize) continue;
+        e->mmap.insert(e->table.data() + off, len, off, uint32_t(i), d);
+      }
+    }
+  }
   // decode tables for the post-emit verification pass
   e->dec_off.assign(offsets, offsets + int64_t(n_contexts) * entries_per_ctx);
   e->dec_len.assign(lengths, lengths + int64_t(n_contexts) * entries_per_ctx);
@@ -452,53 +641,103 @@ int64_t dint_encode_units(void* enc, const uint32_t* gaps,
   Encoder* e = static_cast<Encoder*>(enc);
   std::vector<uint8_t> buf;
   int64_t written = 0;
-  for (int64_t u = 0; u < n_units; ++u) {
-    const uint32_t* g = gaps + unit_offs[u];
-    int64_t n = unit_offs[u + 1] - unit_offs[u];
-    buf.clear();
-    precompute_unit(e, g, n);
-    if (mode == 0) {
-      lookup_pass(e, 0, g, n, /*verified=*/false, /*need8=*/false);
-      parse_hits(e, /*b8=*/false, g, n);
-      if (!verify_parse(e, g, n, 0)) {
-        // 64-bit hash collision (~never): redo content-verified
-        lookup_pass(e, 0, g, n, /*verified=*/true, /*need8=*/false);
-        parse_hits(e, false, g, n);
-      }
-      emit(e, g, n, 16, &buf);
-    } else {
-      for (int pass = 0; pass < 2; ++pass) {
-        bool verified = pass == 1;
-        int64_t best_size = kBig;
-        int32_t best_sc = 0;
-        for (int32_t s = 0; s < e->n_contexts; ++s) {
-          lookup_pass(e, s, g, n, verified);  // one probe pass, both widths
-          parse_hits(e, false, g, n);
-          int64_t sz16 = stream_bytes(e, n, 16);
-          parse_hits(e, true, g, n);
-          int64_t sz8 = stream_bytes(e, n, 8);
-          int64_t sz = sz16;
-          int32_t sc = s;
-          if (sz8 <= sz16) { sz = sz8; sc = s + e->n_contexts; }
-          if (sz < best_size) { best_size = sz; best_sc = sc; }
-        }
-        buf.clear();
-        buf.push_back(uint8_t(best_sc));
-        int32_t ctx = best_sc % e->n_contexts;
-        int b = best_sc >= e->n_contexts ? 8 : 16;
-        lookup_pass(e, ctx, g, n, verified);
-        parse_hits(e, b == 8, g, n);
-        if (verified || verify_parse(e, g, n, ctx)) {
-          emit(e, g, n, b, &buf);
-          break;  // hash collision otherwise: retry content-verified
-        }
-      }
-    }
-    if (written + int64_t(buf.size()) > out_cap)
-      return -(written + int64_t(buf.size()));
+
+  auto append = [&](int64_t u) -> bool {
+    if (written + int64_t(buf.size()) > out_cap) return false;
     std::memcpy(out_buf + written, buf.data(), buf.size());
     written += int64_t(buf.size());
     out_lens[u] = int64_t(buf.size());
+    return true;
+  };
+
+  // unit memo (mode-keyed so single/multi streams never mix)
+  auto memo_key = [&](const uint32_t* g, int64_t n) {
+    uint64_t h = 0;
+    for (int64_t i = 0; i < n; ++i) h = h * kP + mix64(g[i]);
+    return h ^ (uint64_t(n) << 1) ^ uint64_t(mode);
+  };
+  auto memo_get = [&](uint64_t key, const uint32_t* g, int64_t n) -> bool {
+    auto it = e->memo.find(key);
+    if (it == e->memo.end()) return false;
+    const auto& m = it->second;
+    if ((int64_t)m.gaps.size() != n ||
+        std::memcmp(m.gaps.data(), g, size_t(n) * 4) != 0)
+      return false;
+    buf.assign(m.bytes.begin(), m.bytes.end());
+    return true;
+  };
+  auto memo_put = [&](uint64_t key, const uint32_t* g, int64_t n) {
+    if (e->memo.size() >= Encoder::kMemoCap) e->memo.clear();
+    auto& m = e->memo[key];
+    m.gaps.assign(g, g + n);
+    m.bytes.assign(buf.begin(), buf.end());
+  };
+
+  if (mode == 0) {
+    if (e->scr.empty()) e->scr.resize(1);
+    UnitScratch& sc = e->scr[0];
+    for (int64_t u = 0; u < n_units; ++u) {
+      const uint32_t* g = gaps + unit_offs[u];
+      int64_t n = unit_offs[u + 1] - unit_offs[u];
+      buf.clear();
+      uint64_t mk = memo_key(g, n);
+      if (!memo_get(mk, g, n)) {
+        precompute_unit(&sc, g, n);
+        lookup_pass(e, sc, 0, g, n, /*verified=*/false, /*need8=*/false);
+        parse_hits(e, sc, /*b8=*/false, g, n);
+        if (!verify_parse(e, sc, g, n, 0)) {
+          // hash collision (~never): redo content-verified
+          lookup_pass(e, sc, 0, g, n, /*verified=*/true, /*need8=*/false);
+          parse_hits(e, sc, false, g, n);
+        }
+        emit(e, g, n, 16, &buf);
+        memo_put(mk, g, n);
+      }
+      if (!append(u)) return -(written + int64_t(buf.size()));
+    }
+    return written;
+  }
+
+  // mode 1: ONE combined-map probe pass per unit feeds all 12 trial
+  // parses (6 contexts x {b=16, b=8}).
+  if (e->scr.empty()) e->scr.resize(1);
+  UnitScratch& sc0 = e->scr[0];
+  for (int64_t u = 0; u < n_units; ++u) {
+    const uint32_t* g = gaps + unit_offs[u];
+    int64_t n = unit_offs[u + 1] - unit_offs[u];
+    uint64_t mk = memo_key(g, n);
+    if (memo_get(mk, g, n)) {
+      if (!append(u)) return -(written + int64_t(buf.size()));
+      continue;
+    }
+    precompute_unit(&sc0, g, n);
+    for (int pass = 0; pass < 2; ++pass) {
+      bool verified = pass == 1;
+      lookup_pass_multi(e, sc0, g, n, verified);
+      int64_t best_size = kBig;
+      int32_t best_sc = 0;
+      for (int32_t s = 0; s < e->n_contexts; ++s) {
+        parse_mhits(e, sc0, s, false, g, n);
+        int64_t sz16 = stream_bytes(e, n, 16);
+        parse_mhits(e, sc0, s, true, g, n);
+        int64_t sz8 = stream_bytes(e, n, 8);
+        int64_t sz = sz16;
+        int32_t c = s;
+        if (sz8 <= sz16) { sz = sz8; c = s + e->n_contexts; }
+        if (sz < best_size) { best_size = sz; best_sc = c; }
+      }
+      buf.clear();
+      buf.push_back(uint8_t(best_sc));
+      int32_t ctx = best_sc % e->n_contexts;
+      int b = best_sc >= e->n_contexts ? 8 : 16;
+      parse_mhits(e, sc0, ctx, b == 8, g, n);
+      if (verified || verify_parse(e, sc0, g, n, ctx)) {
+        emit(e, g, n, b, &buf);
+        break;  // hash collision otherwise: retry content-verified
+      }
+    }
+    memo_put(mk, g, n);
+    if (!append(u)) return -(written + int64_t(buf.size()));
   }
   return written;
 }
