@@ -22,6 +22,7 @@ from ..codecs import interpolative, vbyte
 from ..config import BLOCK_SIZE
 from ..io.collection import open_freq_collection
 from ..tools import common as tools_common
+from ..utils import block_profiler
 from ..utils import gaps as gap_mod
 
 MAGIC = b"BLKTPU1"
@@ -116,6 +117,9 @@ class BlockIndex:
         sum_v = int(self.block_max[b]) - base - (size - 1)
         dec = _codec(self.codec)[1]
         gaps, _ = dec(self.arena, self.block_start(b), size, sum_v)
+        if block_profiler.is_enabled():  # block_posting_list.hpp:96-99
+            block_profiler.open_list(i, int(self.block_ptr[i + 1] - self.block_ptr[i]))
+            block_profiler.count_docs(i, b - int(self.block_ptr[i]))
         return (np.cumsum(gaps.astype(np.int64) + 1) - 1 + base).astype(np.uint32)
 
     def block_freqs(self, b: int, i: int) -> np.ndarray:
@@ -123,6 +127,9 @@ class BlockIndex:
         self.ensure_docs_end()
         dec = _codec(self.codec)[1]
         vals, _ = dec(self.arena, int(self.docs_end[b]), size, blocks_mod.UNKNOWN)
+        if block_profiler.is_enabled():  # block_posting_list.hpp:316-330
+            block_profiler.open_list(i, int(self.block_ptr[i + 1] - self.block_ptr[i]))
+            block_profiler.count_freqs(i, b - int(self.block_ptr[i]))
         return (vals.astype(np.int64) + 1).astype(np.uint32)
 
     def list_docids(self, i: int) -> np.ndarray:

@@ -67,6 +67,19 @@ class DintIndex:
         return int(self.block_end[b - 1]) if b > 0 else 0
 
     # ---- size accounting (reference-equivalent) ----
+    def endpoint_directory_bits(self) -> int:
+        """EXACT bit count of the EF-coded list directory — the
+        m_endpoints analogue (dict_freq_index.hpp:97-100: compact EF
+        over the per-list start offsets, universe = payload byte size,
+        n = num_lists).  The EF layout is a closed function of
+        (universe, n), so bitsize() IS the serialized size
+        (compact_elias_fano.hpp offsets/bitsize); a test asserts an
+        actual write lands on exactly this many bits."""
+        from ..codecs import ef
+
+        u = max(int(self.arena.shape[0]), 1)
+        return int(ef.compact_elias_fano.bitsize(ef.PARAMS, u, self.num_lists))
+
     def size_stats(self) -> dict:
         """Reference-style byte split (index_build_utils.hpp:37-88):
         freqs = per-block freq payload bytes; docs = everything else
@@ -79,13 +92,9 @@ class DintIndex:
         docs_payload = int((self.docs_end - starts).sum())
         maxs_bytes = 4 * NB
         endpoint_bytes = 4 * (NB - L)  # last block of each list implied
-        # list directory: Elias-Fano-coded endpoints like m_endpoints
-        # (dict_freq_index.hpp:97-100): n=L values over arena-size universe
-        u = max(int(self.arena.shape[0]), 1)
-        lower = max(0, int(np.floor(np.log2(max(u / max(L, 1), 1)))))
-        ef_bits = L * (lower + 2) + 128
+        ef_bits = self.endpoint_directory_bits()
         postings = int(self.list_n.astype(np.int64).sum())
-        docs_bytes = header_bytes + maxs_bytes + endpoint_bytes + docs_payload + ef_bits // 8
+        docs_bytes = header_bytes + maxs_bytes + endpoint_bytes + docs_payload + -(-ef_bits // 8)
         return {
             "postings": postings,
             "docs_bytes": docs_bytes,

@@ -270,6 +270,10 @@ struct Encoder {
   std::vector<int64_t> cost;
   std::vector<int32_t> parent;
   std::vector<int32_t> codeword;
+  // second parse lane for the dual-width multi sweep
+  std::vector<int64_t> cost8;
+  std::vector<int32_t> parent8;
+  std::vector<int32_t> codeword8;
   std::vector<UnitScratch> scr;
   // per-position codeword hits, filled by lookup_pass for one context
   std::vector<uint32_t> hit16[kNumTargetSizes];
@@ -520,6 +524,79 @@ static void parse_mhits(Encoder* e, const UnitScratch& u, int ctx, bool b8,
   parse_hits_arrays(e, u, hits, gaps, n);
 }
 
+// Both trial widths of one context in a single DP sweep: the run and
+// exception edges are shared work, only the dictionary hits differ.
+// Fills cost/parent/codeword (b=16) and cost8/parent8/codeword8 (b=8).
+static void parse_mhits_dual(Encoder* e, const UnitScratch& u, int ctx,
+                             const uint32_t* gaps, int64_t n) {
+  e->cost.assign(n + 1, kBig);
+  e->parent.assign(n + 1, 0);
+  e->codeword.assign(n + 1, 1);
+  e->cost[0] = 0;
+  e->cost8.assign(n + 1, kBig);
+  e->parent8.assign(n + 1, 0);
+  e->codeword8.assign(n + 1, 1);
+  e->cost8[0] = 0;
+  const uint32_t* h16[kNumTargetSizes];
+  const uint32_t* h8[kNumTargetSizes];
+  for (int t = 0; t < kNumTargetSizes; ++t) {
+    h16[t] = e->mhit16[ctx][t].data();
+    h8[t] = e->mhit8[ctx][t].data();
+  }
+  for (int64_t j = 1; j <= n; ++j) {
+    int64_t best = kBig, best8 = kBig;
+    int32_t bpar = 0, bcw = 1, bpar8 = 0, bcw8 = 1;
+    for (int t = 0; t < 5; ++t) {
+      int64_t k = kRunKs[t];
+      if (j >= k && u.zrun[j - k] >= (uint32_t)k) {
+        int64_t c = e->cost[j - k] + 1;
+        if (c < best) { best = c; bpar = int32_t(j - k); bcw = kExceptions + t; }
+        int64_t c8 = e->cost8[j - k] + 1;
+        if (c8 < best8) { best8 = c8; bpar8 = int32_t(j - k); bcw8 = kExceptions + t; }
+      }
+    }
+    for (int t = 0; t < kNumTargetSizes; ++t) {
+      int64_t s = kTargetSizes[t];
+      if (j >= s) {
+        int64_t i = j - s;
+        uint32_t hit = h16[t][i];
+        if (hit != kNoHit) {
+          int64_t c = e->cost[i] + 1;
+          if (c < best) { best = c; bpar = int32_t(i); bcw = int32_t(hit); }
+        }
+        uint32_t hit8v = h8[t][i];
+        if (hit8v != kNoHit) {
+          int64_t c8 = e->cost8[i] + 1;
+          if (c8 < best8) { best8 = c8; bpar8 = int32_t(i); bcw8 = int32_t(hit8v); }
+        }
+      }
+    }
+    {
+      bool large = gaps[j - 1] >= kSmallLimit;
+      int64_t add = 2 + (large ? 1 : 0);
+      int64_t c = e->cost[j - 1] + add;
+      if (c < best) { best = c; bpar = int32_t(j - 1); bcw = large ? 1 : 0; }
+      int64_t c8 = e->cost8[j - 1] + add;
+      if (c8 < best8) { best8 = c8; bpar8 = int32_t(j - 1); bcw8 = large ? 1 : 0; }
+    }
+    e->cost[j] = best;
+    e->parent[j] = bpar;
+    e->codeword[j] = bcw;
+    e->cost8[j] = best8;
+    e->parent8[j] = bpar8;
+    e->codeword8[j] = bcw8;
+  }
+}
+
+static int64_t stream_bytes8_arrays(const Encoder* e, int64_t n) {
+  int64_t total = 0;
+  for (int64_t i = n; i != 0; i = e->parent8[i]) {
+    int32_t cw = e->codeword8[i];
+    total += cw > 1 ? 1 : (cw == 0 ? 3 : 5);
+  }
+  return total;
+}
+
 static void emit(const Encoder* e, const uint32_t* gaps, int64_t n, int b,
                  std::vector<uint8_t>* out) {
   // backtrack (nodes strictly decrease), then emit in forward order
@@ -717,10 +794,9 @@ int64_t dint_encode_units(void* enc, const uint32_t* gaps,
       int64_t best_size = kBig;
       int32_t best_sc = 0;
       for (int32_t s = 0; s < e->n_contexts; ++s) {
-        parse_mhits(e, sc0, s, false, g, n);
+        parse_mhits_dual(e, sc0, s, g, n);  // both widths, one sweep
         int64_t sz16 = stream_bytes(e, n, 16);
-        parse_mhits(e, sc0, s, true, g, n);
-        int64_t sz8 = stream_bytes(e, n, 8);
+        int64_t sz8 = stream_bytes8_arrays(e, n);
         int64_t sz = sz16;
         int32_t c = s;
         if (sz8 <= sz16) { sz = sz8; c = s + e->n_contexts; }

@@ -172,3 +172,32 @@ def test_device_batch_ranked_parity(built):
         want = ranked.ranked_or(idx, dec, wdata, q, k=10)
         assert g.shape[0] == want.shape[0]
         np.testing.assert_allclose(g, want, rtol=1e-3)
+
+
+def test_endpoint_directory_bits_exact(built):
+    """size_stats' EF directory size is the EXACT serialized size: an
+    actual compact-EF write of the per-list start offsets (m_endpoints
+    analogue, dict_freq_index.hpp:97-100) lands on exactly
+    endpoint_directory_bits() bits (regression for the closed-form
+    estimate this replaced)."""
+    from dint_tpu.codecs import ef
+    from dint_tpu.utils.bitio import BitBuilder
+
+    idx = built[0]
+    idx.ensure_docs_end()
+    L = idx.num_lists
+    starts = np.asarray(
+        [idx.block_start(int(idx.block_ptr[i])) for i in range(L)],
+        dtype=np.uint64,
+    )
+    u = max(int(idx.arena.shape[0]), 1)
+    bb = BitBuilder()
+    ef.compact_elias_fano.write(bb, starts, u, L, ef.PARAMS)
+    assert bb.size == idx.endpoint_directory_bits()
+    # decode back: directory is lossless
+    got = ef.compact_elias_fano.decode_all(bb.words(), 0, u, L, ef.PARAMS)
+    np.testing.assert_array_equal(got, starts)
+    # size_stats self-consistency: components sum to the reported bytes
+    st = idx.size_stats()
+    assert st["docs_bytes"] > 0 and st["freqs_bytes"] > 0
+    assert st["docs_bytes"] + st["freqs_bytes"] >= int(idx.arena.shape[0])
