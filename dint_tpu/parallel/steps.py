@@ -145,6 +145,58 @@ def doc_sharded_topk_step(local_docs: jnp.ndarray,
     return v, jnp.take_along_axis(gd, i, axis=1)
 
 
+PAD_DOC_I32 = jnp.int32(2**31 - 1)
+
+
+def _seg_scan_rows(x: jnp.ndarray, start: jnp.ndarray) -> jnp.ndarray:
+    """Segmented inclusive scan along the last axis (log-step doubling;
+    same recurrence as query/device_batch.py seg_scan)."""
+    P = x.shape[-1]
+    f = start
+    k = 1
+    while k < P:
+        xs = jnp.pad(x, ((0, 0), (k, 0)))[:, :P]
+        fs = jnp.pad(f, ((0, 0), (k, 0)), constant_values=True)[:, :P]
+        x = x + jnp.where(f, jnp.zeros_like(x), xs)
+        f = f | fs
+        k *= 2
+    return x
+
+
+def doc_sharded_rows_topk_step(d: jnp.ndarray, s: jnp.ndarray, k: int,
+                               axis: str = "dp"):
+    """Doc-sharded ranked serving over REAL posting rows.
+
+    The serving configuration for a built index partitioned by document
+    range: each device holds, per query, the (docid, partial score)
+    posting rows whose docids fall in ITS doc range (PAD_DOC padded).
+    Because a document lives in exactly one shard, the local sort-merge
+    score sums are COMPLETE, so per-shard top-k + all_gather merge is
+    globally exact (doc_sharded_topk_step's argument, applied to the
+    sort-merge kernel of query/device_batch.py).
+
+    d: (Q, P) i32 docids, s: (Q, P) f32 partial scores (this shard)
+    returns (values (Q, k), doc_ids (Q, k)) — exact global top-k
+    """
+    d, s = jax.lax.sort([d, s], num_keys=1)
+    start = jnp.concatenate(
+        [jnp.ones_like(d[:, :1], bool), d[:, 1:] != d[:, :-1]], axis=1
+    )
+    sums = _seg_scan_rows(s, start)
+    end = jnp.concatenate(
+        [d[:, :-1] != d[:, 1:], jnp.ones_like(d[:, :1], bool)], axis=1
+    )
+    valid = d != PAD_DOC_I32
+    cand = jnp.where(end & valid, sums, -jnp.inf)
+    lv, li = jax.lax.top_k(cand, k)
+    ld = jnp.take_along_axis(d, li, axis=1)
+    gv = jax.lax.all_gather(lv, axis, axis=1)  # (Q, S, k)
+    gd = jax.lax.all_gather(ld, axis, axis=1)
+    Q = gv.shape[0]
+    v, i = jax.lax.top_k(gv.reshape(Q, -1), k)
+    return v, jnp.take_along_axis(gd.reshape(Q, -1), i, axis=1)
+
+
 def stats_training_step(blocks: jnp.ndarray, n_buckets: int = 1 << 16):
     """One sharded statistics pass over a batch of 256-int gap blocks.
 
