@@ -32,6 +32,75 @@ def _as_u32(values) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Vectorization helpers shared by the zoo decoders.
+#
+# The reference implements these decode loops with unrolled SSE
+# (qmx_codec.hpp, VarIntG8IU.h).  The numpy rebuild gets the same
+# "many lanes at once" effect from two primitives:
+#
+# * _bitunpack — gather ≤5 bytes per field and shift/mask, all fields
+#   at once (the fixed-width unpack behind optpfor/qmx payloads);
+# * _chain_positions — materialize the data-dependent walk
+#   p -> p + adv[p] (group headers whose size depends on the header
+#   byte) in O(log n) rounds of gathers by jump-pointer doubling,
+#   instead of a per-group Python loop.
+# ---------------------------------------------------------------------------
+
+
+_U8_PAD = 80  # covers qmx's worst over-read: 16 fields x 32 bits + window
+
+
+def _u8view(buf, pos: int) -> np.ndarray:
+    """u8 array of buf[pos:] with zero padding appended (decoders may
+    speculatively read whole groups past a partial final group; the
+    results are discarded, the reads must just be in bounds)."""
+    a = np.asarray(buf[pos:], dtype=np.uint8)
+    return np.concatenate([a, np.zeros(_U8_PAD, np.uint8)])
+
+
+def _bitunpack(data: np.ndarray, bit_offsets: np.ndarray, b: int) -> np.ndarray:
+    """Extract b-bit little-endian fields at arbitrary bit offsets.
+
+    data must be padded so byte reads up to offset+5 stay in range.
+    Exact for b <= 32 (windows of shift(<=7)+b <= 39 bits in 5 bytes).
+    """
+    if b == 0:
+        return np.zeros(bit_offsets.shape[0], np.uint64)
+    byte_off = (bit_offsets >> 3).astype(np.int64)
+    sh = (bit_offsets & 7).astype(np.uint64)
+    w = np.zeros(byte_off.shape[0], np.uint64)
+    nb = (b + 7 + 7) // 8
+    for i in range(nb):
+        w |= data[byte_off + i].astype(np.uint64) << np.uint64(8 * i)
+    return (w >> sh) & np.uint64((1 << b) - 1)
+
+
+def _chain_positions(adv: np.ndarray, count: int) -> np.ndarray:
+    """First `count` nodes of the walk p0=0, p_{k+1} = p_k + adv[p_k].
+
+    Jump-pointer doubling: `jump` advances by `filled` steps at every
+    round, so the node list doubles per round — O(log count) rounds of
+    numpy gathers replace the sequential group walk."""
+    L = adv.shape[0]
+    nodes = np.zeros(count, dtype=np.int64)
+    if count <= 1:
+        return nodes
+    jump = np.minimum(
+        np.arange(L + 1, dtype=np.int32)
+        + np.concatenate([adv.astype(np.int32), np.zeros(1, np.int32)]),
+        np.int32(L),
+    )
+    filled = 1
+    while filled < count:
+        take = min(filled, count - filled)
+        nodes[filled : filled + take] = jump[nodes[:take]]
+        filled += take
+        if filled < count:
+            jump = jump[jump]
+    return nodes
+
+
+# ---------------------------------------------------------------------------
 # u32 / vbyte
 # ---------------------------------------------------------------------------
 
@@ -81,7 +150,8 @@ def maskedvbyte_encode(values, sum_of_values) -> bytes:
     return out.tobytes()
 
 
-def maskedvbyte_decode(buf, pos, n, sum_of_values):
+def _maskedvbyte_decode_scalar(buf, pos, n, sum_of_values):
+    """Byte-walk oracle (cross-checked against the vectorized decode)."""
     out = np.empty(n, dtype=np.uint32)
     p = pos
     for i in range(n):
@@ -96,6 +166,28 @@ def maskedvbyte_decode(buf, pos, n, sum_of_values):
             shift += 7
         out[i] = v & 0xFFFFFFFF
     return out, p
+
+
+def maskedvbyte_decode(buf, pos, n, sum_of_values):
+    """Vectorized, chain-free: the format is self-delimiting — a value
+    ends exactly at a byte whose continuation bit is clear, so the
+    first n terminator positions ARE the value boundaries (one
+    flatnonzero), and bytes assemble with one masked gather per lane."""
+    if n == 0:
+        return np.zeros(0, np.uint32), pos
+    data = _u8view(buf, pos)
+    term = np.flatnonzero((data & 0x80) == 0)
+    ends = term[:n].astype(np.int64)
+    starts = np.concatenate([[0], ends[:-1] + 1])
+    L = ends - starts + 1
+    v = np.zeros(n, np.uint64)
+    for i in range(5):
+        m = L > i
+        if not m.any():
+            break
+        v[m] |= (data[starts[m] + i].astype(np.uint64) & np.uint64(0x7F)) << np.uint64(7 * i)
+    end = int(ends[-1]) + 1
+    return (v & np.uint64(0xFFFFFFFF)).astype(np.uint32), pos + end
 
 
 # ---------------------------------------------------------------------------
@@ -167,7 +259,7 @@ def varintgb_encode(values, sum_of_values) -> bytes:
     return bytes(out)
 
 
-def varintgb_decode(buf, pos, n, sum_of_values):
+def _varintgb_decode_scalar(buf, pos, n, sum_of_values):
     out = np.empty(n, dtype=np.uint32)
     i = 0
     p = pos
@@ -180,6 +272,49 @@ def varintgb_decode(buf, pos, n, sum_of_values):
             p += L
             i += 1
     return out, p
+
+
+_VGB_ADV = None  # group advance per key byte (1 + sum of 4 lengths)
+_VGB_LENS = None  # (256, 4) per-slot lengths
+
+
+def _vgb_tables():
+    global _VGB_ADV, _VGB_LENS
+    if _VGB_ADV is None:
+        keys = np.arange(256, dtype=np.int64)
+        lens = np.stack(
+            [((keys >> (2 * j)) & 3) + 1 for j in range(4)], axis=1
+        )
+        _VGB_LENS = lens
+        _VGB_ADV = 1 + lens.sum(axis=1)
+    return _VGB_ADV, _VGB_LENS
+
+
+def varintgb_decode(buf, pos, n, sum_of_values):
+    """Vectorized: key-byte positions via the chain walk (advance is a
+    pure table of the key byte), then per-slot masked byte gathers."""
+    if n == 0:
+        return np.zeros(0, np.uint32), pos
+    adv_t, lens_t = _vgb_tables()
+    data = _u8view(buf, pos)
+    G = (n + 3) // 4
+    adv = adv_t[data[: max(data.shape[0] - _U8_PAD + 1, 1)]]
+    gpos = _chain_positions(adv, G)
+    keys = data[gpos]
+    lens = lens_t[keys]  # (G, 4)
+    # byte start of slot j within group: gpos + 1 + prefix lens
+    pref = np.concatenate(
+        [np.zeros((G, 1), np.int64), np.cumsum(lens, axis=1)[:, :3]], axis=1
+    )
+    starts = gpos[:, None] + 1 + pref  # (G, 4)
+    vals = np.zeros((G, 4), np.uint64)
+    for b in range(4):
+        m = lens > b
+        vals[m] |= data[starts[m] + b].astype(np.uint64) << np.uint64(8 * b)
+    out = vals.reshape(-1)[:n].astype(np.uint32)
+    used = n - 4 * (G - 1)  # slots used in the last group
+    end = int(gpos[-1]) + 1 + int(lens[-1, :used].sum())
+    return out, pos + end
 
 
 # ---------------------------------------------------------------------------
@@ -216,7 +351,7 @@ def varint_g8iu_encode(values, sum_of_values) -> bytes:
     return _varint_g8iu_encode_full(values)
 
 
-def varint_g8iu_decode(buf, pos, n, sum_of_values):
+def _varint_g8iu_decode_scalar(buf, pos, n, sum_of_values):
     if n < BLOCK_SIZE:
         return interpolative.decode_block(buf, pos, n, sum_of_values)
     out = np.empty(n, dtype=np.uint32)
@@ -235,6 +370,47 @@ def varint_g8iu_decode(buf, pos, n, sum_of_values):
                 if i == n:
                     break
     return out, p
+
+
+_POPCNT8 = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1
+).sum(axis=1).astype(np.int64)
+
+
+def varint_g8iu_decode(buf, pos, n, sum_of_values):
+    """Vectorized: fixed 9-byte groups (descriptor + 8 data bytes), so
+    group positions are a stride — per-byte value assignment and
+    in-value byte offsets come from the descriptor bits alone (the
+    work VarIntG8IU.h does with one SSSE3 shuffle per group)."""
+    if n < BLOCK_SIZE:
+        return interpolative.decode_block(buf, pos, n, sum_of_values)
+    data = _u8view(buf, pos)
+    avail = (data.shape[0] - _U8_PAD) // 9 + 1
+    descs = data[0 : 9 * avail : 9]
+    cnt = _POPCNT8[descs]
+    cum = np.cumsum(cnt)
+    G = int(np.searchsorted(cum, n, side="left")) + 1
+    descs, cnt, cum = descs[:G], cnt[:G], cum[:G]
+    base = cum - cnt
+    bpos = np.arange(8)
+    endbits = ((descs[:, None].astype(np.int64) >> bpos) & 1).astype(np.int64)
+    ends_excl = np.cumsum(endbits, axis=1) - endbits
+    vidx = base[:, None] + ends_excl
+    sa = np.maximum.accumulate(np.where(endbits == 1, bpos + 1, 0), axis=1)
+    start_b = np.concatenate([np.zeros((G, 1), np.int64), sa[:, :7]], axis=1)
+    off = bpos[None, :] - start_b
+    bytes_g = data[(9 * np.arange(G, dtype=np.int64))[:, None] + 1 + bpos]
+    contrib = bytes_g.astype(np.uint64) << (8 * off).astype(np.uint64)
+    valid = (ends_excl < cnt[:, None]) & (vidx < n)
+    out = np.zeros(n, np.uint64)
+    # per byte-lane OR: within one lane every group targets a distinct
+    # value (values never span groups), so fancy-assignment is safe and
+    # much faster than np.add.at
+    for b in range(8):
+        m = valid[:, b]
+        if m.any():
+            out[vidx[m, b]] |= contrib[m, b]
+    return out.astype(np.uint32), pos + 9 * G
 
 
 # ---------------------------------------------------------------------------
@@ -272,7 +448,7 @@ def simple16_encode(values, sum_of_values) -> bytes:
     return np.asarray(words, dtype="<u4").tobytes()
 
 
-def simple16_decode(buf, pos, n, sum_of_values):
+def _simple16_decode_scalar(buf, pos, n, sum_of_values):
     out = np.empty(n, dtype=np.uint32)
     i = 0
     p = pos
@@ -286,6 +462,43 @@ def simple16_decode(buf, pos, n, sum_of_values):
             out[i] = (w >> (j * bits)) & mask
             i += 1
     return out, p
+
+
+_S16_CNT = np.asarray([c for c, _ in _S16_MODES], np.int64)
+_S16_BITS = np.asarray([b for _, b in _S16_MODES], np.int64)
+
+
+def simple16_decode(buf, pos, n, sum_of_values):
+    """Vectorized: words sit at a fixed 4-byte stride, so all selectors
+    read at once; words group by mode and each mode's fields unpack
+    with pure shifts (<=28 lanes per word, vectorized across words)."""
+    if n == 0:
+        return np.zeros(0, np.uint32), pos
+    raw = np.asarray(buf[pos:], dtype=np.uint8)
+    avail = min(raw.shape[0] // 4, n)
+    words = np.frombuffer(raw[: 4 * avail].tobytes(), "<u4").astype(np.uint64)
+    # clamp selectors before the table lookup: words past the true
+    # stream end (cut below) may be other lists' bytes
+    modes = np.minimum((words >> np.uint64(28)).astype(np.int64), 8)
+    cnts = _S16_CNT[modes]
+    cum = np.cumsum(cnts)
+    W = int(np.searchsorted(cum, n, side="left")) + 1
+    words, modes, cnts, cum = words[:W], modes[:W], cnts[:W], cum[:W]
+    base = cum - cnts
+    out = np.zeros(n, np.uint32)
+    for mode in np.unique(modes):
+        rows = np.flatnonzero(modes == mode)
+        cnt, bits = int(_S16_CNT[mode]), int(_S16_BITS[mode])
+        mask = np.uint64((1 << bits) - 1)
+        w = words[rows]
+        b0 = base[rows]
+        for j in range(cnt):
+            tgt = b0 + j
+            m = tgt < n
+            out[tgt[m]] = ((w[m] >> np.uint64(j * bits)) & mask).astype(
+                np.uint32
+            )
+    return out, pos + 4 * W
 
 
 # ---------------------------------------------------------------------------
@@ -313,7 +526,7 @@ def qmx_encode(values, sum_of_values) -> bytes:
     return bytes(out)
 
 
-def qmx_decode(buf, pos, n, sum_of_values):
+def _qmx_decode_scalar(buf, pos, n, sum_of_values):
     out = np.empty(n, dtype=np.uint32)
     i = 0
     p = pos
@@ -329,6 +542,31 @@ def qmx_decode(buf, pos, n, sum_of_values):
             out[i] = (acc >> (j * w)) & mask
             i += 1
     return out, p
+
+
+def qmx_decode(buf, pos, n, sum_of_values):
+    """Vectorized: group headers found by the chain walk (advance is a
+    pure function of the width byte), then per-width batched bit
+    unpack (_bitunpack) — the role the original's 16-entry jump tables
+    of unrolled SSE loops play (qmx_codec.hpp decode)."""
+    if n == 0:
+        return np.zeros(0, np.uint32), pos
+    data = _u8view(buf, pos)
+    G = -(-n // _QMX_GROUP)
+    body = data[: max(data.shape[0] - _U8_PAD + 1, 1)].astype(np.int64)
+    adv = 1 + ((_QMX_GROUP * body + 7) >> 3)
+    gpos = _chain_positions(adv, G)
+    w_g = data[gpos].astype(np.int64)
+    out = np.zeros(G * _QMX_GROUP, np.uint64)
+    j16 = np.arange(_QMX_GROUP, dtype=np.int64)
+    for w in np.unique(w_g):
+        rows = np.flatnonzero(w_g == w)
+        offs = ((gpos[rows] + 1) * 8)[:, None] + j16 * int(w)
+        fields = _bitunpack(data, offs.reshape(-1), int(w))
+        out[(rows[:, None] * _QMX_GROUP + j16).reshape(-1)] = fields
+    take_last = n - _QMX_GROUP * (G - 1)
+    end = int(gpos[-1]) + 1 + (take_last * int(w_g[-1]) + 7) // 8
+    return out[:n].astype(np.uint32), pos + end
 
 
 # ---------------------------------------------------------------------------
@@ -374,24 +612,33 @@ def optpfor_encode(values, sum_of_values) -> bytes:
 
 
 def optpfor_decode(buf, pos, n, sum_of_values):
+    """Vectorized main array: one _bitunpack of n b-bit fields; the few
+    exceptions patch in with a scalar vbyte walk (they are exceptions)."""
     if n < BLOCK_SIZE:
         return interpolative.decode_block(buf, pos, n, sum_of_values)
     b = int(buf[pos])
     ne = int.from_bytes(bytes(buf[pos + 1 : pos + 3]), "little")
     p = pos + 3
     nbytes = (n * b + 7) // 8
-    out = np.zeros(n, dtype=np.uint64)
     if b:
-        acc = int.from_bytes(bytes(buf[p : p + nbytes]), "little")
-        mask = (1 << b) - 1
-        for j in range(n):
-            out[j] = (acc >> (j * b)) & mask
+        data = _u8view(buf, p)
+        out = _bitunpack(
+            data, np.arange(n, dtype=np.int64) * b, min(b, 32)
+        )
+        if b > 32:  # not produced by the encoder; defensive
+            out = np.zeros(n, dtype=np.uint64)
+            acc = int.from_bytes(bytes(buf[p : p + nbytes]), "little")
+            mask = (1 << b) - 1
+            for j in range(n):
+                out[j] = (acc >> (j * b)) & mask
         p += nbytes
-    epos = [int(buf[p + i]) for i in range(ne)]
+    else:
+        out = np.zeros(n, dtype=np.uint64)
+    epos = np.asarray(buf[p : p + ne], dtype=np.int64)
     p += ne
     for ep in epos:
         hi, p = vbyte.decode_single(buf, p)
-        out[ep] |= hi << b
+        out[ep] |= np.uint64(hi << b)
     return out.astype(np.uint32), p
 
 

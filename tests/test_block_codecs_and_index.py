@@ -221,3 +221,35 @@ def test_profile_train_mixed_pipeline(tmp_path):
     block_index.verify_block_index(m0, base)
     # the profiled index spends at least as much space (it buys time)
     assert midx.size_stats()["docs_bpi"] >= m0.size_stats()["docs_bpi"]
+
+
+def test_vectorized_decoders_match_scalar_oracles():
+    """The vectorized zoo decoders must agree with the scalar byte-walk
+    oracles on values, and on consumed bytes (streams are concatenated
+    in vroom files, so the end position is load-bearing)."""
+    import numpy as np
+
+    from dint_tpu.codecs import blocks as B
+
+    rng = np.random.default_rng(7)
+    pairs = [
+        (B.maskedvbyte_encode, B.maskedvbyte_decode, B._maskedvbyte_decode_scalar),
+        (B.varintgb_encode, B.varintgb_decode, B._varintgb_decode_scalar),
+        (B.simple16_encode, B.simple16_decode, B._simple16_decode_scalar),
+        (B.qmx_encode, B.qmx_decode, B._qmx_decode_scalar),
+        (B.varint_g8iu_encode, B.varint_g8iu_decode, B._varint_g8iu_decode_scalar),
+    ]
+    for mag in (3, 8, 15, 24, 27):
+        for n in (1, 4, 17, 255, 256, 1000):
+            v = rng.integers(0, 1 << mag, n).astype(np.uint32)
+            for enc, dec, oracle in pairs:
+                name = enc.__name__
+                if name == "simple16_encode" and mag > 27:
+                    continue
+                buf = enc(v, B.UNKNOWN)
+                # prefix + suffix garbage ensures pos handling is honest
+                arr = np.frombuffer(b"\xaa" * 3 + buf + b"\xbb" * 7, np.uint8)
+                got, end = dec(arr, 3, n, B.UNKNOWN)
+                want, wend = oracle(arr, 3, n, B.UNKNOWN)
+                np.testing.assert_array_equal(got, want, err_msg=f"{name} n={n} mag={mag}")
+                assert end == wend, (name, n, mag, end, wend)
