@@ -155,6 +155,7 @@ def prune_blocks(
     wdata,
     terms: Sequence[int],
     k: int,
+    _cache: Dict = None,
 ) -> Tuple[Dict[int, np.ndarray], float, Dict[str, int]]:
     """Per-term boolean mask of surviving blocks.
 
@@ -170,8 +171,18 @@ def prune_blocks(
     # shave a few ulps: scores sum in f32 (rounding can land a hair
     # above the f64 bound sums), keep the survival test conservative
     tau *= 1.0 - 1e-6
-    geoms = {t: _term_geom(index, wdata, t, qw) for t, qw in weighted}
-    tables = {t: _RangeMax(g[2]) for t, g in geoms.items()}
+    # geometry + range-max tables are reusable across queries when the
+    # query weight matches (it does unless the term repeats in a query):
+    # batch callers pass a shared dict keyed by (term, qw)
+    if _cache is None:
+        _cache = {}
+    geoms, tables = {}, {}
+    for t, qw in weighted:
+        key = (t, float(qw))
+        if key not in _cache:
+            g = _term_geom(index, wdata, t, qw)
+            _cache[key] = (g, _RangeMax(g[2]))
+        geoms[t], tables[t] = _cache[key]
 
     def pass_tests(bounds) -> Dict[int, np.ndarray]:
         out = {}
@@ -254,12 +265,13 @@ def build_pruned_rows(
            "blocks_kept": 0}
     plans = []
     need: List[Tuple[int, int]] = []
+    shared: Dict = {}
     for q in queries:
         weighted = ranked_mod._query_weights(index, q)
         if not weighted:
             plans.append((None, None))
             continue
-        keep, tau, st = prune_blocks(cache, index, wdata, q, k)
+        keep, tau, st = prune_blocks(cache, index, wdata, q, k, _cache=shared)
         for key in agg:
             agg[key] += st[key]
         plans.append((weighted, keep))

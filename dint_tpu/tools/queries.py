@@ -123,7 +123,10 @@ def run_op_device(index, decoder, wdata, queries_list, op, runs, k):
                 outs.append(timed(d, aux, shift))
             else:
                 outs.append(timed(d, aux, shift, k=k))
-        jax.block_until_ready(outs)
+        # force a HOST FETCH of every output (tiny: counts / top-k):
+        # this runtime completes work lazily, and block_until_ready
+        # alone does not guarantee the computation actually ran
+        return jax.tree_util.tree_map(lambda x: np.asarray(x), outs)
 
     one_pass(jnp.int32(0))  # warmup/compile
     t_us = []
@@ -175,7 +178,13 @@ def run_op(index, decoder, wdata, queries_list, op, runs, k):
                 ranked.wand(index, decoder, wdata, q, k)
             else:
                 ranked.maxscore(index, decoder, wdata, q, k)
-        return (time.perf_counter() - t0) * 1e6
+        el = (time.perf_counter() - t0) * 1e6
+        tot = getattr(decoder, "_lazy_totals", None)
+        if tot is not None:
+            tot["docs_blocks"] += cache.docs_blocks_decoded
+            tot["freqs_blocks"] += cache.freqs_blocks_decoded
+            tot["postings_scored"] += cache.postings_scored
+        return el
 
     def one_query_warm(q):
         t0 = time.perf_counter()
@@ -199,7 +208,13 @@ def run_op(index, decoder, wdata, queries_list, op, runs, k):
     def one_pass():
         return [one_query(q) for q in queries_list]
 
+    decoder._lazy_totals = None
     one_pass()  # untimed warmup run (queries.cpp:29-32 discards first)
+    if lazy:
+        # aggregated pruning counters across all timed queries
+        decoder._lazy_totals = {
+            "docs_blocks": 0, "freqs_blocks": 0, "postings_scored": 0,
+        }
     t_us = []
     for _ in range(runs):
         t_us = one_pass()

@@ -85,12 +85,25 @@ def serve_stage(base, args):
           f"{stats['avg']:.1f}us avg, q95 {stats['q95']:.1f}us/query "
           f"{dev_extra}")
     t = log_stage("device wand batch", t)
-    # host on the SAME query set (1 run: the monster-union tail costs
-    # seconds per query on the host sort path)
-    stats = qtool.run_op(idx, dec, wdata, queries_list, "wand", 1, 10)
-    print(f"[scale] host wand (all queries): avg {stats['avg']:.1f}us, "
-          f"q50 {stats['q50']:.1f}us, q95 {stats['q95']:.1f}us")
-    t = log_stage("host wand all", t)
+    # host skip-aware wand on a subset (the real algorithm walks
+    # pivots in Python; monster unions with uniform weights prune
+    # weakly, so the full 512-query log would take minutes)
+    sub = queries_list[:64]
+    stats = qtool.run_op(idx, dec, wdata, sub, "wand", 1, 10)
+    print(f"[scale] host wand ({len(sub)} queries, decode-inclusive): "
+          f"avg {stats['avg']:.1f}us, q50 {stats['q50']:.1f}us, "
+          f"q95 {stats['q95']:.1f}us")
+    tot = dec._lazy_totals
+    print(f"[scale] host wand pruning (all timed queries): "
+          f"{tot['docs_blocks']} doc blocks decoded, "
+          f"{tot['postings_scored']} postings scored")
+    t = log_stage("host wand subset", t)
+    # exhaustive host ranked_or on the same subset for the honest
+    # pruned-vs-exhaustive comparison
+    stats = qtool.run_op(idx, dec, wdata, sub, "ranked_or", 1, 10)
+    print(f"[scale] host ranked_or ({len(sub)} queries): "
+          f"avg {stats['avg']:.1f}us, q50 {stats['q50']:.1f}us")
+    t = log_stage("host ranked_or subset", t)
     stats, shape, _ = qtool.run_op_device(
         idx, dec, wdata, queries_list, "and", 3, 10
     )
