@@ -73,6 +73,7 @@ def build_or_load_dict(
     policy: str = "pack",
     cache_dir: str = ".",
 ):
+    os.makedirs(cache_dir, exist_ok=True)
     cache = os.path.join(cache_dir, dict_cache_name(collection_path, kind, policy))
     if os.path.exists(cache):
         if kind == "rectangular":

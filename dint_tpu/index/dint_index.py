@@ -266,60 +266,73 @@ def build_index(
     )
 
     tools_common.log("encoding posting lists...")
-    list_n: List[int] = []
-    block_ptr = [0]
-    block_max: List[int] = []
-    doc_units: List[np.ndarray] = []
-    doc_sums: List[int] = []
-    freq_units: List[np.ndarray] = []
-    freq_sums: List[int] = []
-    from ..utils.progress import ProgressLogger
+    # ---- vectorized geometry over the whole collection (no per-list
+    # Python loop: flat gap transforms with per-list resets, block
+    # bounds by arithmetic, block maxes by one gather) ----
+    dvals, doffs, dlens = view.docs.flat_view()
+    fvals, foffs, flens = view.freqs.flat_view()
+    L = len(view)
+    list_n = np.asarray(dlens[1:], dtype=np.int64)  # seq 0 = num_docs singleton
+    # payload concat = word stream minus length words (+ the singleton)
+    drop_d = np.concatenate([np.asarray(doffs, np.int64), [1]])
+    docs_flat = np.delete(np.asarray(dvals, dtype=np.uint32), drop_d)
+    freqs_flat = np.delete(
+        np.asarray(fvals, dtype=np.uint32), np.asarray(foffs, np.int64)
+    )
+    g = docs_flat.astype(np.int64)
+    dgap = np.empty_like(g)
+    if g.shape[0]:
+        dgap[0] = g[0]
+        dgap[1:] = g[1:] - g[:-1] - 1
+    lstart = np.cumsum(list_n) - list_n
+    ne = lstart[list_n > 0]
+    dgap[ne] = g[ne]  # first gap of each list = its first docid
+    dgap = dgap.astype(np.uint32)
+    fgap = (freqs_flat.astype(np.int64) - 1).astype(np.uint32)
 
-    prog = ProgressLogger(len(view), "indexed lists")
-    for docs, freqs in view:
-        prog.add()
-        n = int(docs.shape[0])
-        list_n.append(n)
-        dgaps = gap_mod.docs_to_gaps(docs)
-        fgaps = gap_mod.freqs_to_gaps(freqs)
-        base = 0
-        for p in range(0, n, BLOCK_SIZE):
-            size = min(BLOCK_SIZE, n - p)
-            last_doc = int(docs[p + size - 1])
-            block_max.append(last_doc)
-            doc_units.append(dgaps[p : p + size])
-            # docs gap universe: block_max - block_base - (size-1)
-            # (dict_posting_list.hpp:44-46)
-            doc_sums.append(last_doc - base - (size - 1))
-            freq_units.append(fgaps[p : p + size])
-            freq_sums.append(interpolative.UNKNOWN_SUM)
-            base = last_doc + 1
-        block_ptr.append(len(block_max))
+    nb = -(-list_n // BLOCK_SIZE)
+    block_ptr = np.concatenate([[0], np.cumsum(nb)])
+    NB = int(nb.sum())
+    blist = np.repeat(np.arange(L, dtype=np.int64), nb)
+    pos_in_list = (
+        np.arange(NB, dtype=np.int64) - block_ptr[:-1][blist]
+    ) * BLOCK_SIZE
+    abs_start = lstart[blist] + pos_in_list
+    bsize = np.minimum(BLOCK_SIZE, list_n[blist] - pos_in_list)
+    block_max = docs_flat[abs_start + bsize - 1].astype(np.int64)
+    first = pos_in_list == 0
+    base = np.where(
+        first, 0, docs_flat[np.maximum(abs_start - 1, 0)].astype(np.int64) + 1
+    )
+    doc_sums_arr = block_max - base - (bsize - 1)
+
+    doc_units = [dgap[abs_start[b] : abs_start[b] + bsize[b]] for b in range(NB)]
+    freq_units = [fgap[abs_start[b] : abs_start[b] + bsize[b]] for b in range(NB)]
+    doc_sums = doc_sums_arr.tolist()
+    freq_sums = [interpolative.UNKNOWN_SUM] * NB
 
     doc_payloads = _encode_blocks(docs_dict, kind, doc_units, doc_sums)
     freq_payloads = _encode_blocks(freqs_dict, kind, freq_units, freq_sums)
 
-    NB = len(block_max)
-    docs_end = np.zeros(NB, dtype=np.uint64)
-    block_end = np.zeros(NB, dtype=np.uint64)
-    parts: List[bytes] = []
-    pos = 0
-    for b in range(NB):
-        parts.append(doc_payloads[b])
-        pos += len(doc_payloads[b])
-        docs_end[b] = pos
-        parts.append(freq_payloads[b])
-        pos += len(freq_payloads[b])
-        block_end[b] = pos
+    d_lens = np.fromiter((len(p) for p in doc_payloads), np.int64, NB)
+    f_lens = np.fromiter((len(p) for p in freq_payloads), np.int64, NB)
+    ends = np.cumsum(
+        np.stack([d_lens, f_lens], axis=1).reshape(-1)
+    ).reshape(NB, 2)
+    docs_end = ends[:, 0].astype(np.uint64)
+    block_end = ends[:, 1].astype(np.uint64)
+    parts: List[bytes] = [b""] * (2 * NB)
+    parts[0::2] = doc_payloads
+    parts[1::2] = freq_payloads
     arena = np.frombuffer(b"".join(parts), dtype=np.uint8)
 
     return DintIndex(
         kind,
         policy,
         view.num_docs,
-        np.asarray(list_n, dtype=np.uint32),
-        np.asarray(block_ptr, dtype=np.uint64),
-        np.asarray(block_max, dtype=np.uint32),
+        list_n.astype(np.uint32),
+        block_ptr.astype(np.uint64),
+        block_max.astype(np.uint32),
         docs_end,
         block_end,
         arena,

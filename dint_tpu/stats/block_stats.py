@@ -189,6 +189,7 @@ def create_or_load(
     collection_path: str, compute_gaps: bool, multi: bool, cache_dir: str = "."
 ) -> BlockStats:
     """create-or-load discipline (block_statistics.hpp:26-43)."""
+    os.makedirs(cache_dir, exist_ok=True)
     cache = os.path.join(cache_dir, os.path.basename(stats_cache_name(collection_path, multi)))
     if os.path.exists(cache):
         return load_stats(cache, multi)
