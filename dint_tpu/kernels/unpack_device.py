@@ -1,0 +1,339 @@
+"""Device bit-unpack engine for the fixed-width zoo codecs.
+
+optpfor and qmx payloads are width-selected bit-packed groups — on the
+reference CPU they decode through unrolled SSE jump tables
+(qmx_codec.hpp decode; FastPFor's OPTPFor).  The TPU-native design is
+gather-free and dense:
+
+* at LOAD time a planner walks the stream once and groups every full
+  block by its bit width b.  A width class's payloads are a dense
+  (N, bytes_per_block) u8 array — block payload sizes are exact
+  multiples (256 values x b bits = 32b bytes; qmx: 16 x w = 2w bytes),
+  so the class array has zero padding waste;
+* at DECODE time each class runs one fused XLA op: bytes -> bits
+  (broadcast shift), reshape to (N, values, b), weighted lane sum —
+  pure VPU work with static shapes, no dynamic gathers;
+* optpfor exceptions apply as one small scatter-add per class
+  (positions/highs are plan state, value counts are tiny — they are
+  exceptions);
+* partial tail blocks (interpolative) decode on the host each run.
+
+Outputs are class-major (like the DINT serving image is row-major);
+the plan keeps the block -> stream-order mapping for verification.
+Timed runs chain inside one jit per class with a value-cancelling salt
+(the runtime memoizes identical executions and completes work lazily —
+see decode_local.decode_chain).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from ..codecs import blocks as blocks_mod
+from ..codecs import interpolative, vbyte
+from ..config import BLOCK_SIZE
+
+QMX_GROUP = 16
+
+
+@dataclass
+class WidthClass:
+    b: int
+    payload: np.ndarray  # (N, bytes_per_block) u8
+    out_base: np.ndarray  # (N,) i64 global output offset of each block
+    size: np.ndarray  # (N,) i64 ints in each block (== values_per_block)
+    exc_row: np.ndarray = None  # optpfor: class-relative block row
+    exc_pos: np.ndarray = None
+    exc_high: np.ndarray = None  # already shifted by << b
+
+
+@dataclass
+class UnpackPlan:
+    codec: str  # 'optpfor' | 'qmx'
+    values_per_block: int
+    classes: List[WidthClass]
+    # host-decoded partial tails: (global output offset, values)
+    partials: List[Tuple[int, np.ndarray]]
+    total_ints: int
+
+    def plan_bytes(self) -> int:
+        t = 0
+        for c in self.classes:
+            t += c.payload.nbytes + c.out_base.nbytes
+            if c.exc_row is not None:
+                t += c.exc_row.nbytes + c.exc_pos.nbytes + c.exc_high.nbytes
+        return t
+
+
+def plan_optpfor(arena: np.ndarray, meta) -> UnpackPlan:
+    """Walk an optpfor vroom stream (256-chunked lists, interpolative
+    partial tails — index/vroom_zoo.py layout) into width classes."""
+    per: Dict[int, list] = {}
+    partials: List[Tuple[int, np.ndarray]] = []
+    out_off = 0
+    for i in range(meta.num_lists):
+        n = int(meta.n[i])
+        pos = int(meta.payload_off[i])
+        for p in range(0, n, BLOCK_SIZE):
+            size = min(BLOCK_SIZE, n - p)
+            if size < BLOCK_SIZE:
+                vals, pos = interpolative.decode_block(
+                    arena, pos, size, blocks_mod.UNKNOWN
+                )
+                partials.append((out_off, vals.astype(np.uint32)))
+            else:
+                b = int(arena[pos])
+                ne = int(arena[pos + 1]) | (int(arena[pos + 2]) << 8)
+                q = pos + 3
+                pay = arena[q : q + 32 * b]
+                q += 32 * b
+                epos = np.asarray(arena[q : q + ne], dtype=np.int64)
+                q += ne
+                highs = np.zeros(ne, np.int64)
+                for e in range(ne):
+                    hi, q = vbyte.decode_single(arena, q)
+                    highs[e] = hi
+                ent = per.setdefault(b, [])
+                ent.append((pay, out_off, epos, highs))
+                pos = q
+            out_off += size
+    classes = []
+    for b, items in sorted(per.items()):
+        pay = np.stack([x[0] for x in items]) if b else np.zeros(
+            (len(items), 0), np.uint8
+        )
+        bases = np.asarray([x[1] for x in items], np.int64)
+        rows, poss, his = [], [], []
+        for r, (_, _, ep, hi) in enumerate(items):
+            rows.extend([r] * len(ep))
+            poss.extend(ep.tolist())
+            his.extend((hi << b).tolist())
+        classes.append(
+            WidthClass(
+                b, pay, bases,
+                np.full(len(items), BLOCK_SIZE, np.int64),
+                np.asarray(rows, np.int64), np.asarray(poss, np.int64),
+                np.asarray(his, np.int64),
+            )
+        )
+    total = int(np.asarray(meta.n, np.int64).sum())
+    return UnpackPlan("optpfor", BLOCK_SIZE, classes, partials, total)
+
+
+def plan_qmx(arena: np.ndarray, meta) -> UnpackPlan:
+    """Walk a qmx vroom stream (16-value width-tagged groups)."""
+    per: Dict[int, list] = {}
+    partials: List[Tuple[int, np.ndarray]] = []
+    out_off = 0
+    for i in range(meta.num_lists):
+        n = int(meta.n[i])
+        pos = int(meta.payload_off[i])
+        for p in range(0, max(n, 1), QMX_GROUP):
+            take = min(QMX_GROUP, n - p)
+            if take <= 0:
+                break
+            w = int(arena[pos])
+            nbytes = (take * w + 7) // 8
+            if take < QMX_GROUP:
+                vals, _ = blocks_mod._qmx_decode_scalar(
+                    arena, pos, take, blocks_mod.UNKNOWN
+                )
+                partials.append((out_off, vals))
+            else:
+                per.setdefault(w, []).append(
+                    (arena[pos + 1 : pos + 1 + nbytes], out_off)
+                )
+            pos += 1 + nbytes
+            out_off += take
+    classes = [
+        WidthClass(
+            w,
+            np.stack([x[0] for x in items]),
+            np.asarray([x[1] for x in items], np.int64),
+            np.full(len(items), QMX_GROUP, np.int64),
+        )
+        for w, items in sorted(per.items())
+    ]
+    total = int(np.asarray(meta.n, np.int64).sum())
+    return UnpackPlan("qmx", QMX_GROUP, classes, partials, total)
+
+
+# ---------------------------------------------------------------------------
+# Device kernels
+# ---------------------------------------------------------------------------
+
+
+def _phase_geometry(b: int, vpb: int):
+    """Static unpack geometry: values group by their bit phase within a
+    u32 word.  Values j and j+P share shift s(j) (P = 32/gcd(b,32)), so
+    each phase's fields read from STRIDED word slices — the whole
+    unpack is shifts/ors over slices, no gathers and no per-bit work
+    (the XLA form of SIMD bit unpacking)."""
+    import math
+
+    P = 32 // math.gcd(b, 32) if b else 1
+    P_eff = min(P, vpb)
+    C = vpb // P_eff  # values per phase
+    stride_k = (b * P_eff) // 32  # words between consecutive same-phase values
+    geo = []
+    for p in range(P_eff):
+        bit = p * b
+        geo.append((bit // 32, bit % 32))
+    return P_eff, C, stride_k, geo
+
+
+@functools.lru_cache(maxsize=None)
+def _fns(b: int, vpb: int, has_exc: bool):
+    import jax
+    import jax.numpy as jnp
+
+    P_eff, C, stride_k, geo = _phase_geometry(b, vpb)
+    mask = jnp.uint32((1 << b) - 1) if b < 32 else jnp.uint32(0xFFFFFFFF)
+
+    def unpack(words, exc_row, exc_pos, exc_high, salt):
+        # words (N, W) u32 -> (N, vpb) u32 via phase-grouped strided
+        # slices: out[:, t*P+p] = (w[k_p + t*stride] >> s_p) |
+        #                         (w[k_p + t*stride + 1] << (32 - s_p))
+        N = words.shape[0]
+        parts = []
+        for p in range(P_eff):
+            k0, s = geo[p]
+            if C > 1:
+                w1 = jax.lax.slice_in_dim(
+                    words, k0, k0 + (C - 1) * stride_k + 1, stride_k, axis=1
+                )
+            else:
+                w1 = jax.lax.slice_in_dim(words, k0, k0 + 1, 1, axis=1)
+            v = (w1 >> jnp.uint32(s)) & mask
+            if s + b > 32:  # field spans into the next word
+                if C > 1:
+                    w2 = jax.lax.slice_in_dim(
+                        words, k0 + 1, k0 + 1 + (C - 1) * stride_k + 1,
+                        stride_k, axis=1,
+                    )
+                else:
+                    w2 = jax.lax.slice_in_dim(words, k0 + 1, k0 + 2, 1, axis=1)
+                v = v | ((w2 << jnp.uint32(32 - s)) & mask)
+            parts.append(v)  # (N, C)
+        out = jnp.stack(parts, axis=2).reshape(N, vpb)  # j = t*P_eff + p
+        if has_exc:
+            out = out.at[exc_row, exc_pos].add(exc_high)
+        return out + salt  # value-cancelling salt (wrap-add u32)
+
+    decode = jax.jit(unpack)
+
+    @functools.partial(jax.jit, static_argnames=("runs",))
+    def chain(payload, exc_row, exc_pos, exc_high, *, runs: int):
+        def body(salt, _):
+            out = unpack(payload, exc_row, exc_pos, exc_high, salt)
+            # reduce over the whole output: no element may be skipped
+            s = out.sum(dtype=jnp.uint32)
+            cnt = jnp.uint32(out.size)
+            return s - salt * cnt, None  # cancels the added salt exactly
+
+        final, _ = jax.lax.scan(body, jnp.uint32(1), None, length=runs)
+        return final
+
+    return decode, chain
+
+
+class UnpackEngine:
+    """Runs one UnpackPlan on device (class-major outputs)."""
+
+    def __init__(self, plan: UnpackPlan):
+        import jax.numpy as jnp
+
+        self.plan = plan
+        self._dev = []
+        for c in plan.classes:
+            if c.b == 0:
+                self._dev.append(None)
+                continue
+            has_exc = c.exc_row is not None and c.exc_row.size > 0
+            # payload bytes -> little-endian u32 words (pad to 4)
+            pay8 = c.payload
+            padc = (-pay8.shape[1]) % 4
+            if padc:
+                pay8 = np.concatenate(
+                    [pay8, np.zeros((pay8.shape[0], padc), np.uint8)], axis=1
+                )
+            words = np.ascontiguousarray(pay8).view("<u4")
+            self._dev.append(
+                (
+                    jnp.asarray(words),
+                    jnp.asarray(
+                        c.exc_row if has_exc else np.zeros(1, np.int64)
+                    ),
+                    jnp.asarray(
+                        c.exc_pos if has_exc else np.zeros(1, np.int64)
+                    ),
+                    jnp.asarray(
+                        (c.exc_high if has_exc else np.zeros(1, np.int64))
+                        .astype(np.int64)
+                        .astype(np.uint32)
+                    ),
+                    has_exc,
+                )
+            )
+
+    def decode_classes(self, salt: int = 0) -> List[np.ndarray]:
+        import jax.numpy as jnp
+
+        outs = []
+        for c, dev in zip(self.plan.classes, self._dev):
+            if dev is None:  # b == 0: all values zero
+                outs.append(
+                    np.zeros((c.payload.shape[0], self.plan.values_per_block),
+                             np.uint32)
+                )
+                continue
+            pay, er, ep, eh, has_exc = dev
+            decode, _ = _fns(c.b, self.plan.values_per_block, has_exc)
+            outs.append(
+                np.asarray(decode(pay, er, ep, eh, jnp.uint32(salt)))
+                - np.uint32(salt)
+            )
+        return outs
+
+    def timed_chain(self, runs: int) -> float:
+        """Seconds for `runs` full device decodes (chained per class,
+        salted, final checksums fetched to the host)."""
+        import jax.numpy as jnp
+
+        chains = []
+        for c, dev in zip(self.plan.classes, self._dev):
+            if dev is None:
+                continue
+            pay, er, ep, eh, has_exc = dev
+            _, chain = _fns(c.b, self.plan.values_per_block, has_exc)
+            chains.append((chain, pay, er, ep, eh))
+        # compile warmup
+        for chain, pay, er, ep, eh in chains:
+            int(np.asarray(chain(pay, er, ep, eh, runs=runs)))
+        # host partials replay per run (they are part of the decode)
+        t0 = time.perf_counter()
+        acc = 0
+        for chain, pay, er, ep, eh in chains:
+            acc ^= int(np.asarray(chain(pay, er, ep, eh, runs=runs)))
+        for _ in range(runs):
+            for off, vals in self.plan.partials:
+                acc ^= int(vals[-1]) if vals.size else 0
+        return time.perf_counter() - t0
+
+    def decode_all_ordered(self) -> np.ndarray:
+        """Full stream decode assembled back to stream order (host
+        reorder; used by --check)."""
+        out = np.zeros(self.plan.total_ints, np.uint32)
+        for c, vals in zip(self.plan.classes, self.decode_classes()):
+            for r in range(c.out_base.shape[0]):
+                o = int(c.out_base[r])
+                k = int(c.size[r])
+                out[o : o + k] = vals[r, :k]
+        for off, vals in self.plan.partials:
+            out[off : off + vals.shape[0]] = vals
+        return out

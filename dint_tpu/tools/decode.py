@@ -267,11 +267,59 @@ def decode_stream(
     return rec
 
 
+def decode_zoo_device(type_name: str, encoded_file: str, runs: int,
+                      check_collection=None):
+    """Device bit-unpack decode for the fixed-width zoo codecs
+    (kernels/unpack_device.py): width classes unpack as dense XLA ops,
+    exceptions scatter in, partial tails replay on the host."""
+    from ..kernels import unpack_device
+
+    arena, meta = stream_mod.load_stream(encoded_file)
+    planner = (
+        unpack_device.plan_optpfor
+        if type_name == "optpfor"
+        else unpack_device.plan_qmx
+    )
+    common.log("planning width classes...")
+    plan = planner(arena, meta)
+    eng = unpack_device.UnpackEngine(plan)
+    common.log(
+        f"decoding (engine=device, {len(plan.classes)} width classes)..."
+    )
+    elapsed = eng.timed_chain(runs)
+    total_ints = plan.total_ints
+    per_run = elapsed / runs
+    ns_x_int = per_run * 1e9 / max(total_ints, 1)
+    rec = {
+        "filename": encoded_file,
+        "num_sequences": str(meta.num_lists),
+        "num_integers": str(total_ints),
+        "type": type_name,
+        "tot_elapsed_time": f"{per_run}",
+        "ns_x_int": f"{ns_x_int}",
+        "ints_x_sec": str(int(1e9 / max(ns_x_int, 1e-12))),
+        "runs": str(runs),
+        "engine": "device",
+        "plan_bytes": str(plan.plan_bytes()),
+    }
+    if check_collection:
+        got = eng.decode_all_ordered()
+        expect, _ = common.gap_lists_of(check_collection)
+        pos = 0
+        for i, e in enumerate(expect):
+            if not np.array_equal(got[pos : pos + e.shape[0]], e):
+                raise SystemExit(f"MISMATCH in list {i}")
+            pos += e.shape[0]
+        rec["check"] = "ok"
+        common.log("verification ok")
+    common.stats_line(rec)
+    return rec
+
+
 def decode_zoo(type_name: str, encoded_file: str, runs: int,
                check_collection=None):
-    """Host (numpy) decode of the whole-list zoo/pef types; device
-    kernels for these codecs are future work — timings are honest host
-    numbers."""
+    """Host (numpy) decode of the whole-list zoo/pef types (the
+    fixed-width codecs also have a device engine, decode_zoo_device)."""
     from ..index import vroom_zoo
 
     arena, meta = stream_mod.load_stream(encoded_file)
@@ -332,9 +380,20 @@ def main(argv=None):
     ap.add_argument("--dict", dest="dict_file")
     ap.add_argument("--runs", type=int, default=10)
     ap.add_argument("--check-collection")
-    ap.add_argument("--engine", choices=["local", "raw"], default="local")
+    ap.add_argument(
+        "--engine", choices=["local", "raw", "device", "host"],
+        default="local",
+        help="DINT types: local|raw.  optpfor/qmx: host (numpy) or "
+        "device (width-class XLA bit unpack)",
+    )
     args = ap.parse_args(argv)
     if args.type in common.VROOM_ZOO:
+        if args.engine == "device" and args.type in ("optpfor", "qmx"):
+            decode_zoo_device(
+                args.type, args.encoded_file, args.runs,
+                args.check_collection,
+            )
+            return
         decode_zoo(args.type, args.encoded_file, args.runs, args.check_collection)
     else:
         decode_stream(

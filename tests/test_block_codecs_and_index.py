@@ -253,3 +253,46 @@ def test_vectorized_decoders_match_scalar_oracles():
                 want, wend = oracle(arr, 3, n, B.UNKNOWN)
                 np.testing.assert_array_equal(got, want, err_msg=f"{name} n={n} mag={mag}")
                 assert end == wend, (name, n, mag, end, wend)
+
+
+def test_device_unpack_engine_exact(tmp_path):
+    """The width-class device unpack engine (kernels/unpack_device.py)
+    reproduces the host decode bit-for-bit for optpfor and qmx vroom
+    streams, including exception patching and partial tails."""
+    import numpy as np
+
+    from dint_tpu.index import stream as stream_mod
+    from dint_tpu.index import vroom_zoo
+    from dint_tpu.kernels import unpack_device
+
+    rng = np.random.default_rng(31)
+    lists = []
+    for n in (1, 40, 256, 300, 1000, 777):
+        mag = int(rng.integers(2, 26))
+        lists.append(rng.integers(0, 1 << mag, n).astype(np.uint32))
+    # a list with exception-heavy content (optpfor outliers)
+    v = rng.integers(0, 64, 512).astype(np.uint32)
+    v[rng.choice(512, 20, replace=False)] = rng.integers(1 << 20, 1 << 30, 20)
+    lists.append(v)
+
+    for codec, planner in (
+        ("optpfor", unpack_device.plan_optpfor),
+        ("qmx", unpack_device.plan_qmx),
+    ):
+        payloads, lens = [], []
+        for g in lists:
+            p, _ = vroom_zoo.encode_list_zoo(codec, g)
+            payloads.append(p)
+        path = str(tmp_path / f"s.{codec}")
+        stream_mod.write_stream(
+            path, payloads,
+            [len(g) for g in lists],
+            [int(g.astype(np.int64).sum()) for g in lists],
+        )
+        arena, meta = stream_mod.load_stream(path)
+        plan = planner(arena, meta)
+        eng = unpack_device.UnpackEngine(plan)
+        got = eng.decode_all_ordered()
+        want = np.concatenate(lists)
+        np.testing.assert_array_equal(got, want, err_msg=codec)
+        assert eng.timed_chain(2) > 0
