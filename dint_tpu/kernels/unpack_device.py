@@ -47,9 +47,11 @@ class WidthClass:
     payload: np.ndarray  # (N, bytes_per_block) u8
     out_base: np.ndarray  # (N,) i64 global output offset of each block
     size: np.ndarray  # (N,) i64 ints in each block (== values_per_block)
-    exc_row: np.ndarray = None  # optpfor: class-relative block row
-    exc_pos: np.ndarray = None
-    exc_high: np.ndarray = None  # already shifted by << b
+    # optpfor exceptions: blocks carrying exceptions are ordered FIRST
+    # in the class, so their high parts apply as one dense slice-add
+    # (exc_dense (E, vpb) u32, values pre-shifted by << b) — no scatter
+    # on the hot path.
+    exc_dense: np.ndarray = None
 
 
 @dataclass
@@ -65,8 +67,8 @@ class UnpackPlan:
         t = 0
         for c in self.classes:
             t += c.payload.nbytes + c.out_base.nbytes
-            if c.exc_row is not None:
-                t += c.exc_row.nbytes + c.exc_pos.nbytes + c.exc_high.nbytes
+            if c.exc_dense is not None:
+                t += c.exc_dense.nbytes
         return t
 
 
@@ -104,21 +106,22 @@ def plan_optpfor(arena: np.ndarray, meta) -> UnpackPlan:
             out_off += size
     classes = []
     for b, items in sorted(per.items()):
+        # exception-bearing blocks first (dense slice-add, no scatter)
+        items = sorted(items, key=lambda x: len(x[2]) == 0)
         pay = np.stack([x[0] for x in items]) if b else np.zeros(
             (len(items), 0), np.uint8
         )
         bases = np.asarray([x[1] for x in items], np.int64)
-        rows, poss, his = [], [], []
-        for r, (_, _, ep, hi) in enumerate(items):
-            rows.extend([r] * len(ep))
-            poss.extend(ep.tolist())
-            his.extend((hi << b).tolist())
+        E = sum(1 for x in items if len(x[2]))
+        exc_dense = np.zeros((E, BLOCK_SIZE), np.uint32)
+        for r in range(E):
+            _, _, ep, hi = items[r]
+            exc_dense[r, ep] = (hi << b).astype(np.uint64) & 0xFFFFFFFF
         classes.append(
             WidthClass(
                 b, pay, bases,
                 np.full(len(items), BLOCK_SIZE, np.int64),
-                np.asarray(rows, np.int64), np.asarray(poss, np.int64),
-                np.asarray(his, np.int64),
+                exc_dense,
             )
         )
     total = int(np.asarray(meta.n, np.int64).sum())
@@ -195,7 +198,7 @@ def _fns(b: int, vpb: int, has_exc: bool):
     P_eff, C, stride_k, geo = _phase_geometry(b, vpb)
     mask = jnp.uint32((1 << b) - 1) if b < 32 else jnp.uint32(0xFFFFFFFF)
 
-    def unpack(words, exc_row, exc_pos, exc_high, salt):
+    def unpack(words, exc_dense, salt):
         # words (N, W) u32 -> (N, vpb) u32 via phase-grouped strided
         # slices: out[:, t*P+p] = (w[k_p + t*stride] >> s_p) |
         #                         (w[k_p + t*stride + 1] << (32 - s_p))
@@ -222,15 +225,17 @@ def _fns(b: int, vpb: int, has_exc: bool):
             parts.append(v)  # (N, C)
         out = jnp.stack(parts, axis=2).reshape(N, vpb)  # j = t*P_eff + p
         if has_exc:
-            out = out.at[exc_row, exc_pos].add(exc_high)
+            # exception blocks sit first in the class: dense slice-add
+            E = exc_dense.shape[0]
+            out = jnp.concatenate([out[:E] + exc_dense, out[E:]], axis=0)
         return out + salt  # value-cancelling salt (wrap-add u32)
 
     decode = jax.jit(unpack)
 
     @functools.partial(jax.jit, static_argnames=("runs",))
-    def chain(payload, exc_row, exc_pos, exc_high, *, runs: int):
+    def chain(payload, exc_dense, *, runs: int):
         def body(salt, _):
-            out = unpack(payload, exc_row, exc_pos, exc_high, salt)
+            out = unpack(payload, exc_dense, salt)
             # reduce over the whole output: no element may be skipped
             s = out.sum(dtype=jnp.uint32)
             cnt = jnp.uint32(out.size)
@@ -239,7 +244,7 @@ def _fns(b: int, vpb: int, has_exc: bool):
         final, _ = jax.lax.scan(body, jnp.uint32(1), None, length=runs)
         return final
 
-    return decode, chain
+    return decode, chain, unpack
 
 
 class UnpackEngine:
@@ -254,7 +259,7 @@ class UnpackEngine:
             if c.b == 0:
                 self._dev.append(None)
                 continue
-            has_exc = c.exc_row is not None and c.exc_row.size > 0
+            has_exc = c.exc_dense is not None and c.exc_dense.shape[0] > 0
             # payload bytes -> little-endian u32 words (pad to 4)
             pay8 = c.payload
             padc = (-pay8.shape[1]) % 4
@@ -263,23 +268,12 @@ class UnpackEngine:
                     [pay8, np.zeros((pay8.shape[0], padc), np.uint8)], axis=1
                 )
             words = np.ascontiguousarray(pay8).view("<u4")
-            self._dev.append(
-                (
-                    jnp.asarray(words),
-                    jnp.asarray(
-                        c.exc_row if has_exc else np.zeros(1, np.int64)
-                    ),
-                    jnp.asarray(
-                        c.exc_pos if has_exc else np.zeros(1, np.int64)
-                    ),
-                    jnp.asarray(
-                        (c.exc_high if has_exc else np.zeros(1, np.int64))
-                        .astype(np.int64)
-                        .astype(np.uint32)
-                    ),
-                    has_exc,
-                )
+            exc = (
+                c.exc_dense
+                if has_exc
+                else np.zeros((0, self.plan.values_per_block), np.uint32)
             )
+            self._dev.append((jnp.asarray(words), jnp.asarray(exc), has_exc))
 
     def decode_classes(self, salt: int = 0) -> List[np.ndarray]:
         import jax.numpy as jnp
@@ -292,34 +286,51 @@ class UnpackEngine:
                              np.uint32)
                 )
                 continue
-            pay, er, ep, eh, has_exc = dev
-            decode, _ = _fns(c.b, self.plan.values_per_block, has_exc)
+            pay, exc, has_exc = dev
+            decode = _fns(c.b, self.plan.values_per_block, has_exc)[0]
             outs.append(
-                np.asarray(decode(pay, er, ep, eh, jnp.uint32(salt)))
+                np.asarray(decode(pay, exc, jnp.uint32(salt)))
                 - np.uint32(salt)
             )
         return outs
 
     def timed_chain(self, runs: int) -> float:
-        """Seconds for `runs` full device decodes (chained per class,
-        salted, final checksums fetched to the host)."""
+        """Seconds for `runs` full device decodes: ALL width classes
+        chain inside ONE jit (one dispatch — the fixed per-dispatch
+        relay overhead would otherwise multiply by the class count),
+        salted per run, final checksum fetched to the host."""
+        import jax
         import jax.numpy as jnp
 
-        chains = []
+        specs = []  # (b, has_exc) static parts, aligned with arg tuples
+        args = []
         for c, dev in zip(self.plan.classes, self._dev):
             if dev is None:
                 continue
-            pay, er, ep, eh, has_exc = dev
-            _, chain = _fns(c.b, self.plan.values_per_block, has_exc)
-            chains.append((chain, pay, er, ep, eh))
-        # compile warmup
-        for chain, pay, er, ep, eh in chains:
-            int(np.asarray(chain(pay, er, ep, eh, runs=runs)))
-        # host partials replay per run (they are part of the decode)
+            pay, exc, has_exc = dev
+            specs.append((int(c.b), bool(has_exc)))
+            args.append((pay, exc))
+        vpb = self.plan.values_per_block
+        specs_t = tuple(specs)
+
+        @functools.partial(jax.jit, static_argnames=("runs",))
+        def chain_all(args, *, runs: int):
+            def body(salt, _):
+                s = jnp.uint32(0)
+                cnt = 0
+                for (b, has_exc), (pay, exc) in zip(specs_t, args):
+                    unpack = _fns(b, vpb, has_exc)[2]
+                    out = unpack(pay, exc, salt)
+                    s = s + out.sum(dtype=jnp.uint32)
+                    cnt += out.size
+                return s - salt * jnp.uint32(cnt), None
+
+            final, _ = jax.lax.scan(body, jnp.uint32(1), None, length=runs)
+            return final
+
+        int(np.asarray(chain_all(args, runs=runs)))  # compile warmup
         t0 = time.perf_counter()
-        acc = 0
-        for chain, pay, er, ep, eh in chains:
-            acc ^= int(np.asarray(chain(pay, er, ep, eh, runs=runs)))
+        acc = int(np.asarray(chain_all(args, runs=runs)))
         for _ in range(runs):
             for off, vals in self.plan.partials:
                 acc ^= int(vals[-1]) if vals.size else 0
