@@ -162,6 +162,17 @@ class BlockTermDecoder:
         self.index = index
         self._doc_cache = {}
         self._freq_cache = {}
+        self._lazy_cache = None
+
+    @property
+    def lazy_cache(self):
+        """Skip-aware block decoder — gives the block-codec indexes the
+        same WAND/maxscore/lazy-AND machinery as the DINT index."""
+        if self._lazy_cache is None:
+            from ..query.lazy_decode import ZooBlockCache
+
+            self._lazy_cache = ZooBlockCache(self.index)
+        return self._lazy_cache
 
     def decode_docids(self, terms):
         for t in dict.fromkeys(terms):

@@ -363,6 +363,51 @@ class BlockCache:
         return freqs
 
 
+class ZooBlockCache:
+    """BlockCache-compatible lazy decoder for the block-codec indexes
+    (index/block_index.py — same SoA geometry, zoo codecs per block).
+    Lets Cursor / WAND / maxscore / lazy AND run unchanged over all 11
+    block index types."""
+
+    def __init__(self, index):
+        self.index = index
+        index.ensure_docs_end()
+        self._docs: Dict[int, np.ndarray] = {}
+        self._freqs: Dict[int, np.ndarray] = {}
+        self.docs_blocks_decoded = 0
+        self.freqs_blocks_decoded = 0
+        self.postings_scored = 0
+
+    def reset_counters(self) -> None:
+        self.docs_blocks_decoded = 0
+        self.freqs_blocks_decoded = 0
+        self.postings_scored = 0
+
+    def docs_block(self, term: int, b: int) -> np.ndarray:
+        got = self._docs.get(b)
+        if got is None:
+            self.docs_blocks_decoded += 1
+            got = self.index.block_docs(b, term)
+            self._docs[b] = got
+        return got
+
+    def freqs_block(self, term: int, b: int) -> np.ndarray:
+        got = self._freqs.get(b)
+        if got is None:
+            self.freqs_blocks_decoded += 1
+            got = self.index.block_freqs(b, term)
+            self._freqs[b] = got
+        return got
+
+    def docs_blocks_batch(self, pairs) -> None:
+        for t, b in pairs:
+            self.docs_block(t, b)
+
+    def freqs_blocks_batch(self, pairs) -> None:
+        for t, b in pairs:
+            self.freqs_block(t, b)
+
+
 class Cursor:
     """document_enumerator equivalent over the lazy block cache."""
 

@@ -222,3 +222,35 @@ def test_lazy_and_or_parity(built):
         got_or = boolean.or_query_lazy(lazy_decode.BlockCache(idx), q)
         want_or = boolean.or_query({t: docs[t] for t in q}, q)
         np.testing.assert_array_equal(got_or, want_or, err_msg=str(q))
+
+
+@pytest.mark.parametrize("codec", ["optpfor", "streamvbyte", "mixed"])
+def test_wand_on_block_codec_indexes(tmp_path, codec):
+    """WAND/maxscore run with real pruning over the block-codec index
+    family too (ZooBlockCache): parity with ranked_or, counters prove
+    lazy decode."""
+    from dint_tpu.index import block_index, mixed_block
+
+    base = str(tmp_path / "c")
+    docs, freqs = synth.make_collection(40, 8000, seed=31, avg_len=120)
+    collection.write_freq_collection(base, docs, freqs, 8000)
+    collection.write_sizes_file(
+        base, synth.doc_sizes_from_lists(docs, freqs, 8000)
+    )
+    if codec == "mixed":
+        idx = mixed_block.build_mixed_index(base)
+    else:
+        idx = block_index.build_block_index(base, codec)
+    wd = ranked.build_wand_data(base)
+    dec = block_index.BlockTermDecoder(idx)
+    rng = np.random.default_rng(2)
+    nonempty = [t for t in range(40) if len(docs[t])]
+    for _ in range(15):
+        q = list(rng.choice(nonempty, size=rng.integers(1, 4), replace=False))
+        want = ranked.ranked_or(idx, dec, wd, q, k=10)
+        got_w = ranked.wand(idx, dec, wd, q, k=10)
+        got_m = ranked.maxscore(idx, dec, wd, q, k=10)
+        assert got_w.shape == want.shape
+        assert np.allclose(got_w, want, rtol=1e-4), (codec, q)
+        assert np.allclose(got_m, want, rtol=1e-4), (codec, q)
+    assert dec.lazy_cache.docs_blocks_decoded > 0
