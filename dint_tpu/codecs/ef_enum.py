@@ -1,0 +1,431 @@
+"""Skipping enumerators for the Elias-Fano sequence family.
+
+The reference's sequences are consumed through pointer-walking
+enumerators with `move(k)` / `next()` / `next_geq(lb)` fast paths that
+use the sampled 1-/0-pointer directories (compact_elias_fano.hpp
+:138-417, compact_ranked_bitvector.hpp enumerators).  The rebuild's
+batch readers (`decode_all`) cover the scan-everything access pattern;
+these enumerators add the SKIPPING access pattern — the EF-family
+analogue of the DINT index's block_max jumps — using the same sampled
+pointers the writers emit (byte-exact with the reference layout).
+
+Positions/values follow the reference convention: an exhausted
+enumerator reports position == n and value == universe.
+
+All scans are bounded by the sampling windows (<= 2^log_sampling bits
+between samples), done word-at-a-time with popcounts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..utils import bitio
+from . import ef as ef_mod
+
+
+def _popcount(x: int) -> int:
+    return int(x).bit_count()
+
+
+class _HighBits:
+    """Word-scan helpers over a bit region [start, start+length)."""
+
+    def __init__(self, words: np.ndarray, start: int, length: int):
+        self.words = words
+        self.start = start
+        self.length = length
+
+    def _word(self, i: int) -> int:
+        return int(self.words[i]) if i < self.words.shape[0] else 0
+
+    def select1_from(self, rel: int, k: int) -> int:
+        """Relative position of the k-th one (0-based among ones at
+        relative positions >= rel); -1 if none."""
+        a = self.start + rel
+        end = self.start + self.length
+        wi = a >> 6
+        w = self._word(wi) >> (a & 63)
+        base = a
+        need = k
+        while base < end:
+            c = _popcount(w)
+            if c > need:
+                # locate the need-th set bit in w
+                while need:
+                    w &= w - 1
+                    need -= 1
+                off = (w & -w).bit_length() - 1
+                p = base + off
+                return p - self.start if p < end else -1
+            need -= c
+            wi += 1
+            base = (wi << 6)
+            w = self._word(wi)
+        return -1
+
+    def select0_from(self, rel: int, k: int) -> int:
+        """Relative position of the k-th zero (0-based among zeros at
+        relative positions >= rel); -1 if none in the region."""
+        a = self.start + rel
+        end = self.start + self.length
+        wi = a >> 6
+        w = (~self._word(wi)) & ((1 << 64) - 1)
+        w >>= a & 63
+        base = a
+        need = k
+        while base < end:
+            # mask off bits beyond the region end in the last word
+            avail = min(64 - (base & 63) if base & 63 else 64, end - base)
+            ww = w & ((1 << avail) - 1)
+            c = _popcount(ww)
+            if c > need:
+                while need:
+                    ww &= ww - 1
+                    need -= 1
+                return base + ((ww & -ww).bit_length() - 1) - self.start
+            need -= c
+            wi += 1
+            base = wi << 6
+            w = (~self._word(wi)) & ((1 << 64) - 1)
+        return -1
+
+
+class EFEnumerator:
+    """compact_elias_fano enumerator (move/next/next_geq)."""
+
+    def __init__(self, words, offset: int, universe: int, n: int, p=None):
+        p = p or ef_mod.PARAMS
+        self.of = ef_mod.ef_offsets(offset, universe, n, p)
+        self.words = words
+        self.universe = universe
+        self.n = n
+        self.p = p
+        of = self.of
+        self.hb = _HighBits(words, of.higher_bits_offset, of.higher_bits_length)
+        self._pos = -1
+        self._q = -1  # relative one position of current element
+        self._value = universe
+
+    # ---- raw reads ----
+    def _low(self, k: int) -> int:
+        of = self.of
+        if not of.lower_bits:
+            return 0
+        return bitio.read_bits_scalar(
+            self.words, of.lower_bits_offset + k * of.lower_bits, of.lower_bits
+        )
+
+    def _ptr1(self, i: int) -> int:
+        """High position of element i << log_sampling1 (slot i-1)."""
+        of = self.of
+        return bitio.read_bits_scalar(
+            self.words, of.pointers1_offset + (i - 1) * of.pointer_size,
+            of.pointer_size,
+        )
+
+    def _ptr0(self, j: int) -> int:
+        """Position of the zero with (j << log_sampling0) zeros before
+        it (slot j-1; compact_elias_fano.hpp set_ptr0s)."""
+        of = self.of
+        return bitio.read_bits_scalar(
+            self.words, of.pointers0_offset + (j - 1) * of.pointer_size,
+            of.pointer_size,
+        )
+
+    def _exhaust(self):
+        self._pos = self.n
+        self._q = -1
+        self._value = self.universe
+        return self._value
+
+    def _set(self, pos: int, q: int):
+        self._pos = pos
+        self._q = q
+        high = q - pos - 1
+        self._value = (high << self.of.lower_bits) | self._low(pos)
+        return self._value
+
+    # ---- API ----
+    def position(self) -> int:
+        return self._pos
+
+    def value(self) -> int:
+        return self._value
+
+    def size(self) -> int:
+        return self.n
+
+    def move(self, k: int) -> int:
+        """Position to element k; returns its value."""
+        if k >= self.n:
+            return self._exhaust()
+        if self._pos >= 0 and k == self._pos:
+            return self._value
+        log1 = self.of.log_sampling1
+        start_rel = 0
+        base = 0
+        if self._pos >= 0 and self._pos <= k and (k >> log1) == (
+            self._pos >> log1
+        ):
+            start_rel = self._q  # forward from current position
+            base = self._pos
+            q = self.hb.select1_from(start_rel, k - base)
+        else:
+            si = k >> log1
+            if si > 0:
+                start_rel = self._ptr1(si)
+                base = si << log1
+                q = self.hb.select1_from(start_rel, k - base)
+            else:
+                q = self.hb.select1_from(0, k)
+        if q < 0:
+            return self._exhaust()
+        return self._set(k, q)
+
+    def next(self) -> int:
+        k = self._pos + 1
+        if k >= self.n:
+            return self._exhaust()
+        if self._q >= 0:
+            q = self.hb.select1_from(self._q + 1, 0)
+            if q < 0:
+                return self._exhaust()
+            return self._set(k, q)
+        return self.move(k)
+
+    def next_geq(self, lb: int) -> int:
+        """First element >= lb (queries.hpp leapfrog contract)."""
+        if lb > self.universe:
+            return self._exhaust()
+        if self._pos >= 0 and self._value >= lb and self._pos < self.n:
+            return self._value
+        of = self.of
+        h = lb >> of.lower_bits
+        total_zeros = of.higher_bits_length - self.n
+        log0 = of.log_sampling0
+        if h == 0:
+            i0 = 0
+            q = self.hb.select1_from(0, 0)
+        else:
+            if h > total_zeros:
+                return self._exhaust()
+            # Z(h) = the zero with exactly h zeros before it (rank h):
+            # jump via the 0-pointer directory, then a bounded zero scan
+            sj = h >> log0
+            if sj > 0:
+                zstart = self._ptr0(sj)  # zero with (sj<<log0) before it
+                z = self.hb.select0_from(zstart, h - (sj << log0))
+            else:
+                z = self.hb.select0_from(0, h)
+            if z < 0:
+                return self._exhaust()
+            i0 = z - h  # ones before Z(h)
+            if i0 >= self.n:
+                return self._exhaust()
+            q = self.hb.select1_from(z + 1, 0)
+        if q < 0:
+            return self._exhaust()
+        pos = i0
+        lo_target = lb & ((1 << of.lower_bits) - 1) if of.lower_bits else 0
+        while True:
+            high = q - pos - 1
+            if high > h:
+                return self._set(pos, q)
+            lo = self._low(pos)
+            if lo >= lo_target:
+                return self._set(pos, q)
+            pos += 1
+            if pos >= self.n:
+                return self._exhaust()
+            q = self.hb.select1_from(q + 1, 0)
+            if q < 0:
+                return self._exhaust()
+
+
+class RBEnumerator:
+    """compact_ranked_bitvector enumerator."""
+
+    def __init__(self, words, offset: int, universe: int, n: int, p=None):
+        p = p or ef_mod.PARAMS
+        (self.r1size, self.psize, self.r1samples, self.ptrs1,
+         self.r1off, self.p1off, self.bits_off, _end) = (
+            ef_mod.compact_ranked_bitvector._offsets(offset, universe, n, p)
+        )
+        self.words = words
+        self.universe = universe
+        self.n = n
+        self.p = p
+        self.bits = _HighBits(words, self.bits_off, universe)
+        self._pos = -1
+        self._value = universe
+
+    def position(self) -> int:
+        return self._pos
+
+    def value(self) -> int:
+        return self._value
+
+    def size(self) -> int:
+        return self.n
+
+    def _exhaust(self):
+        self._pos = self.n
+        self._value = self.universe
+        return self._value
+
+    def move(self, k: int) -> int:
+        if k >= self.n:
+            return self._exhaust()
+        log1 = self.p.rb_log_sampling1
+        if self._pos >= 0 and self._pos <= k and (k >> log1) == (
+            self._pos >> log1
+        ):
+            v = self.bits.select1_from(self._value, k - self._pos)
+        else:
+            si = k >> log1
+            if si > 0:
+                sample_v = bitio.read_bits_scalar(
+                    self.words, self.p1off + (si - 1) * self.psize, self.psize
+                )
+                v = self.bits.select1_from(sample_v, k - (si << log1))
+            else:
+                v = self.bits.select1_from(0, k)
+        if v < 0:
+            return self._exhaust()
+        self._pos = k
+        self._value = v
+        return v
+
+    def next(self) -> int:
+        k = self._pos + 1
+        if k >= self.n:
+            return self._exhaust()
+        v = self.bits.select1_from(self._value + 1, 0)
+        if v < 0:
+            return self._exhaust()
+        self._pos = k
+        self._value = v
+        return v
+
+    def next_geq(self, lb: int) -> int:
+        if lb >= self.universe:
+            return self._exhaust()
+        if self._pos >= 0 and self._value >= lb and self._pos < self.n:
+            return self._value
+        logr = self.p.rb_log_rank1_sampling
+        sj = lb >> logr
+        if sj > 0:
+            rank = bitio.read_bits_scalar(
+                self.words, self.r1off + (sj - 1) * self.r1size, self.r1size
+            )
+            start = sj << logr
+        else:
+            rank = 0
+            start = 0
+        # count ones in [start, lb), then take the first one >= lb
+        pos = rank
+        v = self.bits.select1_from(start, 0)
+        while 0 <= v < lb:
+            pos += 1
+            v = self.bits.select1_from(v + 1, 0)
+        if v < 0 or pos >= self.n:
+            return self._exhaust()
+        self._pos = pos
+        self._value = v
+        return v
+
+
+class AllOnesEnumerator:
+    def __init__(self, words, offset, universe, n, p=None):
+        assert universe == n
+        self.universe = universe
+        self.n = n
+        self._pos = -1
+
+    def position(self):
+        return self._pos
+
+    def value(self):
+        return self._pos if 0 <= self._pos < self.n else self.universe
+
+    def size(self):
+        return self.n
+
+    def move(self, k):
+        self._pos = min(k, self.n)
+        return self.value()
+
+    def next(self):
+        return self.move(self._pos + 1)
+
+    def next_geq(self, lb):
+        if 0 <= self._pos < self.n and self._pos >= lb:
+            return self._pos
+        return self.move(max(lb, 0))
+
+
+def indexed_enumerator(words, offset: int, universe: int, n: int, p=None):
+    """Dispatching enumerator for indexed_sequence (1-bit type tag,
+    all_ones implicit when universe == n)."""
+    p = p or ef_mod.PARAMS
+    if ef_mod.all_ones_sequence.bitsize(p, universe, n) == 0:
+        return AllOnesEnumerator(words, offset, universe, n, p)
+    t = bitio.read_bits_scalar(words, offset, ef_mod.indexed_sequence.TYPE_BITS)
+    off = offset + ef_mod.indexed_sequence.TYPE_BITS
+    if t == 0:
+        return EFEnumerator(words, off, universe, n, p)
+    return RBEnumerator(words, off, universe, n, p)
+
+
+class StrictEFEnumerator:
+    """strict_elias_fano: compact EF over universe-n+1 with
+    value = inner + index (untagged; standard sampling params —
+    strict_elias_fano.write passes p through)."""
+
+    def __init__(self, words, offset: int, universe: int, n: int, p=None):
+        self.n = n
+        self.universe = universe
+        self.inner = EFEnumerator(words, offset, universe - n + 1, n, p)
+
+    def move(self, k: int) -> int:
+        v = self.inner.move(k)
+        if k >= self.n:
+            return self.universe
+        return v + k
+
+
+class StrictSeqEnumerator:
+    """strict_sequence: 1-bit tag among {strict EF, ranked bitvector,
+    all-ones}, zero-sampling disabled (_strict_params) — move-only
+    access (freqs are read by position)."""
+
+    def __init__(self, words, offset: int, universe: int, n: int, p=None):
+        p = p or ef_mod.PARAMS
+        sp = ef_mod._strict_params(p)
+        self.n = n
+        self.universe = universe
+        if ef_mod.all_ones_sequence.bitsize(p, universe, n) == 0:
+            self.inner = AllOnesEnumerator(words, offset, universe, n, sp)
+            self.shift = False
+            return
+        t = bitio.read_bits_scalar(
+            words, offset, ef_mod.strict_sequence.TYPE_BITS
+        )
+        off = offset + ef_mod.strict_sequence.TYPE_BITS
+        if t == 0:
+            self.inner = EFEnumerator(words, off, universe - n + 1, n, sp)
+            self.shift = True
+        else:
+            self.inner = RBEnumerator(words, off, universe, n, sp)
+            self.shift = False
+
+    def move(self, k: int) -> int:
+        v = self.inner.move(k)
+        if k >= self.n:
+            return self.universe
+        return v + k if self.shift else v
+
+
+# backwards-compatible alias (tests use the tagged variant)
+StrictEnumerator = StrictSeqEnumerator

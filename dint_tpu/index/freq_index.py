@@ -194,6 +194,99 @@ def build_freq_index(basename: str, kind: str = "opt") -> FreqIndexEF:
     )
 
 
+class EFListCursor:
+    """document_enumerator for the EF-family indexes: docids skip via
+    the sequence enumerators' sampled pointers (codecs/ef_enum.py), and
+    freqs read positionally from the positive/strict sequence — the
+    freq_index.hpp:101-163 access pattern (freq = freqs.move(pos+1) -
+    freqs.move(pos))."""
+
+    __slots__ = ("cache", "term", "n", "num_docs", "_docs_e", "_freqs_e",
+                 "_occ")
+
+    def __init__(self, cache: "EFLazyCache", term: int):
+        from ..codecs import ef_enum
+
+        self.cache = cache
+        idx = cache.index
+        self.term = term
+        occurrences, n, pos = idx._list_header(term)
+        self.n = n
+        self._occ = occurrences
+        self.num_docs = idx.num_docs
+        if idx.kind == "ef":
+            self._docs_e = ef_enum.EFEnumerator(
+                idx.docs.words, pos, idx.num_docs, n, idx.params
+            )
+        else:  # 'single'
+            self._docs_e = ef_enum.indexed_enumerator(
+                idx.docs.words, pos, idx.num_docs, n, idx.params
+            )
+        self._freqs_e = None
+        if n:
+            self._docs_e.move(0)
+        self.cache.moves += 1
+
+    @property
+    def size(self) -> int:
+        return self.n
+
+    def docid(self) -> int:
+        if self.n == 0:
+            return self.num_docs
+        v = self._docs_e.value()
+        return self.num_docs if self._docs_e.position() >= self.n else int(v)
+
+    def position(self) -> int:
+        return self._docs_e.position()
+
+    def freq(self) -> int:
+        from ..codecs import ef_enum
+
+        if self._freqs_e is None:
+            idx = self.cache.index
+            off = int(idx.freqs.endpoints[self.term])
+            cls = (
+                ef_enum.StrictEFEnumerator
+                if idx.kind == "ef"
+                else ef_enum.StrictSeqEnumerator
+            )
+            self._freqs_e = cls(
+                idx.freqs.words, off, self._occ + 1, self.n, idx.params
+            )
+            self.cache.freq_lists_opened += 1
+        k = self._docs_e.position()
+        s1 = self._freqs_e.move(k)
+        s0 = self._freqs_e.move(k - 1) if k else 0
+        return int(s1 - s0)
+
+    def next(self) -> None:
+        self._docs_e.next()
+        self.cache.moves += 1
+
+    def next_geq(self, target: int) -> None:
+        self._docs_e.next_geq(target)
+        self.cache.moves += 1
+
+
+class EFLazyCache:
+    """Counter-carrying cursor factory for the EF-family indexes (the
+    lazy_cache protocol ranked.wand/maxscore consume)."""
+
+    def __init__(self, index: FreqIndexEF):
+        self.index = index
+        self.postings_scored = 0
+        self.moves = 0
+        self.freq_lists_opened = 0
+        # the shared wand/AND helpers read block counters; EF indexes
+        # have no blocks — report enumerator moves instead
+        self.docs_blocks_decoded = 0
+        self.freqs_blocks_decoded = 0
+
+    def make_cursor(self, term: int) -> EFListCursor:
+        return EFListCursor(self, int(term))
+
+
 class EFTermDecoder:
     """TermDecoder-compatible reader for the EF-family indexes: decodes
     whole posting lists with caching (the batched query access path).
@@ -206,6 +299,7 @@ class EFTermDecoder:
         self.index = index
         self._doc_cache = {}
         self._freq_cache = {}
+        self._lazy_cache = None
         if device_ef is None:
             import os
 
@@ -214,6 +308,19 @@ class EFTermDecoder:
             # M ints/s at 8x256Ki) — opt-in, like the stats merge
             device_ef = os.environ.get("DINT_TPU_DEVICE_EF") == "1"
         self.device_ef = device_ef and index.kind == "ef"
+
+    @property
+    def lazy_cache(self):
+        """Skipping-cursor factory (kinds with enumerators only —
+        hasattr() is the capability probe ranked.wand uses; partitioned
+        kinds raise and fall back to the exhaustive scorer)."""
+        if self.index.kind not in ("ef", "single"):
+            raise AttributeError(
+                f"no skipping enumerators for kind {self.index.kind!r}"
+            )
+        if self._lazy_cache is None:
+            self._lazy_cache = EFLazyCache(self.index)
+        return self._lazy_cache
 
     def decode_docids(self, terms):
         todo = [

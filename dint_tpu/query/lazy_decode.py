@@ -210,6 +210,9 @@ class BlockCache:
         self.freqs_blocks_decoded = 0
         self.postings_scored = 0
 
+    def make_cursor(self, term: int) -> "Cursor":
+        return Cursor(self, int(term))
+
     # ---- geometry helpers ----
     def _block_geom(self, term: int, b: int) -> Tuple[int, int, int]:
         """(size, base, pos_in_list) of global block b of `term`."""
@@ -406,6 +409,9 @@ class ZooBlockCache:
     def freqs_blocks_batch(self, pairs) -> None:
         for t, b in pairs:
             self.freqs_block(t, b)
+
+    def make_cursor(self, term: int) -> "Cursor":
+        return Cursor(self, int(term))
 
 
 class Cursor:

@@ -194,11 +194,16 @@ class TopKQueue:
 
 
 def _lazy_cursors(index, decoder, terms):
-    """Per-term (cursor, q_weight, max_weight) using the skip-aware
-    lazy block decoder (query/lazy_decode.py)."""
+    """Per-term skipping cursors from the decoder's lazy cache.
+
+    Caches expose ``make_cursor`` (block caches return the block-max
+    leapfrog cursor, EF caches return pointer-skipping enumerator
+    cursors); all cursors share the docid/freq/next/next_geq protocol."""
+    cache = decoder.lazy_cache
+    if hasattr(cache, "make_cursor"):
+        return cache, [cache.make_cursor(t) for t, _ in terms]
     from .lazy_decode import Cursor
 
-    cache = decoder.lazy_cache
     return cache, [Cursor(cache, t) for t, _ in terms]
 
 

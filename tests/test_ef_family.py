@@ -292,3 +292,171 @@ def test_ef_zero_pointer_slots_match_reference_loop():
             assert got == slots.get(sl, 0), (n, universe, sl, got, slots.get(sl))
         checked += of.pointers0
     assert checked > 0
+
+
+def _random_monotone(rng, universe, n, strict=False):
+    if strict:
+        vals = np.sort(rng.choice(universe, size=n, replace=False))
+    else:
+        vals = np.sort(rng.integers(0, universe, size=n))
+    return vals.astype(np.uint64)
+
+
+@pytest.mark.parametrize("density", [0.01, 0.2, 0.9])
+def test_ef_enumerator_move_next_next_geq(density):
+    """The reference's generic sequence exercisers
+    (test_generic_sequence.hpp:28-164) applied to the EF enumerator:
+    full enumeration via next(), random move()s, and randomized
+    next_geq probes inside gaps / at members / beyond the universe —
+    all checked against the decode_all oracle."""
+    from dint_tpu.codecs import ef_enum
+    from dint_tpu.utils.bitio import BitBuilder
+
+    rng = np.random.default_rng(7)
+    for trial in range(6):
+        n = int(rng.integers(2, 3000))
+        universe = max(int(n / density), n + 1)
+        vals = _random_monotone(rng, universe, n, strict=True)
+        bb = BitBuilder()
+        ef.compact_elias_fano.write(bb, vals, universe, n, ef.PARAMS)
+        words = bb.words()
+        e = ef_enum.EFEnumerator(words, 0, universe, n)
+
+        # full forward enumeration
+        got = [e.move(0)] + [e.next() for _ in range(n - 1)]
+        np.testing.assert_array_equal(np.asarray(got, np.uint64), vals)
+        assert e.next() == universe and e.position() == n
+
+        # random access
+        for k in rng.integers(0, n, 30):
+            e2 = ef_enum.EFEnumerator(words, 0, universe, n)
+            assert e2.move(int(k)) == vals[k], k
+        # forward moves on one enumerator
+        e3 = ef_enum.EFEnumerator(words, 0, universe, n)
+        ks = np.sort(rng.integers(0, n, 20))
+        for k in ks:
+            assert e3.move(int(k)) == vals[k]
+
+        # next_geq probes
+        probes = np.concatenate([
+            rng.integers(0, universe + 2, 40).astype(np.int64),
+            vals[rng.integers(0, n, 10)].astype(np.int64),
+        ])
+        for lb in probes:
+            e4 = ef_enum.EFEnumerator(words, 0, universe, n)
+            got_v = e4.next_geq(int(lb))
+            tail = vals[vals >= lb]
+            if len(tail):
+                assert got_v == tail[0], (lb, got_v, tail[0])
+                assert e4.position() == int(np.searchsorted(vals, lb))
+            else:
+                assert got_v == universe and e4.position() == n
+        # monotone next_geq chain on one enumerator
+        e5 = ef_enum.EFEnumerator(words, 0, universe, n)
+        for lb in np.sort(probes):
+            got_v = e5.next_geq(int(lb))
+            tail = vals[vals >= lb]
+            want = tail[0] if len(tail) else universe
+            assert got_v == want, (lb, got_v, want)
+
+
+def test_rb_and_indexed_and_strict_enumerators():
+    from dint_tpu.codecs import ef_enum
+    from dint_tpu.utils.bitio import BitBuilder
+
+    rng = np.random.default_rng(11)
+    # ranked bitvector: dense sequence
+    for trial in range(4):
+        n = int(rng.integers(50, 2000))
+        universe = int(n * rng.uniform(1.05, 1.5))
+        vals = _random_monotone(rng, universe, n, strict=True)
+        bb = BitBuilder()
+        ef.compact_ranked_bitvector.write(bb, vals, universe, n, ef.PARAMS)
+        words = bb.words()
+        e = ef_enum.RBEnumerator(words, 0, universe, n)
+        got = [e.move(0)] + [e.next() for _ in range(n - 1)]
+        np.testing.assert_array_equal(np.asarray(got, np.uint64), vals)
+        for lb in rng.integers(0, universe + 2, 30):
+            e2 = ef_enum.RBEnumerator(words, 0, universe, n)
+            tail = vals[vals >= lb]
+            want = tail[0] if len(tail) else universe
+            assert e2.next_geq(int(lb)) == want, lb
+
+    # indexed dispatch across densities
+    for density in (0.02, 0.5, 1.0):
+        n = 700
+        universe = max(int(n / density), n)
+        vals = (
+            np.arange(n, dtype=np.uint64)
+            if density == 1.0
+            else _random_monotone(rng, universe, n, strict=True)
+        )
+        bb = BitBuilder()
+        ef.indexed_sequence.write(bb, vals, universe, n, ef.PARAMS)
+        words = bb.words()
+        e = ef_enum.indexed_enumerator(words, 0, universe, n)
+        got = [e.move(0)] + [e.next() for _ in range(n - 1)]
+        np.testing.assert_array_equal(np.asarray(got, np.uint64), vals)
+        for lb in rng.integers(0, universe + 2, 25):
+            e2 = ef_enum.indexed_enumerator(words, 0, universe, n)
+            tail = vals[vals >= lb]
+            want = tail[0] if len(tail) else universe
+            assert e2.next_geq(int(lb)) == want, (density, lb)
+
+    # strict sequence move() (the freqs access pattern)
+    for trial in range(4):
+        n = int(rng.integers(10, 1500))
+        universe = n + int(rng.integers(1, 50000))
+        vals = _random_monotone(rng, universe, n, strict=True)
+        bb = BitBuilder()
+        ef.strict_sequence.write(bb, vals, universe, n, ef.PARAMS)
+        words = bb.words()
+        e = ef_enum.StrictEnumerator(words, 0, universe, n)
+        for k in rng.integers(0, n, 40):
+            assert e.move(int(k)) == vals[k], k
+
+
+@pytest.mark.parametrize("kind", ["ef", "single"])
+def test_wand_on_ef_indexes_with_skipping(tmp_path, kind):
+    """WAND/maxscore over the EF-family indexes use the pointer-skipping
+    enumerators (EFListCursor): parity with ranked_or; the move counter
+    stays far below total postings on a skewed query."""
+    from dint_tpu.query import ranked
+
+    base = str(tmp_path / "c")
+    rng = np.random.default_rng(5)
+    nd = 200_000
+    big = np.sort(rng.choice(nd, 60_000, replace=False)).astype(np.uint32)
+    rare = np.sort(rng.choice(nd, 50, replace=False)).astype(np.uint32)
+    docs, freqs_l = synth.make_collection(25, nd, seed=13, avg_len=100)
+    docs = list(docs) + [big, rare]
+    freqs_l = list(freqs_l) + [
+        np.ones(len(big), np.uint32),
+        rng.integers(1, 6, len(rare)).astype(np.uint32),
+    ]
+    collection.write_freq_collection(base, docs, freqs_l, nd)
+    collection.write_sizes_file(
+        base, synth.doc_sizes_from_lists(docs, freqs_l, nd)
+    )
+    idx = freq_index.build_freq_index(base, kind)
+    wd = ranked.build_wand_data(base)
+    dec = freq_index.EFTermDecoder(idx)
+    nonempty = [t for t in range(len(docs)) if len(docs[t])]
+    for _ in range(12):
+        q = list(rng.choice(nonempty, size=int(rng.integers(1, 4)),
+                            replace=False))
+        want = ranked.ranked_or(idx, dec, wd, q, k=10)
+        got_w = ranked.wand(idx, dec, wd, q, k=10)
+        got_m = ranked.maxscore(idx, dec, wd, q, k=10)
+        assert got_w.shape == want.shape
+        assert np.allclose(got_w, want, rtol=1e-4), (kind, q)
+        assert np.allclose(got_m, want, rtol=1e-4), (kind, q)
+    # pruning stress: rare AND huge — enumerator moves << postings
+    dec._lazy_cache = None
+    want = ranked.ranked_or(idx, dec, wd, [25, 26], k=10)
+    got = ranked.wand(idx, dec, wd, [25, 26], k=10)
+    assert np.allclose(got, want, rtol=1e-4)
+    c = dec.lazy_cache
+    total = len(big) + len(rare)
+    assert c.postings_scored < total * 0.02, (c.postings_scored, total)
+    assert c.moves < total * 0.05, (c.moves, total)
