@@ -42,6 +42,7 @@ class _HighBits:
     def select1_from(self, rel: int, k: int) -> int:
         """Relative position of the k-th one (0-based among ones at
         relative positions >= rel); -1 if none."""
+        rel, k = int(rel), int(k)
         a = self.start + rel
         end = self.start + self.length
         wi = a >> 6
@@ -67,6 +68,7 @@ class _HighBits:
     def select0_from(self, rel: int, k: int) -> int:
         """Relative position of the k-th zero (0-based among zeros at
         relative positions >= rel); -1 if none in the region."""
+        rel, k = int(rel), int(k)
         a = self.start + rel
         end = self.start + self.length
         wi = a >> 6
@@ -429,3 +431,156 @@ class StrictSeqEnumerator:
 
 # backwards-compatible alias (tests use the tagged variant)
 StrictEnumerator = StrictSeqEnumerator
+
+
+class PartitionedEnumerator:
+    """partitioned_sequence / uniform_partitioned_sequence enumerator
+    (partitioned_sequence.hpp:240-345 semantics): the partition
+    directory (sizes, upper bounds, endpoints) decodes eagerly at
+    construction — it is tiny — and per-partition base enumerators
+    open lazily on first touch; ``next_geq`` picks the partition by
+    binary search over the upper-bounds directory (:276-297), the
+    skip structure PEF exists for."""
+
+    def __init__(self, words, offset: int, universe: int, n: int, p=None,
+                 base: str = "indexed", uniform: bool = False):
+        p = p or ef_mod.PARAMS
+        self.words = words
+        self.universe = universe
+        self.n = n
+        self.p = p
+        self.base_kind = base
+        r = bitio.BitReader(words, offset)
+        partitions = ef_mod.read_gamma(r) + 1
+        self.partitions = partitions
+        self._enum = {}
+        self._pos = -1
+        self._value = universe
+        self._cur_part = -1
+        if partitions == 1:
+            cur_base = r.take(bitio.ceil_log2(universe))
+            if n > 1:
+                ub = ef_mod.read_delta(r)
+                part_universe = (universe - cur_base) if ub == 0 else ub + 1
+            else:
+                part_universe = 1
+            self.part_starts = [0, n]
+            self.bases = [cur_base]
+            self.rel_universes = [part_universe]
+            self.seq_offsets = [r.pos]
+            self.part_maxes = [universe - 1]  # unused for 1 partition
+            return
+        endpoint_bits = ef_mod.read_gamma(r)
+        pos = r.pos
+        if not uniform:
+            so = ef_mod.ef_offsets(pos, n, partitions - 1, p)
+            sizes = ef_mod.compact_elias_fano.decode_all(
+                words, pos, n, partitions - 1, p
+            )
+            pos = so.end
+            partition = list(sizes.astype(np.int64)) + [n]
+        else:
+            ps = 1 << p.log_partition_size
+            partition = list(range(ps, n, ps)) + [n]
+        uo = ef_mod.ef_offsets(pos, universe, partitions + 1, p)
+        ubs = ef_mod.compact_elias_fano.decode_all(
+            words, pos, universe, partitions + 1, p
+        ).astype(np.int64)
+        pos = uo.end
+        endpoints = [0]
+        for k in range(partitions - 1):
+            endpoints.append(bitio.read_bits_scalar(words, pos, endpoint_bits))
+            pos += endpoint_bits
+        seq_base = pos
+        self.part_starts = [0] + [int(x) for x in partition]
+        self.bases = []
+        self.rel_universes = []
+        self.seq_offsets = [int(seq_base) + int(e) for e in endpoints]
+        self.part_maxes = [int(x) for x in ubs[1:]]
+        cur_base = int(ubs[0])
+        for k in range(partitions):
+            ub = int(ubs[k + 1])
+            self.bases.append(cur_base)
+            self.rel_universes.append(ub - cur_base + 1)
+            cur_base = ub + 1
+
+    def _open(self, k: int):
+        e = self._enum.get(k)
+        if e is None:
+            m = self.part_starts[k + 1] - self.part_starts[k]
+            if self.base_kind == "indexed":
+                e = indexed_enumerator(
+                    self.words, self.seq_offsets[k], self.rel_universes[k],
+                    m, self.p,
+                )
+            else:  # strict (freqs)
+                e = StrictSeqEnumerator(
+                    self.words, self.seq_offsets[k], self.rel_universes[k],
+                    m, self.p,
+                )
+            self._enum[k] = e
+        return e
+
+    def position(self) -> int:
+        return self._pos
+
+    def value(self) -> int:
+        return self._value
+
+    def size(self) -> int:
+        return self.n
+
+    def _exhaust(self):
+        self._pos = self.n
+        self._value = self.universe
+        return self._value
+
+    def _part_of_pos(self, k_pos: int) -> int:
+        import bisect
+
+        return bisect.bisect_right(self.part_starts, k_pos) - 1
+
+    def move(self, k_pos: int) -> int:
+        if k_pos >= self.n:
+            return self._exhaust()
+        k = self._part_of_pos(k_pos)
+        e = self._open(k)
+        v = e.move(k_pos - self.part_starts[k])
+        self._pos = k_pos
+        self._cur_part = k
+        self._value = v + self.bases[k]
+        return self._value
+
+    def next(self) -> int:
+        return self.move(self._pos + 1)
+
+    def next_geq(self, lb: int) -> int:
+        if 0 <= self._pos < self.n and self._value >= lb:
+            return self._value
+        if self.partitions == 1:
+            k = 0
+        else:
+            import bisect
+
+            k = bisect.bisect_left(self.part_maxes, lb)
+            if k >= self.partitions:
+                return self._exhaust()
+        e = self._open(k)
+        rel = max(lb - self.bases[k], 0)
+        v = e.next_geq(rel)
+        if (
+            hasattr(e, "position") and e.position() >= (
+                self.part_starts[k + 1] - self.part_starts[k]
+            )
+        ):
+            # base exhausted (only possible in the single-partition case
+            # or when lb exceeds every value)
+            k += 1
+            if k >= self.partitions:
+                return self._exhaust()
+            e = self._open(k)
+            v = e.next_geq(0)
+        self._cur_part = k
+        self._pos = self.part_starts[k] + e.position()
+        self._value = v + self.bases[k]
+        return self._value

@@ -218,9 +218,14 @@ class EFListCursor:
             self._docs_e = ef_enum.EFEnumerator(
                 idx.docs.words, pos, idx.num_docs, n, idx.params
             )
-        else:  # 'single'
+        elif idx.kind == "single":
             self._docs_e = ef_enum.indexed_enumerator(
                 idx.docs.words, pos, idx.num_docs, n, idx.params
+            )
+        else:  # 'uniform' / 'opt' (PEF): partition-directory skipping
+            self._docs_e = ef_enum.PartitionedEnumerator(
+                idx.docs.words, pos, idx.num_docs, n, idx.params,
+                base="indexed", uniform=(idx.kind == "uniform"),
             )
         self._freqs_e = None
         if n:
@@ -246,14 +251,19 @@ class EFListCursor:
         if self._freqs_e is None:
             idx = self.cache.index
             off = int(idx.freqs.endpoints[self.term])
-            cls = (
-                ef_enum.StrictEFEnumerator
-                if idx.kind == "ef"
-                else ef_enum.StrictSeqEnumerator
-            )
-            self._freqs_e = cls(
-                idx.freqs.words, off, self._occ + 1, self.n, idx.params
-            )
+            if idx.kind == "ef":
+                self._freqs_e = ef_enum.StrictEFEnumerator(
+                    idx.freqs.words, off, self._occ + 1, self.n, idx.params
+                )
+            elif idx.kind == "single":
+                self._freqs_e = ef_enum.StrictSeqEnumerator(
+                    idx.freqs.words, off, self._occ + 1, self.n, idx.params
+                )
+            else:
+                self._freqs_e = ef_enum.PartitionedEnumerator(
+                    idx.freqs.words, off, self._occ + 1, self.n, idx.params,
+                    base="strict", uniform=(idx.kind == "uniform"),
+                )
             self.cache.freq_lists_opened += 1
         k = self._docs_e.position()
         s1 = self._freqs_e.move(k)
@@ -311,13 +321,9 @@ class EFTermDecoder:
 
     @property
     def lazy_cache(self):
-        """Skipping-cursor factory (kinds with enumerators only —
-        hasattr() is the capability probe ranked.wand uses; partitioned
-        kinds raise and fall back to the exhaustive scorer)."""
-        if self.index.kind not in ("ef", "single"):
-            raise AttributeError(
-                f"no skipping enumerators for kind {self.index.kind!r}"
-            )
+        """Skipping-cursor factory: all four EF-family kinds have
+        enumerators (compact EF / indexed dispatch / partitioned with
+        upper-bound directory skips)."""
         if self._lazy_cache is None:
             self._lazy_cache = EFLazyCache(self.index)
         return self._lazy_cache

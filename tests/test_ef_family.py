@@ -416,7 +416,7 @@ def test_rb_and_indexed_and_strict_enumerators():
             assert e.move(int(k)) == vals[k], k
 
 
-@pytest.mark.parametrize("kind", ["ef", "single"])
+@pytest.mark.parametrize("kind", ["ef", "single", "uniform", "opt"])
 def test_wand_on_ef_indexes_with_skipping(tmp_path, kind):
     """WAND/maxscore over the EF-family indexes use the pointer-skipping
     enumerators (EFListCursor): parity with ranked_or; the move counter
