@@ -50,11 +50,19 @@ def _as_u32(values) -> np.ndarray:
 _U8_PAD = 80  # covers qmx's worst over-read: 16 fields x 32 bits + window
 
 
-def _u8view(buf, pos: int) -> np.ndarray:
-    """u8 array of buf[pos:] with zero padding appended (decoders may
+def _u8view(buf, pos: int, bound: int = None) -> np.ndarray:
+    """u8 array of buf[pos:pos+bound] with zero padding appended.
+
+    ``bound`` caps the view at the codec's worst-case byte count for
+    the requested values — without it a 256-int block decode would
+    copy (and chain-walk) the entire arena tail.  Decoders may
     speculatively read whole groups past a partial final group; the
-    results are discarded, the reads must just be in bounds)."""
-    a = np.asarray(buf[pos:], dtype=np.uint8)
+    results are discarded, the reads must just be in bounds."""
+    a = (
+        np.asarray(buf[pos : pos + bound], dtype=np.uint8)
+        if bound is not None
+        else np.asarray(buf[pos:], dtype=np.uint8)
+    )
     return np.concatenate([a, np.zeros(_U8_PAD, np.uint8)])
 
 
@@ -175,7 +183,7 @@ def maskedvbyte_decode(buf, pos, n, sum_of_values):
     flatnonzero), and bytes assemble with one masked gather per lane."""
     if n == 0:
         return np.zeros(0, np.uint32), pos
-    data = _u8view(buf, pos)
+    data = _u8view(buf, pos, 5 * n)
     term = np.flatnonzero((data & 0x80) == 0)
     ends = term[:n].astype(np.int64)
     starts = np.concatenate([[0], ends[:-1] + 1])
@@ -296,8 +304,8 @@ def varintgb_decode(buf, pos, n, sum_of_values):
     if n == 0:
         return np.zeros(0, np.uint32), pos
     adv_t, lens_t = _vgb_tables()
-    data = _u8view(buf, pos)
     G = (n + 3) // 4
+    data = _u8view(buf, pos, 17 * G)
     adv = adv_t[data[: max(data.shape[0] - _U8_PAD + 1, 1)]]
     gpos = _chain_positions(adv, G)
     keys = data[gpos]
@@ -384,8 +392,8 @@ def varint_g8iu_decode(buf, pos, n, sum_of_values):
     work VarIntG8IU.h does with one SSSE3 shuffle per group)."""
     if n < BLOCK_SIZE:
         return interpolative.decode_block(buf, pos, n, sum_of_values)
-    data = _u8view(buf, pos)
-    avail = (data.shape[0] - _U8_PAD) // 9 + 1
+    data = _u8view(buf, pos, 9 * n)
+    avail = max((data.shape[0] - _U8_PAD) // 9, 1)
     descs = data[0 : 9 * avail : 9]
     cnt = _POPCNT8[descs]
     cum = np.cumsum(cnt)
@@ -474,7 +482,7 @@ def simple16_decode(buf, pos, n, sum_of_values):
     with pure shifts (<=28 lanes per word, vectorized across words)."""
     if n == 0:
         return np.zeros(0, np.uint32), pos
-    raw = np.asarray(buf[pos:], dtype=np.uint8)
+    raw = np.asarray(buf[pos : pos + 4 * n], dtype=np.uint8)
     avail = min(raw.shape[0] // 4, n)
     words = np.frombuffer(raw[: 4 * avail].tobytes(), "<u4").astype(np.uint64)
     # clamp selectors before the table lookup: words past the true
@@ -551,8 +559,8 @@ def qmx_decode(buf, pos, n, sum_of_values):
     of unrolled SSE loops play (qmx_codec.hpp decode)."""
     if n == 0:
         return np.zeros(0, np.uint32), pos
-    data = _u8view(buf, pos)
     G = -(-n // _QMX_GROUP)
+    data = _u8view(buf, pos, 65 * G)
     body = data[: max(data.shape[0] - _U8_PAD + 1, 1)].astype(np.int64)
     adv = 1 + ((_QMX_GROUP * body + 7) >> 3)
     gpos = _chain_positions(adv, G)
@@ -621,7 +629,7 @@ def optpfor_decode(buf, pos, n, sum_of_values):
     p = pos + 3
     nbytes = (n * b + 7) // 8
     if b:
-        data = _u8view(buf, p)
+        data = _u8view(buf, p, nbytes)
         out = _bitunpack(
             data, np.arange(n, dtype=np.int64) * b, min(b, 32)
         )

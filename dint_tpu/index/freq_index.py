@@ -266,8 +266,11 @@ class EFListCursor:
                 )
             self.cache.freq_lists_opened += 1
         k = self._docs_e.position()
-        s1 = self._freqs_e.move(k)
+        # forward order (k-1 then k): both are cheap forward steps from
+        # the enumerator's cached state; the reverse order forces a
+        # sample-directory reposition on every freq read
         s0 = self._freqs_e.move(k - 1) if k else 0
+        s1 = self._freqs_e.move(k)
         return int(s1 - s0)
 
     def next(self) -> None:

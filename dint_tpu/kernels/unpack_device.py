@@ -255,8 +255,15 @@ class UnpackEngine:
 
         self.plan = plan
         self._dev = []
-        for c in plan.classes:
+        self._b0_out = {}  # class idx -> host output (zeros + exceptions)
+        for ci, c in enumerate(plan.classes):
             if c.b == 0:
+                out = np.zeros(
+                    (c.payload.shape[0], plan.values_per_block), np.uint32
+                )
+                if c.exc_dense is not None and c.exc_dense.shape[0]:
+                    out[: c.exc_dense.shape[0]] += c.exc_dense
+                self._b0_out[ci] = out
                 self._dev.append(None)
                 continue
             has_exc = c.exc_dense is not None and c.exc_dense.shape[0] > 0
@@ -279,12 +286,9 @@ class UnpackEngine:
         import jax.numpy as jnp
 
         outs = []
-        for c, dev in zip(self.plan.classes, self._dev):
-            if dev is None:  # b == 0: all values zero
-                outs.append(
-                    np.zeros((c.payload.shape[0], self.plan.values_per_block),
-                             np.uint32)
-                )
+        for ci, (c, dev) in enumerate(zip(self.plan.classes, self._dev)):
+            if dev is None:  # b == 0: zeros + exception highs (hosted)
+                outs.append(self._b0_out[ci])
                 continue
             pay, exc, has_exc = dev
             decode = _fns(c.b, self.plan.values_per_block, has_exc)[0]
@@ -334,6 +338,8 @@ class UnpackEngine:
         for _ in range(runs):
             for off, vals in self.plan.partials:
                 acc ^= int(vals[-1]) if vals.size else 0
+            for out in self._b0_out.values():  # b==0 classes are hosted
+                acc ^= int(out[-1, -1]) if out.size else 0
         return time.perf_counter() - t0
 
     def decode_all_ordered(self) -> np.ndarray:

@@ -80,12 +80,12 @@ def serve_ranked_sharded(
         pruned
         and getattr(wdata, "block_maxw", None) is not None
         and hasattr(decoder, "lazy_cache")
+        and hasattr(decoder.lazy_cache, "docs_blocks_batch")
     ):
         from ..query import bmw
-        from ..query.lazy_decode import BlockCache
 
         drows, srows, _ = bmw.build_pruned_rows(
-            BlockCache(index), index, wdata, queries, k
+            type(decoder.lazy_cache)(index), index, wdata, queries, k
         )
     else:
         drows, srows = device_batch.build_ranked_rows(

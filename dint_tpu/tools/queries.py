@@ -70,14 +70,17 @@ def run_op_device(index, decoder, wdata, queries_list, op, runs, k):
             op in ("wand", "maxscore")
             and getattr(wdata, "block_maxw", None) is not None
             and hasattr(decoder, "lazy_cache")
+            and hasattr(decoder.lazy_cache, "docs_blocks_batch")
         ):
             # Block-Max pruning: mask whole blocks out of the sort-merge
-            # before decode (query/bmw.py; exact top-k by construction)
+            # before decode (query/bmw.py; exact top-k by construction).
+            # Needs a block-structured cache (256-block geometry) — the
+            # DINT and block-codec index families.
             from ..query import bmw as bmw_mod
-            from ..query.lazy_decode import BlockCache
 
             drows, srows, pruned_stats = bmw_mod.build_pruned_rows(
-                BlockCache(index), index, wdata, queries_list, k
+                type(decoder.lazy_cache)(index), index, wdata,
+                queries_list, k,
             )
         else:
             drows, srows = device_batch.build_ranked_rows(
@@ -152,7 +155,20 @@ def run_op(index, decoder, wdata, queries_list, op, runs, k):
     warm cache (their decode is the untimed warmup, like the
     reference's index warm, queries.cpp:74-83)."""
     lazy_ops = ("and", "and_freq", "or", "or_freq", "wand", "maxscore")
-    lazy = op in lazy_ops and hasattr(decoder, "lazy_cache")
+    cache_factory = None
+    if op in lazy_ops and hasattr(decoder, "lazy_cache"):
+        try:
+            cache_factory = type(decoder.lazy_cache)
+        except AttributeError:
+            cache_factory = None
+    # boolean lazy ops need block geometry (block-max leapfrog); EF
+    # caches expose cursors only — those kinds keep the warm path
+    block_structured = cache_factory is not None and hasattr(
+        decoder.lazy_cache, "docs_blocks_batch"
+    )
+    lazy = cache_factory is not None and (
+        op in ("wand", "maxscore") or block_structured
+    )
     if not lazy:
         all_terms = sorted({int(t) for q in queries_list for t in q})
         decoder.decode_docids(all_terms)
@@ -160,9 +176,7 @@ def run_op(index, decoder, wdata, queries_list, op, runs, k):
             decoder.decode_freqs(all_terms)
 
     def one_query_lazy(q):
-        from ..query.lazy_decode import BlockCache
-
-        cache = BlockCache(index)
+        cache = cache_factory(index)  # fresh: decode is timed per query
         t0 = time.perf_counter()
         if op in ("and", "and_freq"):
             res = boolean.and_query_lazy(cache, q)

@@ -296,3 +296,27 @@ def test_device_unpack_engine_exact(tmp_path):
         want = np.concatenate(lists)
         np.testing.assert_array_equal(got, want, err_msg=codec)
         assert eng.timed_chain(2) > 0
+
+
+def test_device_unpack_b0_class_with_exceptions(tmp_path):
+    """optpfor blocks can choose b=0 (all values become exceptions of a
+    few positions, rest zero); the device engine must apply their
+    exception highs, not decode to all-zeros (round-2 review finding)."""
+    import numpy as np
+
+    from dint_tpu.index import stream as stream_mod
+    from dint_tpu.index import vroom_zoo
+    from dint_tpu.kernels import unpack_device
+
+    rng = np.random.default_rng(3)
+    g = np.zeros(512, np.uint32)
+    g[rng.choice(512, 6, replace=False)] = 1  # sparse ones -> b=0 + exceptions
+    p, _ = vroom_zoo.encode_list_zoo("optpfor", g)
+    path = str(tmp_path / "s.optpfor")
+    stream_mod.write_stream(path, [p], [512], [int(g.sum())])
+    arena, meta = stream_mod.load_stream(path)
+    plan = unpack_device.plan_optpfor(arena, meta)
+    eng = unpack_device.UnpackEngine(plan)
+    got = eng.decode_all_ordered()
+    np.testing.assert_array_equal(got, g)
+    assert eng.timed_chain(2) >= 0

@@ -99,3 +99,36 @@ def test_dict_perf_tool(workdir):
                 "single", "--copies", "10000",
             ]
         )
+
+
+def test_queries_cli_host_lazy_ops_on_ef_and_block_indexes(tmp_path):
+    """run_op's lazy paths must use each decoder's own cache type —
+    EF and block-codec indexes crashed with BlockCache(index)
+    (round-2 review finding)."""
+    import numpy as np
+
+    from dint_tpu.index import block_index, freq_index
+    from dint_tpu.io import collection, synth
+    from dint_tpu.query import ranked
+    from dint_tpu.tools import queries as qtool
+
+    base = str(tmp_path / "c")
+    docs, freqs = synth.make_collection(30, 5000, seed=3, avg_len=90)
+    collection.write_freq_collection(base, docs, freqs, 5000)
+    collection.write_sizes_file(
+        base, synth.doc_sizes_from_lists(docs, freqs, 5000)
+    )
+    wd = ranked.build_wand_data(base)
+    queries_list = [[1, 2], [3], [5, 7, 9]]
+
+    eidx = freq_index.build_freq_index(base, "ef")
+    edec = freq_index.EFTermDecoder(eidx)
+    for op in ("wand", "maxscore", "and", "or"):
+        stats = qtool.run_op(eidx, edec, wd, queries_list, op, 1, 10)
+        assert stats["avg"] >= 0
+
+    bidx = block_index.build_block_index(base, "optpfor")
+    bdec = block_index.BlockTermDecoder(bidx)
+    for op in ("wand", "and"):
+        stats = qtool.run_op(bidx, bdec, wd, queries_list, op, 1, 10)
+        assert stats["avg"] >= 0
