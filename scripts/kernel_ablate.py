@@ -63,14 +63,15 @@ def time_ship(eng, ref, total, runs):
 def time_pallas(eng, ref, total, runs):
     from dint_tpu.kernels import decode_pallas as dp
 
-    # the engine stores vidx as u8 and the table as i32 (pallas lane-
-    # gather layout); the legacy fused variants take i32/u32 arrays
-    vidx = (
-        np.asarray(eng.vidx).view(np.uint8).astype(np.int32)
-        .reshape(-1, N_OUT)
-    )
-    table = np.asarray(eng.table).reshape(-1, TABLE_CLS)
-    n = np.asarray(eng.n).reshape(-1)
+    # build plan-order arrays directly (the engine now stores split
+    # width-class device arrays); the legacy fused variants take
+    # i32/u32 arrays
+    from dint_tpu.kernels import decode_local as dl
+
+    plan = eng.plan
+    vidx = dl.plan_to_vidx(plan).astype(np.int32)
+    table = plan.table.view(np.int32)
+    n = plan.out_n.astype(np.int32)
     R = vidx.shape[0]
     RB = dp.ROW_BLOCK
     padR = ((R + RB - 1) // RB) * RB

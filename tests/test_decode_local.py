@@ -244,3 +244,76 @@ def test_decode_docids_all_matches_host_rebuild(setup):  # noqa: F811
             np.uint32
         )
         np.testing.assert_array_equal(r, want)
+
+
+def test_split_width_class_engine_interpret(tmp_path, monkeypatch):
+    """The TPU engine's packed-u16/i32 width-class split, run in pallas
+    interpret mode on CPU: decode_all, gather_units (row permutation),
+    decode_docids_all, and decode_chain must all match the unsplit XLA
+    path bit-for-bit, including plans that contain BOTH classes."""
+    import numpy as np
+
+    from dint_tpu.codecs import dint
+    from dint_tpu.dictionary.builder import build_dictionary
+    from dint_tpu.kernels import decode_local
+    from dint_tpu.stats import block_stats, collectors
+
+    rng = np.random.default_rng(4)
+    gap_lists = []
+    for i in range(14):
+        n = int(rng.integers(40, 900))
+        g = np.where(
+            rng.random(n) < 0.5, 0, rng.integers(1, 300, n)
+        ).astype(np.uint32)
+        if i % 3 == 0:  # large values force 4-byte exceptions ->
+            g[rng.integers(0, n, 3)] = rng.integers(1 << 17, 1 << 25, 3)
+        gap_lists.append(g)  # i32-class rows (table words >= 2^16)
+    per_size = collectors.collect_single(gap_lists)
+    ctx = block_stats._filter_sort(per_size, sum(map(len, gap_lists)))
+    stats = block_stats.BlockStats(sum(map(len, gap_lists)), [ctx])
+    d = build_dictionary(stats, "single")
+    view = d.decode_view()
+    bufs = [dint.encode_opt_single(d.lookup_table(), g) for g in gap_lists]
+    arena = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    starts = np.cumsum([0] + [len(b) for b in bufs])[:-1]
+    plan = decode_local.plan_stream(
+        arena, starts, [len(b) for b in bufs],
+        [len(g) for g in gap_lists], [0] * len(bufs), [16] * len(bufs),
+        view,
+    )
+
+    # ground truth through the unsplit XLA path
+    ref_eng = decode_local.LocalDecodeEngine(plan)
+    assert not ref_eng.use_pallas
+    ref_units = ref_eng.gather_units(
+        ref_eng.decode_all(), len(bufs), [len(g) for g in gap_lists]
+    )
+
+    monkeypatch.setattr(decode_local, "FORCE_SPLIT_INTERPRET", True)
+    eng = decode_local.LocalDecodeEngine(plan, row_tile=32)
+    assert eng.use_pallas
+    R16, R32 = eng._cls[0], eng._cls[1]
+    assert R16 > 0 and R32 > 0, "plan must contain both width classes"
+    units = eng.gather_units(
+        eng.decode_all(), len(bufs), [len(g) for g in gap_lists]
+    )
+    for a, b, g in zip(units, ref_units, gap_lists):
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(a, g)
+
+    # docid rebuild with permuted bases
+    bases = np.arange(len(bufs), dtype=np.uint32) * 1000
+    docs = eng.gather_units(
+        eng.decode_docids_all(bases), len(bufs), [len(g) for g in gap_lists]
+    )
+    ref_docs = ref_eng.gather_units(
+        ref_eng.decode_docids_all(bases), len(bufs),
+        [len(g) for g in gap_lists],
+    )
+    for a, b in zip(docs, ref_docs):
+        np.testing.assert_array_equal(a, b)
+
+    # chain runs and is runs-dependent
+    s2 = int(np.asarray(eng.decode_chain(2)))
+    s3 = int(np.asarray(eng.decode_chain(3)))
+    assert s2 != s3
