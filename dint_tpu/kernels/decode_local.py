@@ -555,6 +555,32 @@ FORCE_SPLIT_INTERPRET = False  # tests: run the split engine in pallas
 # interpret mode on CPU (exercises the width-class machinery off-TPU)
 
 
+def _pallas_gather8_kernel(salt_ref, vidx_ref, tab_ref, n_ref, out_ref):
+    """u8 width class: rows whose local-table words all fit 8 bits pack
+    FOUR table entries per i32 lane (64-lane packed table) —
+    val = byte (idx&3) of word[idx>>2].  Quarters table HBM traffic.
+    Byte selection is nested constant-shift selects (variable-amount
+    lane shifts are avoided for Mosaic)."""
+    rt = out_ref.shape[0]
+    salt = salt_ref[0]
+    tab = tab_ref[:]  # (rt, 64) i32: entries 4j..4j+3 packed LE
+    jpos = jax.lax.broadcasted_iota(jnp.int32, (rt, 128), 1)
+    nn = n_ref[:]
+    for c in range(N_OUT // 128):
+        idx = vidx_ref[:, c * 128 : (c + 1) * 128].astype(jnp.int32) & 255
+        word = jnp.take_along_axis(tab, idx >> 2, axis=1)
+        odd = (idx & 1) == 1
+        lo = jnp.where(odd, jax.lax.shift_right_logical(word, 8), word)
+        hi = jnp.where(
+            odd,
+            jax.lax.shift_right_logical(word, 24),
+            jax.lax.shift_right_logical(word, 16),
+        )
+        val = (jnp.where((idx & 2) == 2, hi, lo) & 0xFF) + salt
+        valid = (jpos + c * 128) < nn
+        out_ref[:, c * 128 : (c + 1) * 128] = jnp.where(valid, val, 0)
+
+
 def _pallas_gather16_kernel(salt_ref, vidx_ref, tab_ref, n_ref, out_ref):
     """u16 width class: rows whose local-table words all fit 16 bits
     (the common case for gap contents) pack TWO table entries per i32
@@ -654,81 +680,80 @@ def _pallas_decode_fns(R: int, rt: int, interpret: bool = False):
     return jax.jit(decode), chain
 
 
+_CLASS_KERNELS = {
+    8: (_pallas_gather8_kernel, TABLE_CLS // 4, True),
+    16: (_pallas_gather16_kernel, TABLE_CLS // 2, True),
+    32: (_pallas_gather_kernel, TABLE_CLS, False),
+}
+# mode -> (kernel, packed table lanes, kernel adds salt to output)
+
+
 @functools.lru_cache(maxsize=None)
-def _pallas_split_fns(R16: int, R32: int, rt: int, interpret: bool = False):
-    """(decode, chain) for a plan split into a u16-packed row class
-    (R16 rows, table (R16,128) packed) and an i32 row class (R32 rows).
-    decode returns (out16_exact, out32_exact); chain runs both classes
-    per scan step in ONE dispatch."""
+def _pallas_split_fns(spec, rt: int, interpret: bool = False):
+    """(decode, chain) for a plan split into table width classes.
+
+    ``spec`` is a tuple of (padded_rows, mode) with mode in {8,16,32};
+    zero-row classes are skipped.  decode takes one (vidx, table, n)
+    triple per class + salt and returns the exact per-class outputs;
+    chain runs every class per scan step in ONE dispatch."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    call16 = None
-    if R16:
-        call16 = pl.pallas_call(
-            _pallas_gather16_kernel,
-            grid=(R16 // rt,),
-            interpret=interpret,
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((rt, N_OUT), lambda i: (i, 0)),
-                pl.BlockSpec((rt, TABLE_CLS // 2), lambda i: (i, 0)),
-                pl.BlockSpec((rt, 1), lambda i: (i, 0)),
-            ],
-            out_specs=pl.BlockSpec((rt, N_OUT), lambda i: (i, 0)),
-            out_shape=jax.ShapeDtypeStruct((R16, N_OUT), jnp.int32),
-        )
-    call32 = None
-    if R32:
-        call32 = pl.pallas_call(
-            _pallas_gather_kernel,
-            grid=(R32 // rt,),
-            interpret=interpret,
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((rt, N_OUT), lambda i: (i, 0)),
-                pl.BlockSpec((rt, TABLE_CLS), lambda i: (i, 0)),
-                pl.BlockSpec((rt, 1), lambda i: (i, 0)),
-            ],
-            out_specs=pl.BlockSpec((rt, N_OUT), lambda i: (i, 0)),
-            out_shape=jax.ShapeDtypeStruct((R32, N_OUT), jnp.int32),
-        )
+    calls = []
+    for rows, mode in spec:
+        kern, lanes, salted = _CLASS_KERNELS[mode]
+        call = None
+        if rows:
+            call = pl.pallas_call(
+                kern,
+                grid=(rows // rt,),
+                interpret=interpret,
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec((rt, N_OUT), lambda i: (i, 0)),
+                    pl.BlockSpec((rt, lanes), lambda i: (i, 0)),
+                    pl.BlockSpec((rt, 1), lambda i: (i, 0)),
+                ],
+                out_specs=pl.BlockSpec((rt, N_OUT), lambda i: (i, 0)),
+                out_shape=jax.ShapeDtypeStruct((rows, N_OUT), jnp.int32),
+            )
+        calls.append((call, salted))
 
-    def _run(v16, t16, n16, v32, t32, n32, salt):
+    def _run(args, salt):
         s = jax.lax.bitcast_convert_type(salt, jnp.int32)
-        o16 = call16(s[None], v16, t16, n16) if call16 else None
-        o32 = call32(s[None], v32, t32, n32) if call32 else None
-        return o16, o32
+        outs = []
+        for (call, salted), (v, t, n) in zip(calls, args):
+            outs.append(call(s[None], v, t, n) if call else None)
+        return outs
 
     @jax.jit
-    def decode(v16, t16, n16, v32, t32, n32, salt):
-        o16, o32 = _run(v16, t16, n16, v32, t32, n32, salt)
+    def decode(args, salt):
+        raw = _run(args, salt)
         outs = []
-        if o16 is not None:
-            # kernel16 wrote val+salt on valid lanes: cancel exactly
-            u = jax.lax.bitcast_convert_type(o16, jnp.uint32) - salt
-            jpos = jnp.arange(N_OUT, dtype=jnp.int32)[None, :]
-            u = jnp.where(jpos < n16, u, 0)
+        jpos = jnp.arange(N_OUT, dtype=jnp.int32)[None, :]
+        for o, (call, salted), (v, t, n) in zip(raw, calls, args):
+            if o is None:
+                continue
+            u = jax.lax.bitcast_convert_type(o, jnp.uint32)
+            if salted:  # kernel wrote val+salt on valid lanes
+                u = jnp.where(jpos < n, u - salt, 0)
             outs.append(u)
-        if o32 is not None:
-            outs.append(jax.lax.bitcast_convert_type(o32, jnp.uint32))
         return tuple(outs)
 
     @functools.partial(jax.jit, static_argnames=("runs",))
-    def chain(v16, t16, n16, v32, t32, n32, valid16, *, runs: int):
+    def chain(args, valids, *, runs: int):
         def body(salt, _):
-            o16, o32 = _run(v16, t16, n16, v32, t32, n32, salt)
+            raw = _run(args, salt)
             s = jnp.uint32(0)
-            if o16 is not None:
+            for o, (call, salted), valid in zip(raw, calls, valids):
+                if o is None:
+                    continue
                 s = s + jnp.sum(
-                    jax.lax.bitcast_convert_type(o16, jnp.uint32),
-                    dtype=jnp.uint32,
-                ) - salt * valid16
-            if o32 is not None:
-                s = s + jnp.sum(
-                    jax.lax.bitcast_convert_type(o32, jnp.uint32),
+                    jax.lax.bitcast_convert_type(o, jnp.uint32),
                     dtype=jnp.uint32,
                 )
+                if salted:
+                    s = s - salt * valid
             return s + salt + jnp.uint32(1), None
 
         salt, _ = jax.lax.scan(body, jnp.uint32(1), None, length=runs)
@@ -800,57 +825,86 @@ class LocalDecodeEngine:
             return a
 
         if self.use_pallas:
-            # split rows into the packed-u16 table class (halved table
-            # HBM traffic, single 128-lane gather) and the i32 class
+            # split rows into table width classes: u8 packs 4 entries
+            # per i32 lane, u16 packs 2 (one <=128-lane gather serves
+            # the whole table in every class; table HBM traffic scales
+            # with the class width)
             tabmax = (
                 plan.table.max(axis=1) if R else np.zeros(0, plan.table.dtype)
             )
-            is16 = tabmax < (1 << 16)
-            order = np.concatenate(
-                [np.flatnonzero(is16), np.flatnonzero(~is16)]
-            ).astype(np.int64)
-            R16 = int(is16.sum())
-            R32 = R - R16
-            p16 = -(-R16 // row_tile) * row_tile if R16 else 0
-            p32 = -(-R32 // row_tile) * row_tile if R32 else 0
-            self._cls = (R16, R32, p16, p32)
-            o16, o32 = order[:R16], order[R16:]
-            v16 = pad_to(vidx_np[o16], p16) if R16 else np.zeros((0, N_OUT), np.int32)
-            v32 = pad_to(vidx_np[o32], p32) if R32 else np.zeros((0, N_OUT), np.int32)
-            t16r = plan.table[o16] if R16 else np.zeros((0, TABLE_CLS), np.uint32)
-            t16 = pad_to(
-                (t16r[:, 0::2] | (t16r[:, 1::2] << np.uint32(16))).astype(
-                    np.uint32
-                ),
-                p16,
+            # NOTE: a u8 class (4 entries/lane, 64-lane table) has no
+            # traffic win: Mosaic's dynamic gather requires operand
+            # lane width == index lane width (128), so the 64-lane
+            # table would have to be stored 128 lanes wide anyway.
+            sel16 = tabmax < (1 << 16)
+            sel32 = ~sel16
+            classes = []  # (mode, orig row ids, padded rows)
+            for mode, sel in ((16, sel16), (32, sel32)):
+                rows = np.flatnonzero(sel).astype(np.int64)
+                padded = -(-rows.shape[0] // row_tile) * row_tile if rows.shape[0] else 0
+                classes.append((mode, rows, padded))
+            self._classes = classes
+            self._spec = tuple(
+                (padded, mode) for mode, _, padded in classes
             )
-            t32 = pad_to(plan.table[o32], p32) if R32 else np.zeros(
-                (0, TABLE_CLS), np.uint32
-            )
-            n16 = pad_to(plan.out_n[o16], p16) if R16 else np.zeros(0, np.int32)
-            n32 = pad_to(plan.out_n[o32], p32) if R32 else np.zeros(0, np.int32)
-            self._dev = (
-                jnp.asarray(v16.astype(np.uint8).view(np.int8)),
-                jnp.asarray(t16.view(np.int32)),
-                jnp.asarray(n16.astype(np.int32)[:, None]),
-                jnp.asarray(v32.astype(np.uint8).view(np.int8)),
-                jnp.asarray(t32.view(np.int32)),
-                jnp.asarray(n32.astype(np.int32)[:, None]),
-            )
-            self._valid16 = np.uint32(int(n16.astype(np.int64).sum()))
-            # engine-order metadata (padded rows carry unit_id -1)
-            eng_rows = p16 + p32
+            order = np.concatenate([rows for _, rows, _ in classes])
+            dev = []
+            valids = []
+            eng_rows = sum(p for _, _, p in classes)
             self.eng_unit_id = np.full(eng_rows, -1, np.int64)
             self.eng_out_pos = np.zeros(eng_rows, np.int64)
             self.eng_out_n = np.zeros(eng_rows, np.int32)
-            self.eng_unit_id[:R16] = plan.unit_id[o16]
-            self.eng_out_pos[:R16] = plan.out_pos[o16]
-            self.eng_out_n[:R16] = plan.out_n[o16]
-            self.eng_unit_id[p16 : p16 + R32] = plan.unit_id[o32]
-            self.eng_out_pos[p16 : p16 + R32] = plan.out_pos[o32]
-            self.eng_out_n[p16 : p16 + R32] = plan.out_n[o32]
+            base = 0
+            cls_bases = []
+            for mode, rows, padded in classes:
+                Rc = rows.shape[0]
+                cls_bases.append(base)
+                v = (
+                    pad_to(vidx_np[rows], padded)
+                    if Rc
+                    else np.zeros((0, N_OUT), np.int32)
+                )
+                tr = (
+                    plan.table[rows]
+                    if Rc
+                    else np.zeros((0, TABLE_CLS), np.uint32)
+                )
+                if mode == 8:
+                    t = (
+                        tr[:, 0::4]
+                        | (tr[:, 1::4] << np.uint32(8))
+                        | (tr[:, 2::4] << np.uint32(16))
+                        | (tr[:, 3::4] << np.uint32(24))
+                    ).astype(np.uint32)
+                elif mode == 16:
+                    t = (tr[:, 0::2] | (tr[:, 1::2] << np.uint32(16))).astype(
+                        np.uint32
+                    )
+                else:
+                    t = tr
+                t = pad_to(t, padded)
+                nn = (
+                    pad_to(plan.out_n[rows], padded)
+                    if Rc
+                    else np.zeros(0, np.int32)
+                )
+                dev.append(
+                    (
+                        jnp.asarray(v.astype(np.uint8).view(np.int8)),
+                        jnp.asarray(t.view(np.int32)),
+                        jnp.asarray(nn.astype(np.int32)[:, None]),
+                    )
+                )
+                valids.append(jnp.uint32(int(nn.astype(np.int64).sum())))
+                self.eng_unit_id[base : base + Rc] = plan.unit_id[rows]
+                self.eng_out_pos[base : base + Rc] = plan.out_pos[rows]
+                self.eng_out_n[base : base + Rc] = plan.out_n[rows]
+                base += padded
+            self._dev = tuple(dev)
+            self._valids = tuple(valids)
+            self._cls_bases = cls_bases
             self._order = order
-            self._p16 = p16
+            self._p16 = True  # marker: engine order is class-permuted
         else:
             padR = -(-max(R, 1) // row_tile) * row_tile
             self.T = padR // row_tile
@@ -911,9 +965,10 @@ class LocalDecodeEngine:
         # scatter plan-order bases into engine order
         R = self.plan.rows
         if self._p16 is not None:
-            R16 = self._cls[0]
-            bases[:R16] = nb[self._order[:R16]]
-            bases[self._p16 : self._p16 + (R - R16)] = nb[self._order[R16:]]
+            for (mode, rows, padded), cbase in zip(
+                self._classes, self._cls_bases
+            ):
+                bases[cbase : cbase + rows.shape[0]] = nb[rows]
         else:
             bases[:R] = nb
         gaps = self.decode_all(salt)
@@ -922,15 +977,14 @@ class LocalDecodeEngine:
 
     def decode_all(self, salt=0):
         """Full decode; returns (eng_rows, N_OUT) u32 in ENGINE row
-        order (u16 class rows first on TPU; gather_units maps back)."""
+        order (width-class-permuted on TPU; gather_units maps back)."""
         salt = salt if isinstance(salt, jnp.ndarray) else jnp.uint32(salt)
         if self.use_pallas:
-            R16, R32, p16, p32 = self._cls
             decode, _ = _pallas_split_fns(
-                p16, p32, self.row_tile, self._interpret
+                self._spec, self.row_tile, self._interpret
             )
-            outs = decode(*self._dev, salt)
-            if len(outs) == 2:
+            outs = decode(self._dev, salt)
+            if len(outs) > 1:
                 return jnp.concatenate(outs, axis=0)
             return outs[0]
         return _decode_flat_xla(self.vidx, self.table, self.n, salt)
@@ -945,11 +999,10 @@ class LocalDecodeEngine:
         chain.  Returns the final salt (fetch it to force completion).
         """
         if self.use_pallas:
-            R16, R32, p16, p32 = self._cls
             _, chain = _pallas_split_fns(
-                p16, p32, self.row_tile, self._interpret
+                self._spec, self.row_tile, self._interpret
             )
-            return chain(*self._dev, jnp.uint32(self._valid16), runs=runs)
+            return chain(self._dev, self._valids, runs=runs)
         return _chain_flat_xla(self.vidx, self.table, self.n, runs=runs)
 
     def total_ints(self) -> int:

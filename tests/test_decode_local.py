@@ -292,8 +292,9 @@ def test_split_width_class_engine_interpret(tmp_path, monkeypatch):
     monkeypatch.setattr(decode_local, "FORCE_SPLIT_INTERPRET", True)
     eng = decode_local.LocalDecodeEngine(plan, row_tile=32)
     assert eng.use_pallas
-    R16, R32 = eng._cls[0], eng._cls[1]
-    assert R16 > 0 and R32 > 0, "plan must contain both width classes"
+    cls_rows = {m: r.shape[0] for m, r, _ in eng._classes}
+    assert cls_rows[32] > 0 and cls_rows[16] > 0, (
+        "plan must contain packed and i32 width classes", cls_rows)
     units = eng.gather_units(
         eng.decode_all(), len(bufs), [len(g) for g in gap_lists]
     )
