@@ -14,6 +14,10 @@
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
+#include <atomic>
+#include <cstdlib>
+#include <mutex>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -175,6 +179,29 @@ struct UnitScratch {
   std::vector<uint64_t> winhash[kNumTargetSizes];  // per-size window hashes
 };
 
+constexpr int kMaxCtxFwd = 8;  // matches kMaxCtx below
+
+// All mutable per-unit working state lives in one thread_local bundle,
+// so worker threads encode disjoint unit ranges concurrently over the
+// SHARED read-only Encoder (maps/tables) — the prepare-parallel half
+// of the reference's semiasync_queue contract; the commit half is the
+// ordered concatenation in dint_encode_units.
+struct TLScratch {
+  std::vector<int64_t> cost;
+  std::vector<int32_t> parent;
+  std::vector<int32_t> codeword;
+  std::vector<int64_t> cost8;
+  std::vector<int32_t> parent8;
+  std::vector<int32_t> codeword8;
+  UnitScratch scr0;
+  std::vector<uint32_t> hit16[kNumTargetSizes];
+  std::vector<uint32_t> hit8[kNumTargetSizes];
+  std::vector<uint32_t> mhit16[kMaxCtxFwd][kNumTargetSizes];
+  std::vector<uint32_t> mhit8[kMaxCtxFwd][kNumTargetSizes];
+};
+
+static thread_local TLScratch g_tls;
+
 constexpr int kMaxCtx = 8;
 
 // Combined multi-context map: ONE probe returns every context's b=16
@@ -266,25 +293,11 @@ struct Encoder {
   uint32_t zhit8[kMaxCtx][kNumTargetSizes];
   int n_contexts = 0;
 
-  // parse scratch (reused across units and trials)
-  std::vector<int64_t> cost;
-  std::vector<int32_t> parent;
-  std::vector<int32_t> codeword;
-  // second parse lane for the dual-width multi sweep
-  std::vector<int64_t> cost8;
-  std::vector<int32_t> parent8;
-  std::vector<int32_t> codeword8;
-  std::vector<UnitScratch> scr;
-  // per-position codeword hits, filled by lookup_pass for one context
-  std::vector<uint32_t> hit16[kNumTargetSizes];
-  std::vector<uint32_t> hit8[kNumTargetSizes];
-  // per-(context, size) hits filled by lookup_pass_multi in one probe pass
-  std::vector<uint32_t> mhit16[kMaxCtx][kNumTargetSizes];
-  std::vector<uint32_t> mhit8[kMaxCtx][kNumTargetSizes];
   // decode tables for the verification pass (row-major per context)
   std::vector<uint32_t> dec_off;
   std::vector<int32_t> dec_len;
   int32_t entries_per_ctx = 0;
+  std::mutex memo_mu;  // guards `memo` under threaded encode
 
   // content-verified unit memo: identical gap units encode identically,
   // and real freq streams repeat the same 256-gap patterns constantly
@@ -313,10 +326,10 @@ static bool verify_parse(Encoder* e, const UnitScratch& u,
   static thread_local std::vector<int32_t> cws;
   srcs.clear();
   cws.clear();
-  for (int64_t i = n; i != 0; i = e->parent[i]) {
-    int32_t cw = e->codeword[i];
+  for (int64_t i = n; i != 0; i = g_tls.parent[i]) {
+    int32_t cw = g_tls.codeword[i];
     if (cw >= (int32_t)kExceptions) {
-      srcs.push_back(e->parent[i]);
+      srcs.push_back(g_tls.parent[i]);
       cws.push_back(cw);
     }
   }
@@ -378,11 +391,11 @@ static void lookup_pass(Encoder* e, const UnitScratch& u, int ctx,
     int64_t s = kTargetSizes[t];
     int64_t cnt = n - s + 1;
     if (cnt < 0) cnt = 0;
-    e->hit16[t].resize(cnt);
-    e->hit8[t].resize(cnt);
+    g_tls.hit16[t].resize(cnt);
+    g_tls.hit8[t].resize(cnt);
     const uint64_t* wh = u.winhash[t].data();
-    uint32_t* h16 = e->hit16[t].data();
-    uint32_t* h8 = e->hit8[t].data();
+    uint32_t* h16 = g_tls.hit16[t].data();
+    uint32_t* h8 = g_tls.hit8[t].data();
     const uint32_t z16 = e->zhit16[ctx][t], z8 = e->zhit8[ctx][t];
     constexpr int64_t PF = 32;
     for (int64_t i = 0; i < cnt; ++i) {
@@ -417,10 +430,10 @@ static void lookup_pass(Encoder* e, const UnitScratch& u, int ctx,
 static void parse_hits_arrays(Encoder* e, const UnitScratch& u,
                               const uint32_t* const hits[kNumTargetSizes],
                               const uint32_t* gaps, int64_t n) {
-  e->cost.assign(n + 1, kBig);
-  e->parent.assign(n + 1, 0);
-  e->codeword.assign(n + 1, 1);
-  e->cost[0] = 0;
+  g_tls.cost.assign(n + 1, kBig);
+  g_tls.parent.assign(n + 1, 0);
+  g_tls.codeword.assign(n + 1, 1);
+  g_tls.cost[0] = 0;
   for (int64_t j = 1; j <= n; ++j) {
     int64_t best = kBig;
     int32_t bpar = 0, bcw = 1;
@@ -428,7 +441,7 @@ static void parse_hits_arrays(Encoder* e, const UnitScratch& u,
     for (int t = 0; t < 5; ++t) {
       int64_t k = kRunKs[t];
       if (j >= k && u.zrun[j - k] >= (uint32_t)k) {
-        int64_t c = e->cost[j - k] + 1;
+        int64_t c = g_tls.cost[j - k] + 1;
         if (c < best) { best = c; bpar = int32_t(j - k); bcw = kExceptions + t; }
       }
     }
@@ -439,7 +452,7 @@ static void parse_hits_arrays(Encoder* e, const UnitScratch& u,
         int64_t i = j - s;
         uint32_t hit = hits[t][i];
         if (hit != kNoHit) {
-          int64_t c = e->cost[i] + 1;
+          int64_t c = g_tls.cost[i] + 1;
           if (c < best) { best = c; bpar = int32_t(i); bcw = int32_t(hit); }
         }
       }
@@ -447,12 +460,12 @@ static void parse_hits_arrays(Encoder* e, const UnitScratch& u,
     // exception edge
     {
       bool large = gaps[j - 1] >= kSmallLimit;
-      int64_t c = e->cost[j - 1] + 2 + (large ? 1 : 0);
+      int64_t c = g_tls.cost[j - 1] + 2 + (large ? 1 : 0);
       if (c < best) { best = c; bpar = int32_t(j - 1); bcw = large ? 1 : 0; }
     }
-    e->cost[j] = best;
-    e->parent[j] = bpar;
-    e->codeword[j] = bcw;
+    g_tls.cost[j] = best;
+    g_tls.parent[j] = bpar;
+    g_tls.codeword[j] = bcw;
   }
 }
 
@@ -460,7 +473,7 @@ static void parse_hits(Encoder* e, const UnitScratch& u, bool b8,
                        const uint32_t* gaps, int64_t n) {
   const uint32_t* hits[kNumTargetSizes];
   for (int t = 0; t < kNumTargetSizes; ++t)
-    hits[t] = b8 ? e->hit8[t].data() : e->hit16[t].data();
+    hits[t] = b8 ? g_tls.hit8[t].data() : g_tls.hit16[t].data();
   parse_hits_arrays(e, u, hits, gaps, n);
 }
 
@@ -479,10 +492,10 @@ static void lookup_pass_multi(Encoder* e, const UnitScratch& u,
     uint32_t* h16[kMaxCtx];
     uint32_t* h8[kMaxCtx];
     for (int c = 0; c < nc; ++c) {
-      e->mhit16[c][t].resize(cnt);
-      e->mhit8[c][t].resize(cnt);
-      h16[c] = e->mhit16[c][t].data();
-      h8[c] = e->mhit8[c][t].data();
+      g_tls.mhit16[c][t].resize(cnt);
+      g_tls.mhit8[c][t].resize(cnt);
+      h16[c] = g_tls.mhit16[c][t].data();
+      h8[c] = g_tls.mhit8[c][t].data();
     }
     const uint64_t* wh = u.winhash[t].data();
     constexpr int64_t PF = 32;
@@ -520,7 +533,7 @@ static void parse_mhits(Encoder* e, const UnitScratch& u, int ctx, bool b8,
                         const uint32_t* gaps, int64_t n) {
   const uint32_t* hits[kNumTargetSizes];
   for (int t = 0; t < kNumTargetSizes; ++t)
-    hits[t] = b8 ? e->mhit8[ctx][t].data() : e->mhit16[ctx][t].data();
+    hits[t] = b8 ? g_tls.mhit8[ctx][t].data() : g_tls.mhit16[ctx][t].data();
   parse_hits_arrays(e, u, hits, gaps, n);
 }
 
@@ -529,19 +542,19 @@ static void parse_mhits(Encoder* e, const UnitScratch& u, int ctx, bool b8,
 // Fills cost/parent/codeword (b=16) and cost8/parent8/codeword8 (b=8).
 static void parse_mhits_dual(Encoder* e, const UnitScratch& u, int ctx,
                              const uint32_t* gaps, int64_t n) {
-  e->cost.assign(n + 1, kBig);
-  e->parent.assign(n + 1, 0);
-  e->codeword.assign(n + 1, 1);
-  e->cost[0] = 0;
-  e->cost8.assign(n + 1, kBig);
-  e->parent8.assign(n + 1, 0);
-  e->codeword8.assign(n + 1, 1);
-  e->cost8[0] = 0;
+  g_tls.cost.assign(n + 1, kBig);
+  g_tls.parent.assign(n + 1, 0);
+  g_tls.codeword.assign(n + 1, 1);
+  g_tls.cost[0] = 0;
+  g_tls.cost8.assign(n + 1, kBig);
+  g_tls.parent8.assign(n + 1, 0);
+  g_tls.codeword8.assign(n + 1, 1);
+  g_tls.cost8[0] = 0;
   const uint32_t* h16[kNumTargetSizes];
   const uint32_t* h8[kNumTargetSizes];
   for (int t = 0; t < kNumTargetSizes; ++t) {
-    h16[t] = e->mhit16[ctx][t].data();
-    h8[t] = e->mhit8[ctx][t].data();
+    h16[t] = g_tls.mhit16[ctx][t].data();
+    h8[t] = g_tls.mhit8[ctx][t].data();
   }
   for (int64_t j = 1; j <= n; ++j) {
     int64_t best = kBig, best8 = kBig;
@@ -549,9 +562,9 @@ static void parse_mhits_dual(Encoder* e, const UnitScratch& u, int ctx,
     for (int t = 0; t < 5; ++t) {
       int64_t k = kRunKs[t];
       if (j >= k && u.zrun[j - k] >= (uint32_t)k) {
-        int64_t c = e->cost[j - k] + 1;
+        int64_t c = g_tls.cost[j - k] + 1;
         if (c < best) { best = c; bpar = int32_t(j - k); bcw = kExceptions + t; }
-        int64_t c8 = e->cost8[j - k] + 1;
+        int64_t c8 = g_tls.cost8[j - k] + 1;
         if (c8 < best8) { best8 = c8; bpar8 = int32_t(j - k); bcw8 = kExceptions + t; }
       }
     }
@@ -561,12 +574,12 @@ static void parse_mhits_dual(Encoder* e, const UnitScratch& u, int ctx,
         int64_t i = j - s;
         uint32_t hit = h16[t][i];
         if (hit != kNoHit) {
-          int64_t c = e->cost[i] + 1;
+          int64_t c = g_tls.cost[i] + 1;
           if (c < best) { best = c; bpar = int32_t(i); bcw = int32_t(hit); }
         }
         uint32_t hit8v = h8[t][i];
         if (hit8v != kNoHit) {
-          int64_t c8 = e->cost8[i] + 1;
+          int64_t c8 = g_tls.cost8[i] + 1;
           if (c8 < best8) { best8 = c8; bpar8 = int32_t(i); bcw8 = int32_t(hit8v); }
         }
       }
@@ -574,24 +587,24 @@ static void parse_mhits_dual(Encoder* e, const UnitScratch& u, int ctx,
     {
       bool large = gaps[j - 1] >= kSmallLimit;
       int64_t add = 2 + (large ? 1 : 0);
-      int64_t c = e->cost[j - 1] + add;
+      int64_t c = g_tls.cost[j - 1] + add;
       if (c < best) { best = c; bpar = int32_t(j - 1); bcw = large ? 1 : 0; }
-      int64_t c8 = e->cost8[j - 1] + add;
+      int64_t c8 = g_tls.cost8[j - 1] + add;
       if (c8 < best8) { best8 = c8; bpar8 = int32_t(j - 1); bcw8 = large ? 1 : 0; }
     }
-    e->cost[j] = best;
-    e->parent[j] = bpar;
-    e->codeword[j] = bcw;
-    e->cost8[j] = best8;
-    e->parent8[j] = bpar8;
-    e->codeword8[j] = bcw8;
+    g_tls.cost[j] = best;
+    g_tls.parent[j] = bpar;
+    g_tls.codeword[j] = bcw;
+    g_tls.cost8[j] = best8;
+    g_tls.parent8[j] = bpar8;
+    g_tls.codeword8[j] = bcw8;
   }
 }
 
 static int64_t stream_bytes8_arrays(const Encoder* e, int64_t n) {
   int64_t total = 0;
-  for (int64_t i = n; i != 0; i = e->parent8[i]) {
-    int32_t cw = e->codeword8[i];
+  for (int64_t i = n; i != 0; i = g_tls.parent8[i]) {
+    int32_t cw = g_tls.codeword8[i];
     total += cw > 1 ? 1 : (cw == 0 ? 3 : 5);
   }
   return total;
@@ -602,15 +615,15 @@ static void emit(const Encoder* e, const uint32_t* gaps, int64_t n, int b,
   // backtrack (nodes strictly decrease), then emit in forward order
   static thread_local std::vector<int32_t> nodes;
   nodes.clear();
-  for (int64_t i = n; i != 0; i = e->parent[i]) nodes.push_back(int32_t(i));
+  for (int64_t i = n; i != 0; i = g_tls.parent[i]) nodes.push_back(int32_t(i));
   for (size_t t = nodes.size(); t-- > 0;) {
     int32_t v = nodes[t];
-    int32_t cw = e->codeword[v];
+    int32_t cw = g_tls.codeword[v];
     if (cw > 1) {
       out->push_back(uint8_t(cw & 0xff));
       if (b == 16) out->push_back(uint8_t((cw >> 8) & 0xff));
     } else {
-      uint32_t val = gaps[e->parent[v]];
+      uint32_t val = gaps[g_tls.parent[v]];
       if (val < kSmallLimit) {
         out->push_back(0);
         if (b == 16) out->push_back(0);
@@ -627,8 +640,8 @@ static void emit(const Encoder* e, const uint32_t* gaps, int64_t n, int b,
 
 static int64_t stream_bytes(const Encoder* e, int64_t n, int b) {
   int64_t total = 0;
-  for (int64_t i = n; i != 0; i = e->parent[i]) {
-    int32_t cw = e->codeword[i];
+  for (int64_t i = n; i != 0; i = g_tls.parent[i]) {
+    int32_t cw = g_tls.codeword[i];
     if (b == 16)
       total += cw > 1 ? 2 : (cw == 0 ? 4 : 6);
     else
@@ -716,104 +729,141 @@ int64_t dint_encode_units(void* enc, const uint32_t* gaps,
                           uint8_t* out_buf, int64_t out_cap,
                           int64_t* out_lens) {
   Encoder* e = static_cast<Encoder*>(enc);
-  std::vector<uint8_t> buf;
-  int64_t written = 0;
 
-  auto append = [&](int64_t u) -> bool {
-    if (written + int64_t(buf.size()) > out_cap) return false;
-    std::memcpy(out_buf + written, buf.data(), buf.size());
-    written += int64_t(buf.size());
-    out_lens[u] = int64_t(buf.size());
-    return true;
-  };
+  // pre-grow the shared hash-power tables so worker threads never
+  // mutate them (grow_pows only appends when too small)
+  int64_t maxn = 1;
+  for (int64_t u = 0; u < n_units; ++u)
+    maxn = std::max(maxn, unit_offs[u + 1] - unit_offs[u]);
+  grow_pows(size_t(maxn) + 1);
 
-  // unit memo (mode-keyed so single/multi streams never mix)
+  // unit memo (mode-keyed so single/multi streams never mix);
+  // mutex-guarded: the map is shared across worker threads
   auto memo_key = [&](const uint32_t* g, int64_t n) {
     uint64_t h = 0;
     for (int64_t i = 0; i < n; ++i) h = h * kP + mix64(g[i]);
     return h ^ (uint64_t(n) << 1) ^ uint64_t(mode);
   };
-  auto memo_get = [&](uint64_t key, const uint32_t* g, int64_t n) -> bool {
+  auto memo_get = [&](uint64_t key, const uint32_t* g, int64_t n,
+                      std::vector<uint8_t>* buf) -> bool {
+    std::lock_guard<std::mutex> lk(e->memo_mu);
     auto it = e->memo.find(key);
     if (it == e->memo.end()) return false;
     const auto& m = it->second;
     if ((int64_t)m.gaps.size() != n ||
         std::memcmp(m.gaps.data(), g, size_t(n) * 4) != 0)
       return false;
-    buf.assign(m.bytes.begin(), m.bytes.end());
+    buf->assign(m.bytes.begin(), m.bytes.end());
     return true;
   };
-  auto memo_put = [&](uint64_t key, const uint32_t* g, int64_t n) {
+  auto memo_put = [&](uint64_t key, const uint32_t* g, int64_t n,
+                      const std::vector<uint8_t>& buf) {
+    std::lock_guard<std::mutex> lk(e->memo_mu);
     if (e->memo.size() >= Encoder::kMemoCap) e->memo.clear();
     auto& m = e->memo[key];
     m.gaps.assign(g, g + n);
     m.bytes.assign(buf.begin(), buf.end());
   };
 
-  if (mode == 0) {
-    if (e->scr.empty()) e->scr.resize(1);
-    UnitScratch& sc = e->scr[0];
-    for (int64_t u = 0; u < n_units; ++u) {
-      const uint32_t* g = gaps + unit_offs[u];
-      int64_t n = unit_offs[u + 1] - unit_offs[u];
-      buf.clear();
-      uint64_t mk = memo_key(g, n);
-      if (!memo_get(mk, g, n)) {
-        precompute_unit(&sc, g, n);
-        lookup_pass(e, sc, 0, g, n, /*verified=*/false, /*need8=*/false);
-        parse_hits(e, sc, /*b8=*/false, g, n);
-        if (!verify_parse(e, sc, g, n, 0)) {
-          // hash collision (~never): redo content-verified
-          lookup_pass(e, sc, 0, g, n, /*verified=*/true, /*need8=*/false);
-          parse_hits(e, sc, false, g, n);
-        }
-        emit(e, g, n, 16, &buf);
-        memo_put(mk, g, n);
+  // encode one unit into *buf (uses only thread_local scratch + the
+  // read-only Encoder tables — safe to run concurrently)
+  auto encode_one = [&](int64_t u, std::vector<uint8_t>* buf) {
+    const uint32_t* g = gaps + unit_offs[u];
+    int64_t n = unit_offs[u + 1] - unit_offs[u];
+    buf->clear();
+    uint64_t mk = memo_key(g, n);
+    if (memo_get(mk, g, n, buf)) return;
+    UnitScratch& sc = g_tls.scr0;
+    precompute_unit(&sc, g, n);
+    if (mode == 0) {
+      lookup_pass(e, sc, 0, g, n, /*verified=*/false, /*need8=*/false);
+      parse_hits(e, sc, /*b8=*/false, g, n);
+      if (!verify_parse(e, sc, g, n, 0)) {
+        // hash collision (~never): redo content-verified
+        lookup_pass(e, sc, 0, g, n, /*verified=*/true, /*need8=*/false);
+        parse_hits(e, sc, false, g, n);
       }
-      if (!append(u)) return -(written + int64_t(buf.size()));
+      emit(e, g, n, 16, buf);
+    } else {
+      // mode 1: ONE combined-map probe pass per unit feeds all 12
+      // trial parses (6 contexts x {b=16, b=8})
+      for (int pass = 0; pass < 2; ++pass) {
+        bool verified = pass == 1;
+        lookup_pass_multi(e, sc, g, n, verified);
+        int64_t best_size = kBig;
+        int32_t best_sc = 0;
+        for (int32_t s = 0; s < e->n_contexts; ++s) {
+          parse_mhits_dual(e, sc, s, g, n);  // both widths, one sweep
+          int64_t sz16 = stream_bytes(e, n, 16);
+          int64_t sz8 = stream_bytes8_arrays(e, n);
+          int64_t sz = sz16;
+          int32_t c = s;
+          if (sz8 <= sz16) { sz = sz8; c = s + e->n_contexts; }
+          if (sz < best_size) { best_size = sz; best_sc = c; }
+        }
+        buf->clear();
+        buf->push_back(uint8_t(best_sc));
+        int32_t ctx = best_sc % e->n_contexts;
+        int b = best_sc >= e->n_contexts ? 8 : 16;
+        parse_mhits(e, sc, ctx, b == 8, g, n);
+        if (verified || verify_parse(e, sc, g, n, ctx)) {
+          emit(e, g, n, b, buf);
+          break;  // hash collision otherwise: retry content-verified
+        }
+      }
+    }
+    memo_put(mk, g, n, *buf);
+  };
+
+  int nthreads = 1;
+  if (const char* env = std::getenv("DS2I_THREADS")) {
+    nthreads = std::max(1, atoi(env));
+  } else {
+    nthreads = std::max(1u, std::thread::hardware_concurrency());
+  }
+  nthreads = int(std::min<int64_t>(nthreads, std::min<int64_t>(n_units, 64)));
+
+  if (nthreads <= 1) {
+    std::vector<uint8_t> buf;
+    int64_t written = 0;
+    for (int64_t u = 0; u < n_units; ++u) {
+      encode_one(u, &buf);
+      if (written + int64_t(buf.size()) > out_cap)
+        return -(written + int64_t(buf.size()));
+      std::memcpy(out_buf + written, buf.data(), buf.size());
+      written += int64_t(buf.size());
+      out_lens[u] = int64_t(buf.size());
     }
     return written;
   }
 
-  // mode 1: ONE combined-map probe pass per unit feeds all 12 trial
-  // parses (6 contexts x {b=16, b=8}).
-  if (e->scr.empty()) e->scr.resize(1);
-  UnitScratch& sc0 = e->scr[0];
+  // threaded prepare (work-stealing over units), ordered commit — the
+  // semiasync_queue contract (semiasync_queue.hpp:12-95) with the
+  // serial in-order byte append replaced by a deterministic ordered
+  // concatenation of per-unit buffers
+  std::vector<std::vector<uint8_t>> bufs{size_t(n_units)};
+  std::atomic<int64_t> next{0};
+  auto worker = [&]() {
+    while (true) {
+      int64_t u = next.fetch_add(1);
+      if (u >= n_units) break;
+      encode_one(u, &bufs[size_t(u)]);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int t = 1; t < nthreads; ++t) pool.emplace_back(worker);
+  worker();
+  for (auto& th : pool) th.join();
+
+  int64_t total = 0;
+  for (auto& b : bufs) total += int64_t(b.size());
+  if (total > out_cap) return -total;
+  int64_t written = 0;
   for (int64_t u = 0; u < n_units; ++u) {
-    const uint32_t* g = gaps + unit_offs[u];
-    int64_t n = unit_offs[u + 1] - unit_offs[u];
-    uint64_t mk = memo_key(g, n);
-    if (memo_get(mk, g, n)) {
-      if (!append(u)) return -(written + int64_t(buf.size()));
-      continue;
-    }
-    precompute_unit(&sc0, g, n);
-    for (int pass = 0; pass < 2; ++pass) {
-      bool verified = pass == 1;
-      lookup_pass_multi(e, sc0, g, n, verified);
-      int64_t best_size = kBig;
-      int32_t best_sc = 0;
-      for (int32_t s = 0; s < e->n_contexts; ++s) {
-        parse_mhits_dual(e, sc0, s, g, n);  // both widths, one sweep
-        int64_t sz16 = stream_bytes(e, n, 16);
-        int64_t sz8 = stream_bytes8_arrays(e, n);
-        int64_t sz = sz16;
-        int32_t c = s;
-        if (sz8 <= sz16) { sz = sz8; c = s + e->n_contexts; }
-        if (sz < best_size) { best_size = sz; best_sc = c; }
-      }
-      buf.clear();
-      buf.push_back(uint8_t(best_sc));
-      int32_t ctx = best_sc % e->n_contexts;
-      int b = best_sc >= e->n_contexts ? 8 : 16;
-      parse_mhits(e, sc0, ctx, b == 8, g, n);
-      if (verified || verify_parse(e, sc0, g, n, ctx)) {
-        emit(e, g, n, b, &buf);
-        break;  // hash collision otherwise: retry content-verified
-      }
-    }
-    memo_put(mk, g, n);
-    if (!append(u)) return -(written + int64_t(buf.size()));
+    std::memcpy(out_buf + written, bufs[size_t(u)].data(),
+                bufs[size_t(u)].size());
+    written += int64_t(bufs[size_t(u)].size());
+    out_lens[u] = int64_t(bufs[size_t(u)].size());
   }
   return written;
 }

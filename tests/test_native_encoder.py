@@ -47,3 +47,36 @@ def test_native_rectangular_roundtrip(setup):  # noqa: F811
         end = dint.decode_single(view, buf, 0, len(g), out)
         assert end == len(buf)
         np.testing.assert_array_equal(out, g)
+
+
+def test_threaded_encode_byte_identical(tmp_path, monkeypatch):
+    """DS2I_THREADS worker-pool encode (the semiasync_queue analogue:
+    prepare in parallel, commit in order) must be byte-identical to the
+    serial path for both modes."""
+    import numpy as np
+
+    from dint_tpu.codecs import native
+    from dint_tpu.dictionary import builder as db
+    from dint_tpu.io import collection, synth
+
+    base = str(tmp_path / "c")
+    docs, freqs = synth.make_collection(25, 6000, seed=9, avg_len=150)
+    collection.write_freq_collection(base, docs, freqs, 6000)
+    rng = np.random.default_rng(1)
+    N = 200_000
+    gaps = np.where(
+        rng.random(N) < 0.5, 0, rng.integers(1, 500, N)
+    ).astype(np.uint32)
+    for kind, mode, chunk in (("single", 0, 4096), ("multi", 1, 256)):
+        d = db.build_or_load_dict(
+            base + ".docs", True, kind, "pack", str(tmp_path)
+        )
+        enc = native.native_encoder_for(d)
+        if enc is None:
+            return  # no native toolchain
+        units = [gaps[i : i + chunk] for i in range(0, N, chunk)]
+        monkeypatch.setenv("DS2I_THREADS", "1")
+        ser = enc.encode_units(units, mode)
+        monkeypatch.setenv("DS2I_THREADS", "5")
+        par = native.native_encoder_for(d).encode_units(units, mode)
+        assert ser == par, kind
