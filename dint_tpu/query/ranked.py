@@ -349,13 +349,30 @@ def ranked_and(
     terms: Sequence[int],
     k: int = 10,
 ) -> np.ndarray:
-    """ranked_and_query (queries.hpp:309-385): score docs in the AND set."""
-    from .boolean import and_query
+    """ranked_and_query (queries.hpp:309-385): score docs in the AND
+    set.  With a block-structured lazy cache the AND leapfrogs over
+    block_max skip data and only matched blocks' freqs decode
+    (dict_posting_list.hpp:126-147, :164-169 semantics)."""
+    from .boolean import and_query, and_query_lazy, matched_freqs_lazy
 
     weighted = _query_weights(index, terms)
     if not weighted:
         return np.zeros(0, dtype=np.float32)
     tlist = [t for t, _ in weighted]
+
+    cache = getattr(decoder, "lazy_cache", None)
+    if cache is not None and hasattr(cache, "docs_blocks_batch"):
+        cand = and_query_lazy(cache, tlist)
+        if cand.shape[0] == 0:
+            return np.zeros(0, dtype=np.float32)
+        mf = matched_freqs_lazy(cache, tlist, cand)
+        total = np.zeros(cand.shape[0], dtype=np.float32)
+        nl = wdata.norm_lens[cand.astype(np.int64)]
+        for t, qw in weighted:
+            total += np.float32(qw) * doc_term_weight(mf[t], nl)
+        cache.postings_scored += cand.shape[0] * len(weighted)
+        return np.sort(total)[::-1][:k].astype(np.float32)
+
     docs = decoder.decode_docids(tlist)
     freqs = decoder.decode_freqs(tlist)
     cand = and_query(docs, tlist)
