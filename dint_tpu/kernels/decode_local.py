@@ -555,32 +555,6 @@ FORCE_SPLIT_INTERPRET = False  # tests: run the split engine in pallas
 # interpret mode on CPU (exercises the width-class machinery off-TPU)
 
 
-def _pallas_gather8_kernel(salt_ref, vidx_ref, tab_ref, n_ref, out_ref):
-    """u8 width class: rows whose local-table words all fit 8 bits pack
-    FOUR table entries per i32 lane (64-lane packed table) —
-    val = byte (idx&3) of word[idx>>2].  Quarters table HBM traffic.
-    Byte selection is nested constant-shift selects (variable-amount
-    lane shifts are avoided for Mosaic)."""
-    rt = out_ref.shape[0]
-    salt = salt_ref[0]
-    tab = tab_ref[:]  # (rt, 64) i32: entries 4j..4j+3 packed LE
-    jpos = jax.lax.broadcasted_iota(jnp.int32, (rt, 128), 1)
-    nn = n_ref[:]
-    for c in range(N_OUT // 128):
-        idx = vidx_ref[:, c * 128 : (c + 1) * 128].astype(jnp.int32) & 255
-        word = jnp.take_along_axis(tab, idx >> 2, axis=1)
-        odd = (idx & 1) == 1
-        lo = jnp.where(odd, jax.lax.shift_right_logical(word, 8), word)
-        hi = jnp.where(
-            odd,
-            jax.lax.shift_right_logical(word, 24),
-            jax.lax.shift_right_logical(word, 16),
-        )
-        val = (jnp.where((idx & 2) == 2, hi, lo) & 0xFF) + salt
-        valid = (jpos + c * 128) < nn
-        out_ref[:, c * 128 : (c + 1) * 128] = jnp.where(valid, val, 0)
-
-
 def _pallas_gather16_kernel(salt_ref, vidx_ref, tab_ref, n_ref, out_ref):
     """u16 width class: rows whose local-table words all fit 16 bits
     (the common case for gap contents) pack TWO table entries per i32
@@ -681,7 +655,6 @@ def _pallas_decode_fns(R: int, rt: int, interpret: bool = False):
 
 
 _CLASS_KERNELS = {
-    8: (_pallas_gather8_kernel, TABLE_CLS // 4, True),
     16: (_pallas_gather16_kernel, TABLE_CLS // 2, True),
     32: (_pallas_gather_kernel, TABLE_CLS, False),
 }
@@ -869,14 +842,7 @@ class LocalDecodeEngine:
                     if Rc
                     else np.zeros((0, TABLE_CLS), np.uint32)
                 )
-                if mode == 8:
-                    t = (
-                        tr[:, 0::4]
-                        | (tr[:, 1::4] << np.uint32(8))
-                        | (tr[:, 2::4] << np.uint32(16))
-                        | (tr[:, 3::4] << np.uint32(24))
-                    ).astype(np.uint32)
-                elif mode == 16:
+                if mode == 16:
                     t = (tr[:, 0::2] | (tr[:, 1::2] << np.uint32(16))).astype(
                         np.uint32
                     )
@@ -984,6 +950,8 @@ class LocalDecodeEngine:
                 self._spec, self.row_tile, self._interpret
             )
             outs = decode(self._dev, salt)
+            if not outs:  # empty plan: nothing to decode
+                return jnp.zeros((0, N_OUT), jnp.uint32)
             if len(outs) > 1:
                 return jnp.concatenate(outs, axis=0)
             return outs[0]

@@ -154,15 +154,14 @@ def run_op(index, decoder, wdata, queries_list, op, runs, k):
     ranked_and are exhaustive by definition and keep the pre-decoded
     warm cache (their decode is the untimed warmup, like the
     reference's index warm, queries.cpp:74-83)."""
-    lazy_ops = ("and", "and_freq", "or", "or_freq", "wand", "maxscore")
+    lazy_ops = (
+        "and", "and_freq", "or", "or_freq", "wand", "maxscore", "ranked_and"
+    )
     cache_factory = None
     if op in lazy_ops and hasattr(decoder, "lazy_cache"):
-        try:
-            cache_factory = type(decoder.lazy_cache)
-        except AttributeError:
-            cache_factory = None
-    # boolean lazy ops need block geometry (block-max leapfrog); EF
-    # caches expose cursors only — those kinds keep the warm path
+        cache_factory = type(decoder.lazy_cache)
+    # boolean lazy ops (and ranked_and's leapfrog) need block geometry;
+    # EF caches expose cursors only — those kinds keep the warm path
     block_structured = cache_factory is not None and hasattr(
         decoder.lazy_cache, "docs_blocks_batch"
     )
@@ -190,6 +189,8 @@ def run_op(index, decoder, wdata, queries_list, op, runs, k):
             decoder._lazy_cache = cache  # fresh per query: decode included
             if op == "wand":
                 ranked.wand(index, decoder, wdata, q, k)
+            elif op == "ranked_and":
+                ranked.ranked_and(index, decoder, wdata, q, k)
             else:
                 ranked.maxscore(index, decoder, wdata, q, k)
         el = (time.perf_counter() - t0) * 1e6

@@ -114,9 +114,18 @@ def main():
     assert plan is not None, f"no plan at {args.plan}"
     eng = dl.LocalDecodeEngine(plan)
     total = eng.total_ints()
-    print(f"rows={plan.rows} tiles={eng.T}x{eng.row_tile} ints={total}")
+    print(f"rows={plan.rows} row_tile={eng.row_tile} ints={total}")
 
-    ref = np.asarray(eng.decode_all(0)).reshape(-1, N_OUT)
+    # plan-order reference via the portable XLA gather (the engine's
+    # decode_all is in class-permuted engine order)
+    vidx = dl.plan_to_vidx(plan).astype(np.uint8).view(np.int8)
+    import jax.numpy as jnp
+    ref = np.asarray(
+        dl._decode_flat_xla(
+            jnp.asarray(vidx), jnp.asarray(plan.table),
+            jnp.asarray(plan.out_n.astype(np.int32)[:, None]), jnp.uint32(0),
+        )
+    ).reshape(-1, N_OUT)
 
     for name in args.variants.split(","):
         dict(v_ship=time_ship, v_pallas=time_pallas)[name](
