@@ -326,7 +326,33 @@ def decode_zoo(type_name: str, encoded_file: str, runs: int,
     total_ints = int(meta.n.astype(np.int64).sum())
     lists = [None] * meta.num_lists
 
+    # self-delimiting byte codecs: excise every list's payload (their
+    # byte lengths are sidecar state) into one contiguous buffer and
+    # decode the WHOLE FILE in one vectorized pass — per-list numpy
+    # fixed costs would otherwise dominate short-list collections
+    offs = meta.payload_off.astype(np.int64)
+    lens = meta.payload_len.astype(np.int64)
+    batched_whole = (
+        type_name in ("vbyte", "maskedvbyte") and meta.num_lists > 0
+    )
+
     def one_pass():
+        if batched_whole:
+            from ..codecs import blocks as blocks_mod
+
+            flat = np.concatenate(
+                [
+                    arena[offs[i] : offs[i] + lens[i]]
+                    for i in range(meta.num_lists)
+                ]
+            )
+            dec = blocks_mod.CODECS[type_name][1]
+            vals, _ = dec(flat, 0, total_ints, blocks_mod.UNKNOWN)
+            cuts = np.cumsum(meta.n.astype(np.int64))[:-1]
+            parts = np.split(vals, cuts)
+            for i in range(meta.num_lists):
+                lists[i] = parts[i]
+            return
         for i in range(meta.num_lists):
             n = int(meta.n[i])
             start = int(meta.payload_off[i])

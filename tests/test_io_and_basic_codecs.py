@@ -171,3 +171,20 @@ def test_progress_logger(capsys):
     p2 = ProgressLogger(None, "y", every_s=0.0)
     p2.add(3)
     assert "y: 3" in capsys.readouterr().err
+
+
+def test_vbyte_vectorized_matches_scalar():
+    import numpy as np
+
+    from dint_tpu.codecs import vbyte
+
+    rng = np.random.default_rng(5)
+    for mag in (3, 10, 20, 31):
+        for n in (1, 7, 8, 100, 5000):
+            v = rng.integers(0, 1 << mag, n).astype(np.uint32)
+            buf = np.frombuffer(b"\xee" * 2 + vbyte.encode(v) + b"\x91" * 5,
+                                np.uint8)
+            got, end = vbyte.decode(buf, 2, n)
+            want, wend = vbyte._decode_scalar(buf, 2, n)
+            np.testing.assert_array_equal(got, want, err_msg=f"{mag}/{n}")
+            assert end == wend
