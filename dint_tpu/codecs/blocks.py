@@ -183,6 +183,8 @@ def maskedvbyte_decode(buf, pos, n, sum_of_values):
     flatnonzero), and bytes assemble with one masked gather per lane."""
     if n == 0:
         return np.zeros(0, np.uint32), pos
+    if n <= 32:  # tiny lists: the vectorized machinery's fixed cost loses
+        return _maskedvbyte_decode_scalar(buf, pos, n, sum_of_values)
     data = _u8view(buf, pos, 5 * n)
     term = np.flatnonzero((data & 0x80) == 0)
     ends = term[:n].astype(np.int64)
@@ -303,6 +305,8 @@ def varintgb_decode(buf, pos, n, sum_of_values):
     pure table of the key byte), then per-slot masked byte gathers."""
     if n == 0:
         return np.zeros(0, np.uint32), pos
+    if n <= 32:
+        return _varintgb_decode_scalar(buf, pos, n, sum_of_values)
     adv_t, lens_t = _vgb_tables()
     G = (n + 3) // 4
     data = _u8view(buf, pos, 17 * G)
@@ -482,6 +486,8 @@ def simple16_decode(buf, pos, n, sum_of_values):
     with pure shifts (<=28 lanes per word, vectorized across words)."""
     if n == 0:
         return np.zeros(0, np.uint32), pos
+    if n <= 32:
+        return _simple16_decode_scalar(buf, pos, n, sum_of_values)
     raw = np.asarray(buf[pos : pos + 4 * n], dtype=np.uint8)
     avail = min(raw.shape[0] // 4, n)
     words = np.frombuffer(raw[: 4 * avail].tobytes(), "<u4").astype(np.uint64)
@@ -559,6 +565,8 @@ def qmx_decode(buf, pos, n, sum_of_values):
     of unrolled SSE loops play (qmx_codec.hpp decode)."""
     if n == 0:
         return np.zeros(0, np.uint32), pos
+    if n <= 32:
+        return _qmx_decode_scalar(buf, pos, n, sum_of_values)
     G = -(-n // _QMX_GROUP)
     data = _u8view(buf, pos, 65 * G)
     body = data[: max(data.shape[0] - _U8_PAD + 1, 1)].astype(np.int64)
