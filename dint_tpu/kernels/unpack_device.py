@@ -166,6 +166,143 @@ def plan_qmx(arena: np.ndarray, meta) -> UnpackPlan:
     return UnpackPlan("qmx", QMX_GROUP, classes, partials, total)
 
 
+def plan_simple16(arena: np.ndarray, meta) -> "Simple16Plan":
+    """Walk a simple16 vroom stream into MODE classes: every 28-bit
+    payload word with selector m decodes as a fixed set of static
+    shifts, so a mode class is just a dense u32 word array — no
+    gathers, no bit chains, pure elementwise device work."""
+    from ..codecs.blocks import _S16_MODES
+    from ..codecs.encode_batch import OPT_CHUNK
+
+    per: Dict[int, list] = {i: [] for i in range(len(_S16_MODES))}
+    out_off = 0
+    for i in range(meta.num_lists):
+        n = int(meta.n[i])
+        pos = int(meta.payload_off[i])
+        # lists are OPT_CHUNK-chunked (vroom_zoo.encode_list_zoo): each
+        # chunk is an independent simple16 stream, so `take` caps at
+        # the CHUNK end, not the list end
+        for c0 in range(0, max(n, 1), OPT_CHUNK):
+            cend = min(c0 + OPT_CHUNK, n)
+            done = c0
+            while done < cend:
+                w = (
+                    int(arena[pos])
+                    | (int(arena[pos + 1]) << 8)
+                    | (int(arena[pos + 2]) << 16)
+                    | (int(arena[pos + 3]) << 24)
+                )
+                pos += 4
+                mode = w >> 28
+                cnt, bits = _S16_MODES[mode]
+                take = min(cnt, cend - done)
+                per[mode].append((w, out_off + done, take))
+                done += take
+        out_off += n
+    classes = []
+    for mode, items in per.items():
+        cnt, bits = _S16_MODES[mode]
+        words = np.asarray([x[0] for x in items], np.uint32)
+        bases = np.asarray([x[1] for x in items], np.int64)
+        takes = np.asarray([x[2] for x in items], np.int64)
+        classes.append((mode, cnt, bits, words, bases, takes))
+    total = int(np.asarray(meta.n, np.int64).sum())
+    return Simple16Plan(classes, total)
+
+
+@dataclass
+class Simple16Plan:
+    classes: list  # (mode, cnt, bits, words u32, out_bases, takes)
+    total_ints: int
+
+    def plan_bytes(self) -> int:
+        return sum(c[3].nbytes + c[4].nbytes for c in self.classes)
+
+
+class Simple16Engine:
+    """Device decode of a simple16 plan: per mode class one fused
+    elementwise op out[:, j] = (word >> j*bits) & mask."""
+
+    def __init__(self, plan: Simple16Plan):
+        import jax.numpy as jnp
+
+        self.plan = plan
+        self._dev = [
+            (mode, cnt, bits, jnp.asarray(words.view(np.int32)))
+            for mode, cnt, bits, words, _, _ in plan.classes
+            if words.shape[0]
+        ]
+
+    def decode_classes(self):
+        import jax
+
+        outs = {}
+        for mode, cnt, bits, words in self._dev:
+            fn = _s16_fns(cnt, bits)[0]
+            outs[mode] = np.asarray(fn(words, np.uint32(0)))
+        return outs
+
+    def timed_chain(self, runs: int) -> float:
+        import jax
+        import jax.numpy as jnp
+
+        spec = tuple((cnt, bits) for _, cnt, bits, _ in self._dev)
+        args = tuple(w for _, _, _, w in self._dev)
+
+        @functools.partial(jax.jit, static_argnames=("runs",))
+        def chain_all(args, *, runs: int):
+            def body(salt, _):
+                s = jnp.uint32(0)
+                cnt_total = 0
+                for (cnt, bits), w in zip(spec, args):
+                    out = _s16_unpack(w, cnt, bits, salt)
+                    s = s + out.sum(dtype=jnp.uint32)
+                    cnt_total += out.size
+                return s - salt * jnp.uint32(cnt_total) + salt + jnp.uint32(1), None
+
+            final, _ = jax.lax.scan(body, jnp.uint32(1), None, length=runs)
+            return final
+
+        int(np.asarray(chain_all(args, runs=runs)))  # warmup
+        t0 = time.perf_counter()
+        int(np.asarray(chain_all(args, runs=runs)))
+        return time.perf_counter() - t0
+
+    def decode_all_ordered(self) -> np.ndarray:
+        outs = self.decode_classes()
+        res = np.zeros(self.plan.total_ints, np.uint32)
+        for mode, cnt, bits, words, bases, takes in self.plan.classes:
+            if not words.shape[0]:
+                continue
+            vals = outs[mode]  # (N, cnt)
+            for r in range(words.shape[0]):
+                o, t = int(bases[r]), int(takes[r])
+                res[o : o + t] = vals[r, :t]
+        return res
+
+
+def _s16_unpack(words_i32, cnt: int, bits: int, salt):
+    """(N,) i32 selector words -> (N, cnt) u32 fields + salt (static
+    shifts per lane — the 28-bit payload of mode (cnt, bits))."""
+    import jax
+    import jax.numpy as jnp
+
+    uw = jax.lax.bitcast_convert_type(words_i32, jnp.uint32)
+    mask = jnp.uint32((1 << bits) - 1)
+    cols = [((uw >> jnp.uint32(j * bits)) & mask) + salt for j in range(cnt)]
+    return jnp.stack(cols, axis=1)  # (N, cnt)
+
+
+@functools.lru_cache(maxsize=None)
+def _s16_fns(cnt: int, bits: int):
+    import jax
+
+    def decode(words, salt):
+        return _s16_unpack(words, cnt, bits, salt) - salt
+
+    return (jax.jit(decode),)
+
+
 # ---------------------------------------------------------------------------
 # Device kernels
 # ---------------------------------------------------------------------------

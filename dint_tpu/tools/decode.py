@@ -275,14 +275,18 @@ def decode_zoo_device(type_name: str, encoded_file: str, runs: int,
     from ..kernels import unpack_device
 
     arena, meta = stream_mod.load_stream(encoded_file)
-    planner = (
-        unpack_device.plan_optpfor
-        if type_name == "optpfor"
-        else unpack_device.plan_qmx
-    )
     common.log("planning width classes...")
-    plan = planner(arena, meta)
-    eng = unpack_device.UnpackEngine(plan)
+    if type_name == "simple16":
+        plan = unpack_device.plan_simple16(arena, meta)
+        eng = unpack_device.Simple16Engine(plan)
+    else:
+        planner = (
+            unpack_device.plan_optpfor
+            if type_name == "optpfor"
+            else unpack_device.plan_qmx
+        )
+        plan = planner(arena, meta)
+        eng = unpack_device.UnpackEngine(plan)
     common.log(
         f"decoding (engine=device, {len(plan.classes)} width classes)..."
     )
@@ -414,7 +418,9 @@ def main(argv=None):
     )
     args = ap.parse_args(argv)
     if args.type in common.VROOM_ZOO:
-        if args.engine == "device" and args.type in ("optpfor", "qmx"):
+        if args.engine == "device" and args.type in (
+            "optpfor", "qmx", "simple16"
+        ):
             decode_zoo_device(
                 args.type, args.encoded_file, args.runs,
                 args.check_collection,

@@ -320,3 +320,33 @@ def test_device_unpack_b0_class_with_exceptions(tmp_path):
     got = eng.decode_all_ordered()
     np.testing.assert_array_equal(got, g)
     assert eng.timed_chain(2) >= 0
+
+
+def test_simple16_device_engine_exact(tmp_path):
+    """Mode-class device decode of simple16 vroom streams (static
+    shifts per selector): exact vs the host decode, including
+    OPT_CHUNK-chunked long lists and partial final words."""
+    import numpy as np
+
+    from dint_tpu.codecs.encode_batch import OPT_CHUNK
+    from dint_tpu.index import stream as stream_mod
+    from dint_tpu.index import vroom_zoo
+    from dint_tpu.kernels import unpack_device
+
+    rng = np.random.default_rng(13)
+    lists = []
+    for n in (1, 29, 255, 1000, OPT_CHUNK + 137, 3):
+        mag = int(rng.integers(1, 27))
+        lists.append(rng.integers(0, 1 << mag, n).astype(np.uint32))
+    payloads = [vroom_zoo.encode_list_zoo("simple16", g)[0] for g in lists]
+    path = str(tmp_path / "s.simple16")
+    stream_mod.write_stream(
+        path, payloads, [len(g) for g in lists],
+        [int(g.astype(np.int64).sum()) for g in lists],
+    )
+    arena, meta = stream_mod.load_stream(path)
+    plan = unpack_device.plan_simple16(arena, meta)
+    eng = unpack_device.Simple16Engine(plan)
+    got = eng.decode_all_ordered()
+    np.testing.assert_array_equal(got, np.concatenate(lists))
+    assert eng.timed_chain(2) >= 0
