@@ -303,6 +303,219 @@ def _s16_fns(cnt: int, bits: int):
     return (jax.jit(decode),)
 
 
+@dataclass
+class ByteClassPlan:
+    """Byte-length-class plan for the byte-granular codecs.
+
+    Every value of a streamvbyte / varintgb / maskedvbyte / vbyte
+    stream occupies 1..5 whole bytes; at load the planner excises each
+    value's bytes into the dense array of its LENGTH class, so the
+    device decode is one fused shift/or per class — the same
+    zero-gather architecture as the width classes.  group_bits is 8
+    for plain byte codecs, 7 for the vbyte family (marker bits masked
+    off)."""
+
+    codec: str
+    group_bits: int
+    classes: list  # (length, bytes (N, length) u8, out_base (N,) i64)
+    total_ints: int
+
+    def plan_bytes(self) -> int:
+        return sum(c[1].nbytes + c[2].nbytes for c in self.classes)
+
+
+def _byteclass_from_slices(codec, group_bits, data, starts, lens, total):
+    per = {}
+    for L in np.unique(lens):
+        sel = np.flatnonzero(lens == L)
+        idx = starts[sel][:, None] + np.arange(int(L))[None, :]
+        per[int(L)] = (data[idx], sel.astype(np.int64))
+    classes = [(L, b, o) for L, (b, o) in sorted(per.items())]
+    return ByteClassPlan(codec, group_bits, classes, total)
+
+
+def plan_byteclass(codec: str, arena: np.ndarray, meta) -> ByteClassPlan:
+    """Walk a byte-codec vroom stream into length classes.  Value
+    positions come from the formats' own structure (ctrl codes /
+    key bytes / marker bits), vectorized with the host decoders'
+    machinery."""
+    from ..codecs import blocks as blocks_mod
+
+    offs = meta.payload_off.astype(np.int64)
+    lens_pl = meta.payload_len.astype(np.int64)
+    ns = meta.n.astype(np.int64)
+    total = int(ns.sum())
+    all_starts = np.zeros(total, np.int64)  # global value byte starts
+    all_lens = np.zeros(total, np.int64)
+    # flat excised payload (values are contiguous within each list's
+    # payload; headers between lists are skipped via the excision)
+    flat = np.concatenate(
+        [arena[offs[i] : offs[i] + lens_pl[i]] for i in range(meta.num_lists)]
+    ) if meta.num_lists else np.zeros(0, np.uint8)
+    flat = np.concatenate([flat, np.zeros(8, np.uint8)])
+    pl_base = np.concatenate([[0], np.cumsum(lens_pl)[:-1]])
+    vbase = np.concatenate([[0], np.cumsum(ns)[:-1]])
+
+    if codec in ("vbyte", "maskedvbyte"):
+        # self-delimiting: marker bits give every boundary in one scan
+        marked = (
+            (flat & 0x80) != 0 if codec == "vbyte" else (flat & 0x80) == 0
+        )
+        term = np.flatnonzero(marked)[:total]
+        ends = term.astype(np.int64)
+        starts = np.concatenate([[0], ends[:-1] + 1])
+        all_starts = starts
+        all_lens = ends - starts + 1
+        group_bits = 7
+    elif codec == "streamvbyte":
+        group_bits = 8
+        for i in range(meta.num_lists):
+            n = int(ns[i])
+            if n == 0:
+                continue
+            p = pl_base[i]
+            # ctrl block then data (possibly per OPT_CHUNK chunk)
+            from ..codecs.encode_batch import OPT_CHUNK
+
+            v0 = int(vbase[i])
+            done = 0
+            while done < n:
+                c = min(OPT_CHUNK, n - done)
+                nct = (c + 3) // 4
+                ctrl = flat[p : p + nct]
+                codes = np.zeros(c, np.int64)
+                for j in range(4):
+                    sel = np.arange(j, c, 4)
+                    codes[sel] = (ctrl[: sel.shape[0]] >> (2 * j)) & 3
+                ln = codes + 1
+                st = p + nct + np.cumsum(ln) - ln
+                all_starts[v0 + done : v0 + done + c] = st
+                all_lens[v0 + done : v0 + done + c] = ln
+                p = p + nct + int(ln.sum())
+                done += c
+    elif codec == "varintgb":
+        group_bits = 8
+        adv_t, lens_t = blocks_mod._vgb_tables()
+        for i in range(meta.num_lists):
+            n = int(ns[i])
+            if n == 0:
+                continue
+            p = int(pl_base[i])
+            v0 = int(vbase[i])
+            from ..codecs.encode_batch import OPT_CHUNK
+
+            done = 0
+            while done < n:
+                c = min(OPT_CHUNK, n - done)
+                G = (c + 3) // 4
+                # bound the chain domain by the chunk's worst case
+                # (17 bytes per group) — the whole remaining flat
+                # buffer would make planning O(total^2)
+                seg = np.concatenate(
+                    [flat[p : p + 17 * G], np.zeros(8, np.uint8)]
+                )
+                adv = adv_t[seg[: max(seg.shape[0] - 8, 1)]]
+                gpos = blocks_mod._chain_positions(adv, G)
+                keys = seg[gpos]
+                l4 = lens_t[keys]  # (G, 4)
+                pref = np.concatenate(
+                    [np.zeros((G, 1), np.int64), np.cumsum(l4, axis=1)[:, :3]],
+                    axis=1,
+                )
+                st = (p + gpos[:, None] + 1 + pref).reshape(-1)[:c]
+                ln = l4.reshape(-1)[:c]
+                all_starts[v0 + done : v0 + done + c] = st
+                all_lens[v0 + done : v0 + done + c] = ln
+                used = c - 4 * (G - 1)
+                p = int(gpos[-1]) + p + 1 + int(l4[-1, :used].sum())
+                done += c
+    else:
+        raise ValueError(codec)
+    return _byteclass_from_slices(
+        codec, group_bits, flat, all_starts, all_lens, total
+    )
+
+
+class ByteClassEngine:
+    """Device decode of a ByteClassPlan: per length class one fused
+    shift/or over the dense byte array."""
+
+    def __init__(self, plan: ByteClassPlan):
+        import jax.numpy as jnp
+
+        self.plan = plan
+        self._dev = [
+            (int(L), jnp.asarray(b)) for L, b, _ in plan.classes if b.shape[0]
+        ]
+
+    def decode_classes(self):
+        outs = {}
+        for L, b in self._dev:
+            fn = _byteclass_fns(L, self.plan.group_bits)[0]
+            outs[L] = np.asarray(fn(b, np.uint32(0)))
+        return outs
+
+    def timed_chain(self, runs: int) -> float:
+        import jax
+        import jax.numpy as jnp
+
+        spec = tuple(L for L, _ in self._dev)
+        args = tuple(b for _, b in self._dev)
+        gb = self.plan.group_bits
+
+        @functools.partial(jax.jit, static_argnames=("runs",))
+        def chain_all(args, *, runs: int):
+            def body(salt, _):
+                s = jnp.uint32(0)
+                cnt = 0
+                for L, b in zip(spec, args):
+                    out = _byteclass_unpack(b, L, gb, salt)
+                    s = s + out.sum(dtype=jnp.uint32)
+                    cnt += out.size
+                return s - salt * jnp.uint32(cnt) + salt + jnp.uint32(1), None
+
+            final, _ = jax.lax.scan(body, jnp.uint32(1), None, length=runs)
+            return final
+
+        int(np.asarray(chain_all(args, runs=runs)))  # warmup
+        t0 = time.perf_counter()
+        int(np.asarray(chain_all(args, runs=runs)))
+        return time.perf_counter() - t0
+
+    def decode_all_ordered(self) -> np.ndarray:
+        outs = self.decode_classes()
+        res = np.zeros(self.plan.total_ints, np.uint32)
+        for L, b, o in self.plan.classes:
+            if b.shape[0]:
+                res[o] = outs[int(L)]
+        return res
+
+
+def _byteclass_unpack(bytes_u8, L: int, group_bits: int, salt):
+    """(N, L) u8 -> (N,) u32 + salt: little-endian groups of
+    `group_bits` bits per byte (7 for the vbyte family: marker masked)."""
+    import jax.numpy as jnp
+
+    mask = jnp.uint32(0xFF if group_bits == 8 else 0x7F)
+    v = jnp.zeros(bytes_u8.shape[0], jnp.uint32)
+    for i in range(L):
+        v = v | (
+            (bytes_u8[:, i].astype(jnp.uint32) & mask)
+            << jnp.uint32(group_bits * i)
+        )
+    return v + salt
+
+
+@functools.lru_cache(maxsize=None)
+def _byteclass_fns(L: int, group_bits: int):
+    import jax
+
+    def decode(b, salt):
+        return _byteclass_unpack(b, L, group_bits, salt) - salt
+
+    return (jax.jit(decode),)
+
+
 # ---------------------------------------------------------------------------
 # Device kernels
 # ---------------------------------------------------------------------------

@@ -276,7 +276,10 @@ def decode_zoo_device(type_name: str, encoded_file: str, runs: int,
 
     arena, meta = stream_mod.load_stream(encoded_file)
     common.log("planning width classes...")
-    if type_name == "simple16":
+    if type_name in ("vbyte", "maskedvbyte", "streamvbyte", "varintgb"):
+        plan = unpack_device.plan_byteclass(type_name, arena, meta)
+        eng = unpack_device.ByteClassEngine(plan)
+    elif type_name == "simple16":
         plan = unpack_device.plan_simple16(arena, meta)
         eng = unpack_device.Simple16Engine(plan)
     else:
@@ -419,7 +422,8 @@ def main(argv=None):
     args = ap.parse_args(argv)
     if args.type in common.VROOM_ZOO:
         if args.engine == "device" and args.type in (
-            "optpfor", "qmx", "simple16"
+            "optpfor", "qmx", "simple16",
+            "vbyte", "maskedvbyte", "streamvbyte", "varintgb",
         ):
             decode_zoo_device(
                 args.type, args.encoded_file, args.runs,

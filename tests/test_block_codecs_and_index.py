@@ -350,3 +350,34 @@ def test_simple16_device_engine_exact(tmp_path):
     got = eng.decode_all_ordered()
     np.testing.assert_array_equal(got, np.concatenate(lists))
     assert eng.timed_chain(2) >= 0
+
+
+@pytest.mark.parametrize("codec", ["vbyte", "maskedvbyte", "streamvbyte", "varintgb"])
+def test_byteclass_device_engine_exact(tmp_path, codec):
+    """Byte-length-class device decode: values excised into dense
+    per-length arrays at plan time, decoded as fused shifts — exact
+    for all byte-granular codecs, incl. chunked long lists."""
+    import numpy as np
+
+    from dint_tpu.codecs.encode_batch import OPT_CHUNK
+    from dint_tpu.index import stream as stream_mod
+    from dint_tpu.index import vroom_zoo
+    from dint_tpu.kernels import unpack_device
+
+    rng = np.random.default_rng(21)
+    lists = []
+    for n in (1, 40, 255, 1000, OPT_CHUNK + 77):
+        mag = int(rng.integers(2, 31))
+        lists.append(rng.integers(0, 1 << mag, n).astype(np.uint32))
+    payloads = [vroom_zoo.encode_list_zoo(codec, g)[0] for g in lists]
+    path = str(tmp_path / f"s.{codec}")
+    stream_mod.write_stream(
+        path, payloads, [len(g) for g in lists],
+        [int(g.astype(np.int64).sum()) for g in lists],
+    )
+    arena, meta = stream_mod.load_stream(path)
+    plan = unpack_device.plan_byteclass(codec, arena, meta)
+    eng = unpack_device.ByteClassEngine(plan)
+    got = eng.decode_all_ordered()
+    np.testing.assert_array_equal(got, np.concatenate(lists), err_msg=codec)
+    assert eng.timed_chain(2) >= 0
