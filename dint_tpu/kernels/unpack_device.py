@@ -319,19 +319,27 @@ class ByteClassPlan:
     group_bits: int
     classes: list  # (length, bytes (N, length) u8, out_base (N,) i64)
     total_ints: int
+    # host-decoded partial tails (varint_G8IU's interpolative blocks):
+    # (global output offset, values)
+    partials: list = field(default_factory=list)
 
     def plan_bytes(self) -> int:
         return sum(c[1].nbytes + c[2].nbytes for c in self.classes)
 
 
-def _byteclass_from_slices(codec, group_bits, data, starts, lens, total):
+def _byteclass_from_slices(codec, group_bits, data, starts, lens, total,
+                           out_index=None, partials=None):
     per = {}
+    if out_index is None:
+        out_index = np.arange(starts.shape[0], dtype=np.int64)
     for L in np.unique(lens):
+        if L <= 0:
+            continue
         sel = np.flatnonzero(lens == L)
         idx = starts[sel][:, None] + np.arange(int(L))[None, :]
-        per[int(L)] = (data[idx], sel.astype(np.int64))
+        per[int(L)] = (data[idx], out_index[sel].astype(np.int64))
     classes = [(L, b, o) for L, (b, o) in sorted(per.items())]
-    return ByteClassPlan(codec, group_bits, classes, total)
+    return ByteClassPlan(codec, group_bits, classes, total, partials or [])
 
 
 def plan_byteclass(codec: str, arena: np.ndarray, meta) -> ByteClassPlan:
@@ -429,6 +437,48 @@ def plan_byteclass(codec: str, arena: np.ndarray, meta) -> ByteClassPlan:
                 used = c - 4 * (G - 1)
                 p = int(gpos[-1]) + p + 1 + int(l4[-1, :used].sum())
                 done += c
+    elif codec == "varintg8iu":
+        # 256-chunked; full chunks are 9-byte desc+data groups, partial
+        # tails are interpolative (decoded host-side per run)
+        group_bits = 8
+        partials = []
+        st_l, ln_l, oi_l = [], [], []
+        for i in range(meta.num_lists):
+            n = int(ns[i])
+            p = int(pl_base[i])
+            v0 = int(vbase[i])
+            done = 0
+            while done < n:
+                c = min(BLOCK_SIZE, n - done)
+                if c < BLOCK_SIZE:
+                    vals, consumed = interpolative.decode_block(
+                        flat, int(p), c, blocks_mod.UNKNOWN
+                    )
+                    partials.append((v0 + done, vals.astype(np.uint32)))
+                    p = consumed
+                    done += c
+                    continue
+                got = 0
+                while got < c:
+                    desc = int(flat[p])
+                    bits = [(desc >> b) & 1 for b in range(8)]
+                    start = 0
+                    for b in range(8):
+                        if bits[b]:
+                            st_l.append(p + 1 + start)
+                            ln_l.append(b + 1 - start)
+                            oi_l.append(v0 + done + got)
+                            start = b + 1
+                            got += 1
+                            if got == c:
+                                break
+                    p += 9
+                done += c
+        return _byteclass_from_slices(
+            codec, group_bits, flat,
+            np.asarray(st_l, np.int64), np.asarray(ln_l, np.int64),
+            total, np.asarray(oi_l, np.int64), partials,
+        )
     else:
         raise ValueError(codec)
     return _byteclass_from_slices(
@@ -479,7 +529,10 @@ class ByteClassEngine:
 
         int(np.asarray(chain_all(args, runs=runs)))  # warmup
         t0 = time.perf_counter()
-        int(np.asarray(chain_all(args, runs=runs)))
+        acc = int(np.asarray(chain_all(args, runs=runs)))
+        for _ in range(runs):
+            for off, vals in self.plan.partials:
+                acc ^= int(vals[-1]) if vals.size else 0
         return time.perf_counter() - t0
 
     def decode_all_ordered(self) -> np.ndarray:
@@ -488,6 +541,8 @@ class ByteClassEngine:
         for L, b, o in self.plan.classes:
             if b.shape[0]:
                 res[o] = outs[int(L)]
+        for off, vals in self.plan.partials:
+            res[off : off + vals.shape[0]] = vals
         return res
 
 

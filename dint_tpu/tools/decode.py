@@ -276,7 +276,9 @@ def decode_zoo_device(type_name: str, encoded_file: str, runs: int,
 
     arena, meta = stream_mod.load_stream(encoded_file)
     common.log("planning width classes...")
-    if type_name in ("vbyte", "maskedvbyte", "streamvbyte", "varintgb"):
+    if type_name in (
+        "vbyte", "maskedvbyte", "streamvbyte", "varintgb", "varintg8iu"
+    ):
         plan = unpack_device.plan_byteclass(type_name, arena, meta)
         eng = unpack_device.ByteClassEngine(plan)
     elif type_name == "simple16":
@@ -423,7 +425,7 @@ def main(argv=None):
     if args.type in common.VROOM_ZOO:
         if args.engine == "device" and args.type in (
             "optpfor", "qmx", "simple16",
-            "vbyte", "maskedvbyte", "streamvbyte", "varintgb",
+            "vbyte", "maskedvbyte", "streamvbyte", "varintgb", "varintg8iu",
         ):
             decode_zoo_device(
                 args.type, args.encoded_file, args.runs,

@@ -352,7 +352,7 @@ def test_simple16_device_engine_exact(tmp_path):
     assert eng.timed_chain(2) >= 0
 
 
-@pytest.mark.parametrize("codec", ["vbyte", "maskedvbyte", "streamvbyte", "varintgb"])
+@pytest.mark.parametrize("codec", ["vbyte", "maskedvbyte", "streamvbyte", "varintgb", "varintg8iu"])
 def test_byteclass_device_engine_exact(tmp_path, codec):
     """Byte-length-class device decode: values excised into dense
     per-length arrays at plan time, decoded as fused shifts — exact
