@@ -513,8 +513,14 @@ class ByteClassEngine:
         args = tuple(b for _, b in self._dev)
         gb = self.plan.group_bits
 
+        pvals = jnp.asarray(
+            np.concatenate(
+                [v for _, v in self.plan.partials] or [np.zeros(0, np.uint32)]
+            )
+        )
+
         @functools.partial(jax.jit, static_argnames=("runs",))
-        def chain_all(args, *, runs: int):
+        def chain_all(args, pvals, *, runs: int):
             def body(salt, _):
                 s = jnp.uint32(0)
                 cnt = 0
@@ -522,17 +528,17 @@ class ByteClassEngine:
                     out = _byteclass_unpack(b, L, gb, salt)
                     s = s + out.sum(dtype=jnp.uint32)
                     cnt += out.size
+                pv = pvals + salt
+                s = s + pv.sum(dtype=jnp.uint32)
+                cnt += pv.size
                 return s - salt * jnp.uint32(cnt) + salt + jnp.uint32(1), None
 
             final, _ = jax.lax.scan(body, jnp.uint32(1), None, length=runs)
             return final
 
-        int(np.asarray(chain_all(args, runs=runs)))  # warmup
+        int(np.asarray(chain_all(args, pvals, runs=runs)))  # warmup
         t0 = time.perf_counter()
-        acc = int(np.asarray(chain_all(args, runs=runs)))
-        for _ in range(runs):
-            for off, vals in self.plan.partials:
-                acc ^= int(vals[-1]) if vals.size else 0
+        int(np.asarray(chain_all(args, pvals, runs=runs)))
         return time.perf_counter() - t0
 
     def decode_all_ordered(self) -> np.ndarray:
@@ -722,8 +728,18 @@ class UnpackEngine:
         vpb = self.plan.values_per_block
         specs_t = tuple(specs)
 
+        # partial tails and b=0-class outputs are hosted plan values;
+        # per run they materialize on device like every other value
+        pvals = jnp.asarray(
+            np.concatenate(
+                [v for _, v in self.plan.partials]
+                + [o.reshape(-1) for o in self._b0_out.values()]
+                or [np.zeros(0, np.uint32)]
+            )
+        )
+
         @functools.partial(jax.jit, static_argnames=("runs",))
-        def chain_all(args, *, runs: int):
+        def chain_all(args, pvals, *, runs: int):
             def body(salt, _):
                 s = jnp.uint32(0)
                 cnt = 0
@@ -732,19 +748,17 @@ class UnpackEngine:
                     out = unpack(pay, exc, salt)
                     s = s + out.sum(dtype=jnp.uint32)
                     cnt += out.size
+                pv = pvals + salt
+                s = s + pv.sum(dtype=jnp.uint32)
+                cnt += pv.size
                 return s - salt * jnp.uint32(cnt), None
 
             final, _ = jax.lax.scan(body, jnp.uint32(1), None, length=runs)
             return final
 
-        int(np.asarray(chain_all(args, runs=runs)))  # compile warmup
+        int(np.asarray(chain_all(args, pvals, runs=runs)))  # compile warmup
         t0 = time.perf_counter()
-        acc = int(np.asarray(chain_all(args, runs=runs)))
-        for _ in range(runs):
-            for off, vals in self.plan.partials:
-                acc ^= int(vals[-1]) if vals.size else 0
-            for out in self._b0_out.values():  # b==0 classes are hosted
-                acc ^= int(out[-1, -1]) if out.size else 0
+        int(np.asarray(chain_all(args, pvals, runs=runs)))
         return time.perf_counter() - t0
 
     def decode_all_ordered(self) -> np.ndarray:
