@@ -129,7 +129,12 @@ def plan_optpfor(arena: np.ndarray, meta) -> UnpackPlan:
 
 
 def plan_qmx(arena: np.ndarray, meta) -> UnpackPlan:
-    """Walk a qmx vroom stream (16-value width-tagged groups)."""
+    """Walk a qmx vroom stream (16-value width-tagged groups).
+
+    Groups of one width PACK 16-per-row (256 values, 32w bytes — the
+    optpfor row geometry), so every class runs the efficient 256-lane
+    phase-grouped unpack instead of 16-value slivers; per-GROUP output
+    bases ride in ``group_base`` for reassembly."""
     per: Dict[int, list] = {}
     partials: List[Tuple[int, np.ndarray]] = []
     out_off = 0
@@ -153,17 +158,26 @@ def plan_qmx(arena: np.ndarray, meta) -> UnpackPlan:
                 )
             pos += 1 + nbytes
             out_off += take
-    classes = [
-        WidthClass(
+    GPR = BLOCK_SIZE // QMX_GROUP  # groups per packed row
+    classes = []
+    for w, items in sorted(per.items()):
+        G = len(items)
+        rows = -(-G // GPR)
+        pay = np.zeros((rows * GPR, 2 * w), np.uint8)
+        for g, (b, _) in enumerate(items):
+            pay[g] = b
+        gbase = np.full(rows * GPR, -1, np.int64)
+        gbase[:G] = [x[1] for x in items]
+        c = WidthClass(
             w,
-            np.stack([x[0] for x in items]),
-            np.asarray([x[1] for x in items], np.int64),
-            np.full(len(items), QMX_GROUP, np.int64),
+            pay.reshape(rows, GPR * 2 * w),
+            gbase[0::GPR].copy(),  # row-level base (first group's)
+            np.full(rows, BLOCK_SIZE, np.int64),
         )
-        for w, items in sorted(per.items())
-    ]
+        c.group_base = gbase  # per-group output offsets (-1 = pad)
+        classes.append(c)
     total = int(np.asarray(meta.n, np.int64).sum())
-    return UnpackPlan("qmx", QMX_GROUP, classes, partials, total)
+    return UnpackPlan("qmx", BLOCK_SIZE, classes, partials, total)
 
 
 def plan_simple16(arena: np.ndarray, meta) -> "Simple16Plan":
@@ -766,6 +780,14 @@ class UnpackEngine:
         reorder; used by --check)."""
         out = np.zeros(self.plan.total_ints, np.uint32)
         for c, vals in zip(self.plan.classes, self.decode_classes()):
+            gb = getattr(c, "group_base", None)
+            if gb is not None:  # qmx: 16-value groups packed 16-per-row
+                v16 = np.asarray(vals).reshape(-1, QMX_GROUP)
+                for gi in range(gb.shape[0]):
+                    o = int(gb[gi])
+                    if o >= 0:
+                        out[o : o + QMX_GROUP] = v16[gi]
+                continue
             for r in range(c.out_base.shape[0]):
                 o = int(c.out_base[r])
                 k = int(c.size[r])
