@@ -43,6 +43,11 @@ class SelectorStats:
     lengths: np.ndarray  # (U,) int32
     freqs: np.ndarray  # (U,) int64
     data: np.ndarray  # (U, MAX_ENTRY_SIZE) u32, zero-padded beyond length
+    # Optional uncapped columnar form (lens i32, freqs i64, vals u32
+    # flat).  When the padded arrays above were capped to the
+    # dictionary-target budget (create path), this carries the full
+    # record set for store_stats without materializing U x 16 padding.
+    full: tuple = None
 
 
 @dataclass
@@ -124,9 +129,24 @@ def gap_stream(collection: BinaryCollection, compute_gaps: bool):
 
 
 def compute_stats(
-    collection: BinaryCollection, compute_gaps: bool, multi: bool
+    collection: BinaryCollection,
+    compute_gaps: bool,
+    multi: bool,
+    padded_limit: int = None,
 ) -> BlockStats:
+    """padded_limit: when set, each context's padded (U, 16) arrays are
+    capped to the top padded_limit records (all the dictionary builder
+    reads — targets_from_stats caps at num_entries), with the full
+    record set carried in SelectorStats.full for store_stats.  The
+    numpy fallback path ignores the limit (always full)."""
     total = collection.num_postings() - (2 if compute_gaps else 0)
+    from . import native_stats
+
+    contexts = native_stats.compute_stats_native(
+        collection, compute_gaps, multi, total, padded_limit
+    )
+    if contexts is not None:
+        return BlockStats(total, contexts)
     if multi:
         per_key = collectors.collect_multi(gap_stream(collection, compute_gaps))
         contexts = []
@@ -146,24 +166,159 @@ def stats_cache_name(collection_path: str, multi: bool) -> str:
     return f"./{base}.block_statistics-{MAX_ENTRY_SIZE}-adjusted"
 
 
+def _ragged_indices(lens: np.ndarray):
+    """(rows, within) flat coordinates of every (i, j<lens[i]) pair.
+
+    2D boolean masks (data[j < lens[:, None]]) go through numpy's
+    nonzero machinery at ~8M elem/s; explicit repeat/arange index
+    vectors with 1D flat gathers are ~50x faster at this scale."""
+    lens = lens.astype(np.int64)
+    total = int(lens.sum())
+    rows = np.repeat(np.arange(lens.shape[0], dtype=np.int64), lens)
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(lens[:-1])]), lens
+    )
+    return rows, within
+
+
+def _ragged_gather(data: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Concatenate data[i, :lens[i]] over all rows."""
+    from . import native_stats
+
+    got = native_stats.ragged_flatten(lens, data)
+    if got is not None:
+        return got
+    rows, within = _ragged_indices(lens)
+    return data.ravel()[rows * data.shape[1] + within]
+
+
+def _records_from_columnar(lens, freqs, vals) -> np.ndarray:
+    """On-disk record stream from the columnar (lens, freqs, vals)."""
+    from . import native_stats
+
+    got = native_stats.records_from_flat(lens, freqs, vals)
+    if got is not None:
+        return got.view("<u4")
+    return _ctx_records(SelectorStats(lens, freqs, _pad_ragged(lens, vals)))
+
+
+def _ctx_records(ctx: SelectorStats) -> np.ndarray:
+    """Flatten one context to the on-disk record stream:
+    per record (u32 size, u32 freq, size x u32 data)."""
+    from . import native_stats
+
+    got = native_stats.records_build(ctx.lengths, ctx.freqs, ctx.data)
+    if got is not None:
+        return got.view("<u4")
+    U = ctx.lengths.shape[0]
+    lens = ctx.lengths.astype(np.int64)
+    starts = np.zeros(U + 1, dtype=np.int64)
+    np.cumsum(lens + 2, out=starts[1:])
+    flat = np.zeros(int(starts[-1]), dtype="<u4")
+    flat[starts[:-1]] = ctx.lengths.astype("<u4")
+    flat[starts[:-1] + 1] = (
+        ctx.freqs.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+    ).astype("<u4")
+    rows, within = _ragged_indices(lens)
+    if rows.shape[0]:
+        idx = np.repeat(starts[:-1] + 2, lens) + within
+        flat[idx] = ctx.data.ravel()[rows * MAX_ENTRY_SIZE + within].astype("<u4")
+    return flat
+
+
 def store_stats(stats: BlockStats, path: str) -> None:
+    """Writes the reference-format stats file plus a .npz sidecar that
+    load_stats prefers (the record stream is sequentially delimited, so
+    a faithful parse is a per-record walk; the sidecar keeps reloads
+    vectorized)."""
+    def columnar(ctx):
+        if ctx.full is not None:
+            return ctx.full
+        return (
+            ctx.lengths.astype(np.int32),
+            ctx.freqs.astype(np.int64),
+            _ragged_gather(ctx.data, ctx.lengths).astype(np.uint32),
+        )
+
+    cols = [columnar(ctx) for ctx in stats.contexts]
     with open(path, "wb") as f:
         np.asarray([stats.total_integers], dtype="<u8").tofile(f)
-        for ctx in stats.contexts:
-            np.asarray([ctx.lengths.shape[0]], dtype="<u4").tofile(f)
-            for i in range(ctx.lengths.shape[0]):
-                size = int(ctx.lengths[i])
-                np.asarray([size, int(ctx.freqs[i]) & 0xFFFFFFFF], dtype="<u4").tofile(f)
-                np.asarray(ctx.data[i, :size], dtype="<u4").tofile(f)
+        for lens, freqs, vals in cols:
+            np.asarray([lens.shape[0]], dtype="<u4").tofile(f)
+            _records_from_columnar(lens, freqs, vals).tofile(f)
+    try:
+        with open(path + ".side", "wb") as f:
+            np.asarray(
+                [_SIDE_MAGIC, stats.total_integers, len(stats.contexts)],
+                dtype="<i8",
+            ).tofile(f)
+            for lens, freqs, vals in cols:
+                np.asarray([lens.shape[0]], dtype="<i8").tofile(f)
+                lens.astype("<i4").tofile(f)
+                freqs.astype("<i8").tofile(f)
+                vals.astype("<u4").tofile(f)
+    except OSError:
+        pass
+
+
+def _pad_ragged(lens: np.ndarray, flat_vals: np.ndarray) -> np.ndarray:
+    from . import native_stats
+
+    got = native_stats.ragged_pad(lens, flat_vals)
+    if got is not None:
+        return got
+    data = np.zeros((lens.shape[0], MAX_ENTRY_SIZE), dtype=np.uint32)
+    rows, within = _ragged_indices(lens)
+    data.ravel()[rows * MAX_ENTRY_SIZE + within] = flat_vals
+    return data
+
+
+_SIDE_MAGIC = 0x53544154_00000001  # "STAT" + version
+
+
+def _load_side(path: str, multi: bool, cap_single: bool):
+    n_ctx = NUM_SELECTORS if multi else 1
+    with open(path, "rb") as f:
+        hdr = np.fromfile(f, dtype="<i8", count=3)
+        if hdr.shape[0] != 3 or int(hdr[0]) != _SIDE_MAGIC or int(hdr[2]) != n_ctx:
+            return None
+        total = int(hdr[1])
+        contexts = []
+        for _ in range(n_ctx):
+            num_blocks = int(np.fromfile(f, dtype="<i8", count=1)[0])
+            lens = np.fromfile(f, dtype="<i4", count=num_blocks)
+            freqs = np.fromfile(f, dtype="<i8", count=num_blocks)
+            nv = int(lens.astype(np.int64).sum())
+            flat = np.fromfile(f, dtype="<u4", count=nv)
+            limit = (
+                min(num_blocks, NUM_ENTRIES)
+                if (cap_single and not multi)
+                else num_blocks
+            )
+            if limit < num_blocks:
+                flat = flat[: int(lens[:limit].astype(np.int64).sum())]
+                lens, freqs = lens[:limit], freqs[:limit]
+            contexts.append(
+                SelectorStats(
+                    lens.astype(np.int32),
+                    freqs.astype(np.int64),
+                    _pad_ragged(lens, flat),
+                )
+            )
+    return BlockStats(total, contexts)
 
 
 def load_stats(path: str, multi: bool, cap_single: bool = True) -> BlockStats:
+    n_ctx = NUM_SELECTORS if multi else 1
+    if os.path.exists(path + ".side"):
+        got = _load_side(path + ".side", multi, cap_single)
+        if got is not None:
+            return got
     raw = np.fromfile(path, dtype=np.uint8)
     total = int(raw[:8].view("<u8")[0])
     words = raw[8:].view("<u4")
     pos = 0
     contexts = []
-    n_ctx = NUM_SELECTORS if multi else 1
     for _ in range(n_ctx):
         num_blocks = int(words[pos])
         pos += 1
@@ -173,7 +328,8 @@ def load_stats(path: str, multi: bool, cap_single: bool = True) -> BlockStats:
         lengths = np.zeros(limit, dtype=np.int32)
         freqs = np.zeros(limit, dtype=np.int64)
         data = np.zeros((limit, MAX_ENTRY_SIZE), dtype=np.uint32)
-        for i in range(num_blocks):
+        stop = limit if n_ctx == 1 else num_blocks
+        for i in range(stop):
             size = int(words[pos])
             freq = int(words[pos + 1])
             if i < limit:
@@ -194,7 +350,7 @@ def create_or_load(
     if os.path.exists(cache):
         return load_stats(cache, multi)
     coll = BinaryCollection(collection_path)
-    stats = compute_stats(coll, compute_gaps, multi)
+    stats = compute_stats(coll, compute_gaps, multi, padded_limit=NUM_ENTRIES)
     try:
         store_stats(stats, cache)
     except OSError:

@@ -70,6 +70,17 @@ def gap_lists_of(path: str) -> Tuple[List[np.ndarray], int]:
     """Gap-transformed lists of a collection file + total int count."""
     docs = is_docs_file(path)
     coll = BinaryCollection(path)
+    from ..stats import native_stats
+
+    got = native_stats.collection_gap_arrays(coll, docs)
+    if got is not None:  # one native pass instead of per-list python
+        flat, offs = got
+        out = [
+            flat[offs[i] : offs[i + 1]]
+            for i in range(offs.shape[0] - 1)
+            if offs[i + 1] > offs[i]
+        ]
+        return out, int(flat.shape[0])
     out: List[np.ndarray] = []
     start = 1 if docs else 0
     for i in range(start, len(coll)):
