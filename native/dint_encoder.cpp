@@ -93,6 +93,22 @@ struct LookupMap {
   std::vector<uint32_t> ent_off;  // insert-time verification only
   const uint32_t* table = nullptr;  // shared flat entry table
   uint64_t mask = 0;
+  // size-1 direct map: value -> b=16 codeword (content-exact, no
+  // hashing) for values < kDir1; -1 = absent.  99.9% of size-1 probes
+  // land here, and the access pattern concentrates at small gap
+  // values (L1-resident head).
+  static constexpr uint32_t kDir1 = 1u << 16;
+  std::vector<int32_t> dirv;
+  // negative filter for the high-miss window sizes (16/8): one bit per
+  // inserted len>=8 entry, keyed by slot_key bits.  Bit clear => the
+  // window is DEFINITELY absent (no false negatives), so ~75%+ of the
+  // misses skip the 1 MiB map probe for a 32 KiB L1 bit test.
+  static constexpr uint64_t kFilterBits = 1ull << 18;
+  std::vector<uint64_t> filter;
+
+  static inline uint64_t filter_bit(uint64_t k) {
+    return (k >> 40) & (kFilterBits - 1);
+  }
 
   void init(size_t capacity) {
     size_t cap = 1;
@@ -102,6 +118,8 @@ struct LookupMap {
     lens.assign(cap, 0);
     ent_off.assign(cap, 0);
     mask = cap - 1;
+    dirv.assign(kDir1, -1);
+    filter.assign(kFilterBits / 64, 0);
   }
 
   // later insertions override earlier ones with identical content,
@@ -110,6 +128,7 @@ struct LookupMap {
   void insert(const uint32_t* content, uint32_t len, uint32_t off,
               uint32_t index) {
     uint64_t k = slot_key(hash_window(content, len), len);
+    if (len >= 8) filter[filter_bit(k) >> 6] |= 1ull << (filter_bit(k) & 63);
     uint64_t fp = k & ~0xffffull;
     uint64_t slot = k & mask;
     while (true) {
@@ -118,21 +137,33 @@ struct LookupMap {
         if (index < 256) vals8[slot] = uint16_t(index);
         lens[slot] = len;
         ent_off[slot] = off;
-        return;
+        break;
       }
       if ((slots[slot] & ~0xffffull) == fp && lens[slot] == len &&
           std::memcmp(table + ent_off[slot], content, len * 4) == 0) {
         slots[slot] = fp | index;  // override
         if (index < 256) vals8[slot] = uint16_t(index);
         ent_off[slot] = off;
-        return;
+        break;
       }
       slot = (slot + 1) & mask;
     }
+    if (len == 1 && content[0] < kDir1) dirv[content[0]] = int32_t(index);
   }
 
   // Trusted probe (hot path): matches the 48-bit fingerprint only;
   // verify_parse backstops collisions.  Returns slot index or SIZE_MAX.
+  inline size_t find_fast_keyed(uint64_t k) const {
+    uint64_t fp = k & ~0xffffull;
+    uint64_t slot = k & mask;
+    while (true) {
+      uint64_t s = slots[slot];
+      if ((s & ~0xffffull) == fp && s != 0) return size_t(slot);
+      if (s == 0) return size_t(-1);
+      slot = (slot + 1) & mask;
+    }
+  }
+
   inline size_t find_fast(uint64_t h, uint32_t len) const {
     uint64_t k = slot_key(h, len);
     uint64_t fp = k & ~0xffffull;
@@ -175,8 +206,8 @@ struct LookupMap {
 // Per-unit precomputed state shared by every trial parse.
 struct UnitScratch {
   std::vector<uint32_t> zrun;
-  std::vector<uint64_t> prefix;            // rolling-hash prefix sums
-  std::vector<uint64_t> winhash[kNumTargetSizes];  // per-size window hashes
+  std::vector<uint64_t> prefix;  // rolling-hash prefix sums
+  bool has_run16 = false;        // any run >= 16 (DP run edges reachable)
 };
 
 constexpr int kMaxCtxFwd = 8;  // matches kMaxCtx below
@@ -186,6 +217,16 @@ constexpr int kMaxCtxFwd = 8;  // matches kMaxCtx below
 // SHARED read-only Encoder (maps/tables) — the prepare-parallel half
 // of the reference's semiasync_queue contract; the commit half is the
 // ordered concatenation in dint_encode_units.
+// Per-position bundle of EVERY context's codewords for one window —
+// filled once by the combined-map probe pass, read by all 12 trial
+// parses.  Mirrors MSlot's value block (one 24-byte copy on hit).
+// Sentinel 0 = absent (indices 0/1 are exceptions, never entries).
+struct alignas(32) MVal {
+  uint16_t v16[kMaxCtxFwd];
+  uint8_t v8[kMaxCtxFwd];
+  uint8_t pad[8];
+};
+
 struct TLScratch {
   std::vector<int64_t> cost;
   std::vector<int32_t> parent;
@@ -193,11 +234,12 @@ struct TLScratch {
   std::vector<int64_t> cost8;
   std::vector<int32_t> parent8;
   std::vector<int32_t> codeword8;
+  std::vector<int32_t> bestpar;  // winning multi trial's parse (cached
+  std::vector<int32_t> bestcw;   // so the winner is never re-swept)
   UnitScratch scr0;
   std::vector<uint32_t> hit16[kNumTargetSizes];
   std::vector<uint32_t> hit8[kNumTargetSizes];
-  std::vector<uint32_t> mhit16[kMaxCtxFwd][kNumTargetSizes];
-  std::vector<uint32_t> mhit8[kMaxCtxFwd][kNumTargetSizes];
+  std::vector<MVal> mvals[kNumTargetSizes];
 };
 
 static thread_local TLScratch g_tls;
@@ -222,6 +264,18 @@ struct MultiMap {
   std::vector<uint32_t> ent_off;  // insert-time verification only
   const uint32_t* table = nullptr;
   uint64_t mask = 0;
+  // size-1 direct map (value -> slot index, ~0u = absent): the combined
+  // table is ~20 MiB (RAM-resident), so skipping the hash probe for the
+  // overwhelmingly-common small single values matters even more here
+  static constexpr uint32_t kDir1 = 1u << 16;
+  std::vector<uint32_t> dir1;
+  // negative filter for window sizes >= 8 (see LookupMap::filter)
+  static constexpr uint64_t kFilterBits = 1ull << 20;
+  std::vector<uint64_t> filter;
+
+  static inline uint64_t filter_bit(uint64_t k) {
+    return (k >> 40) & (kFilterBits - 1);
+  }
 
   void init(size_t capacity) {
     size_t cap = 1;
@@ -230,11 +284,14 @@ struct MultiMap {
     lens.assign(cap, 0);
     ent_off.assign(cap, 0);
     mask = cap - 1;
+    dir1.assign(kDir1, ~0u);
+    filter.assign(kFilterBits / 64, 0);
   }
 
   void insert(const uint32_t* content, uint32_t len, uint32_t off,
               uint32_t index, int ctx) {
     uint64_t k = slot_key(hash_window(content, len), len);
+    if (len >= 8) filter[filter_bit(k) >> 6] |= 1ull << (filter_bit(k) & 63);
     uint64_t slot = k & mask;
     while (true) {
       MSlot& s = slots[slot];
@@ -244,21 +301,21 @@ struct MultiMap {
         ent_off[slot] = off;
         s.v16[ctx] = uint16_t(index);
         if (index < 256) s.v8[ctx] = uint8_t(index);
-        return;
+        break;
       }
       if (s.key == k && lens[slot] == len &&
           std::memcmp(table + ent_off[slot], content, len * 4) == 0) {
         s.v16[ctx] = uint16_t(index);  // override (ascending inserts)
         if (index < 256) s.v8[ctx] = uint8_t(index);
         ent_off[slot] = off;
-        return;
+        break;
       }
       slot = (slot + 1) & mask;
     }
+    if (len == 1 && content[0] < kDir1) dir1[content[0]] = uint32_t(slot);
   }
 
-  inline const MSlot* find_fast(uint64_t h, uint32_t len) const {
-    uint64_t k = slot_key(h, len);
+  inline const MSlot* find_fast_keyed(uint64_t k) const {
     uint64_t slot = k & mask;
     while (true) {
       const MSlot& s = slots[slot];
@@ -266,6 +323,10 @@ struct MultiMap {
       if (s.key == 0) return nullptr;
       slot = (slot + 1) & mask;
     }
+  }
+
+  inline const MSlot* find_fast(uint64_t h, uint32_t len) const {
+    return find_fast_keyed(slot_key(h, len));
   }
 
   inline const MSlot* find_verified(uint64_t h, const uint32_t* w,
@@ -291,6 +352,7 @@ struct Encoder {
   // (windows inside zero runs hit these without probing)
   uint32_t zhit16[kMaxCtx][kNumTargetSizes];
   uint32_t zhit8[kMaxCtx][kNumTargetSizes];
+  MVal zmval[kNumTargetSizes];  // same constants, every context at once
   int n_contexts = 0;
 
   // decode tables for the verification pass (row-major per context)
@@ -357,23 +419,24 @@ static bool verify_parse(Encoder* e, const UnitScratch& u,
 // by every trial parse (the multi encoder runs 12 parses per unit).
 static void precompute_unit(UnitScratch* u, const uint32_t* gaps, int64_t n) {
   u->zrun.assign(n, 0);
-  uint32_t run = 0;
+  uint32_t run = 0, maxrun = 0;
   for (int64_t i = n - 1; i >= 0; --i) {
     run = gaps[i] == 0 ? (run < 256 ? run + 1 : 256) : 0;
+    maxrun = run > maxrun ? run : maxrun;
     u->zrun[i] = run;
   }
+  u->has_run16 = maxrun >= 16;
   grow_pows(size_t(n) + 1);
   u->prefix.resize(n + 1);
   u->prefix[0] = 0;
   for (int64_t i = 0; i < n; ++i)
     u->prefix[i + 1] = u->prefix[i] + mix64(gaps[i]) * g_pinvpow[i];
-  for (int t = 0; t < kNumTargetSizes; ++t) {
-    int64_t s = kTargetSizes[t];
-    int64_t cnt = n - s + 1;
-    u->winhash[t].resize(cnt > 0 ? cnt : 0);
-    for (int64_t i = 0; i < cnt; ++i)
-      u->winhash[t][i] = (u->prefix[i + s] - u->prefix[i]) * g_ppow[i];
-  }
+  // window hashes are derived on the fly in the probe loops:
+  // wh(i, s) = (prefix[i+s] - prefix[i]) * ppow[i]
+}
+
+static inline uint64_t win_hash(const UnitScratch& u, int64_t i, int64_t s) {
+  return (u.prefix[i + s] - u.prefix[i]) * g_ppow[i];
 }
 
 // Probe all window hashes of one context sequentially, filling the
@@ -392,81 +455,163 @@ static void lookup_pass(Encoder* e, const UnitScratch& u, int ctx,
     int64_t cnt = n - s + 1;
     if (cnt < 0) cnt = 0;
     g_tls.hit16[t].resize(cnt);
-    g_tls.hit8[t].resize(cnt);
-    const uint64_t* wh = u.winhash[t].data();
+
     uint32_t* h16 = g_tls.hit16[t].data();
-    uint32_t* h8 = g_tls.hit8[t].data();
-    const uint32_t z16 = e->zhit16[ctx][t], z8 = e->zhit8[ctx][t];
+    const uint32_t z16 = e->zhit16[ctx][t];
     constexpr int64_t PF = 32;
-    for (int64_t i = 0; i < cnt; ++i) {
-      if (i + PF < cnt && u.zrun[i + PF] < (uint32_t)s) {
-        uint64_t kp = slot_key(wh[i + PF], (uint32_t)s);
-        __builtin_prefetch(&map.slots[kp & map.mask]);
-      }
-      if (u.zrun[i] >= (uint32_t)s) {  // all-zero window: constant hit
-        h16[i] = z16;
-        h8[i] = z8;
-        continue;
-      }
-      size_t sl = verified ? map.find_verified(wh[i], gaps + i, (uint32_t)s)
-                           : map.find_fast(wh[i], (uint32_t)s);
-      if (sl == size_t(-1)) {
-        h16[i] = kNoHit;
-        if (need8) h8[i] = kNoHit;
-      } else {
-        h16[i] = map.val16_at(sl);
-        if (need8) {
+
+    if (verified || need8) {
+      // exact / full-width path (rare: collision retries only)
+      g_tls.hit8[t].resize(cnt);
+      uint32_t* h8 = g_tls.hit8[t].data();
+      const uint32_t z8 = e->zhit8[ctx][t];
+      for (int64_t i = 0; i < cnt; ++i) {
+        if (u.zrun[i] >= (uint32_t)s) {
+          h16[i] = z16;
+          h8[i] = z8;
+          continue;
+        }
+        size_t sl;
+        if (s == 1 && gaps[i] < LookupMap::kDir1) {
+          // content-exact: usable even on the verified path
+          int32_t dv = map.dirv[gaps[i]];
+          h16[i] = dv < 0 ? kNoHit : uint32_t(dv);
+          sl = size_t(-1);
+          if (need8 && dv >= 0)
+            sl = verified ? map.find_verified(win_hash(u, i, s), gaps + i, 1)
+                          : map.find_fast(win_hash(u, i, s), 1);
+          if (!need8) continue;
+        } else {
+          sl = verified ? map.find_verified(win_hash(u, i, s), gaps + i, (uint32_t)s)
+                        : map.find_fast(win_hash(u, i, s), (uint32_t)s);
+          h16[i] = sl == size_t(-1) ? kNoHit : map.val16_at(sl);
+        }
+        if (sl == size_t(-1)) {
+          h8[i] = kNoHit;
+        } else {
           uint16_t v8 = map.vals8[sl];
           h8[i] = v8 == kNoHit8 ? kNoHit : uint32_t(v8);
         }
+      }
+      continue;
+    }
+
+    // fast trusted path.  No zrun handling at all: an all-zero window
+    // probes to the dictionary's own zero entry (what the old per-
+    // position constant returned), so zeros flow through the same
+    // branchless loops as everything else.
+    if (s == 1) {
+      // branchless direct-value loop (the >= kDir1 tail is ~0.06%)
+      for (int64_t i = 0; i < cnt; ++i) {
+        uint32_t v = gaps[i];
+        uint32_t vm = v < LookupMap::kDir1 ? v : 0;
+        int32_t dv = map.dirv[vm];
+        uint32_t hit = dv < 0 ? kNoHit : uint32_t(dv);
+        if (v >= LookupMap::kDir1) {
+          size_t sl = map.find_fast(win_hash(u, i, s), 1);
+          hit = sl == size_t(-1) ? kNoHit : map.val16_at(sl);
+        }
+        h16[i] = hit;
+      }
+    } else if (s >= 8) {
+      // negative filter screens the (almost-all-miss) big windows
+      for (int64_t i = 0; i < cnt; ++i) {
+        uint64_t k = slot_key(win_hash(u, i, s), (uint32_t)s);
+        uint64_t b = LookupMap::filter_bit(k);
+        if (!((map.filter[b >> 6] >> (b & 63)) & 1)) {
+          h16[i] = kNoHit;
+          continue;
+        }
+        size_t sl = map.find_fast_keyed(k);
+        h16[i] = sl == size_t(-1) ? kNoHit : map.val16_at(sl);
+      }
+    } else {
+      // high-hit classes (4/2): straight probes, prefetched ahead
+      for (int64_t i = 0; i < cnt; ++i) {
+        uint64_t k = slot_key(win_hash(u, i, s), (uint32_t)s);
+        if (i + PF < cnt) {
+          uint64_t kp = slot_key(win_hash(u, i + PF, s), (uint32_t)s);
+          __builtin_prefetch(&map.slots[kp & map.mask]);
+        }
+        size_t sl = map.find_fast_keyed(k);
+        h16[i] = sl == size_t(-1) ? kNoHit : map.val16_at(sl);
       }
     }
   }
 }
 
 // DP parse of gaps[0..n) using the hit arrays of the last lookup_pass;
-// fills enc->cost/parent/cw.  Relaxation order (runs largest-first,
-// dict sizes 16..1, exception; strict '<') matches the oracle exactly.
-static void parse_hits_arrays(Encoder* e, const UnitScratch& u,
-                              const uint32_t* const hits[kNumTargetSizes],
-                              const uint32_t* gaps, int64_t n) {
+// fills enc->cost/parent/cw.  Branchless formulation: each edge packs
+// (cost, relaxation-order, codeword) into one u64 key and the winner is
+// the min — equal-cost ties resolve to the SMALLEST order field, which
+// reproduces the oracle's first-writer-wins relaxation order exactly
+// (runs largest-first = orders 0-4, dict sizes 16..1 = 5-9,
+// exception = 10; strict '<').
+static constexpr int32_t kEdgeSpan[11] = {256, 128, 64, 32, 16,
+                                          16, 8, 4, 2, 1, 1};
+
+template <bool RUNS>
+static void parse_hits_arrays_impl(const UnitScratch& u,
+                                   const uint32_t* const hits[kNumTargetSizes],
+                                   const uint32_t* gaps, int64_t n) {
   g_tls.cost.assign(n + 1, kBig);
   g_tls.parent.assign(n + 1, 0);
   g_tls.codeword.assign(n + 1, 1);
   g_tls.cost[0] = 0;
+  const int64_t* cost = g_tls.cost.data();
+  const uint32_t* zrun = u.zrun.data();
+  // units shorter than a window size have EMPTY hit arrays; the
+  // branchless loop always reads index `im`, so point those at a
+  // kNoHit dummy (their `valid` flag is false anyway)
+  static const uint32_t kNoHitCell = kNoHit;
+  const uint32_t* ht[kNumTargetSizes];
+  for (int t = 0; t < kNumTargetSizes; ++t)
+    ht[t] = n - (int64_t)kTargetSizes[t] >= 0 ? hits[t] : &kNoHitCell;
   for (int64_t j = 1; j <= n; ++j) {
-    int64_t best = kBig;
-    int32_t bpar = 0, bcw = 1;
-    // run edges, largest span (earliest source) first
-    for (int t = 0; t < 5; ++t) {
-      int64_t k = kRunKs[t];
-      if (j >= k && u.zrun[j - k] >= (uint32_t)k) {
-        int64_t c = g_tls.cost[j - k] + 1;
-        if (c < best) { best = c; bpar = int32_t(j - k); bcw = kExceptions + t; }
+    // exception edge (order 10) — always valid
+    uint32_t large = gaps[j - 1] >= kSmallLimit;
+    uint64_t key = (uint64_t(cost[j - 1] + 2 + large) << 24) |
+                   (10ull << 16) | large;
+    // run edges, largest span (earliest relaxation) first: orders 0-4
+    // (compiled out when the unit has no >= 16 zero run)
+    if (RUNS) {
+      for (int t = 0; t < 5; ++t) {
+        int64_t k = kRunKs[t];
+        int64_t i = j - k;
+        int64_t im = i >= 0 ? i : 0;
+        bool valid = (i >= 0) & (zrun[im] >= (uint32_t)k);
+        uint64_t ck = valid ? ((uint64_t(cost[im] + 1) << 24) |
+                               (uint64_t(t) << 16) | (kExceptions + t))
+                            : ~0ull;
+        key = ck < key ? ck : key;
       }
     }
-    // dictionary-hit edges
+    // dictionary-hit edges: orders 5-9
     for (int t = 0; t < kNumTargetSizes; ++t) {
       int64_t s = kTargetSizes[t];
-      if (j >= s) {
-        int64_t i = j - s;
-        uint32_t hit = hits[t][i];
-        if (hit != kNoHit) {
-          int64_t c = g_tls.cost[i] + 1;
-          if (c < best) { best = c; bpar = int32_t(i); bcw = int32_t(hit); }
-        }
-      }
+      int64_t i = j - s;
+      int64_t im = i >= 0 ? i : 0;
+      uint32_t hit = ht[t][im];
+      bool valid = (i >= 0) & (hit != kNoHit);
+      uint64_t ck = valid ? ((uint64_t(cost[im] + 1) << 24) |
+                             (uint64_t(5 + t) << 16) | hit)
+                          : ~0ull;
+      key = ck < key ? ck : key;
     }
-    // exception edge
-    {
-      bool large = gaps[j - 1] >= kSmallLimit;
-      int64_t c = g_tls.cost[j - 1] + 2 + (large ? 1 : 0);
-      if (c < best) { best = c; bpar = int32_t(j - 1); bcw = large ? 1 : 0; }
-    }
-    g_tls.cost[j] = best;
-    g_tls.parent[j] = bpar;
-    g_tls.codeword[j] = bcw;
+    uint32_t order = uint32_t(key >> 16) & 0xff;
+    g_tls.cost[j] = int64_t(key >> 24);
+    g_tls.parent[j] = int32_t(j - kEdgeSpan[order]);
+    g_tls.codeword[j] = int32_t(key & 0xffff);
   }
+}
+
+static void parse_hits_arrays(Encoder* e, const UnitScratch& u,
+                              const uint32_t* const hits[kNumTargetSizes],
+                              const uint32_t* gaps, int64_t n) {
+  if (u.has_run16)
+    parse_hits_arrays_impl<true>(u, hits, gaps, n);
+  else
+    parse_hits_arrays_impl<false>(u, hits, gaps, n);
 }
 
 static void parse_hits(Encoder* e, const UnitScratch& u, bool b8,
@@ -484,130 +629,189 @@ static void lookup_pass_multi(Encoder* e, const UnitScratch& u,
                               const uint32_t* gaps, int64_t n,
                               bool verified = false) {
   const MultiMap& map = e->mmap;
-  const int nc = e->n_contexts;
   for (int t = 0; t < kNumTargetSizes; ++t) {
     int64_t s = kTargetSizes[t];
     int64_t cnt = n - s + 1;
     if (cnt < 0) cnt = 0;
-    uint32_t* h16[kMaxCtx];
-    uint32_t* h8[kMaxCtx];
-    for (int c = 0; c < nc; ++c) {
-      g_tls.mhit16[c][t].resize(cnt);
-      g_tls.mhit8[c][t].resize(cnt);
-      h16[c] = g_tls.mhit16[c][t].data();
-      h8[c] = g_tls.mhit8[c][t].data();
-    }
-    const uint64_t* wh = u.winhash[t].data();
+    g_tls.mvals[t].resize(cnt);
+    MVal* mv = g_tls.mvals[t].data();
+    const MVal& zv = e->zmval[t];
     constexpr int64_t PF = 32;
-    for (int64_t i = 0; i < cnt; ++i) {
-      if (i + PF < cnt && u.zrun[i + PF] < (uint32_t)s) {
-        uint64_t kp = slot_key(wh[i + PF], (uint32_t)s);
-        __builtin_prefetch(&map.slots[kp & map.mask]);
+
+    auto fill = [&](int64_t i, const MSlot* sl) {
+      if (sl)
+        std::memcpy(mv[i].v16, sl->v16, 24);  // v16[8] + v8[8], contiguous
+      else
+        std::memset(&mv[i], 0, sizeof(MVal));
+    };
+
+    if (verified) {
+      for (int64_t i = 0; i < cnt; ++i) {
+        if (u.zrun[i] >= (uint32_t)s) {
+          mv[i] = zv;
+          continue;
+        }
+        fill(i, map.find_verified(win_hash(u, i, s), gaps + i, (uint32_t)s));
       }
-      if (u.zrun[i] >= (uint32_t)s) {  // all-zero window: constant hit
-        for (int c = 0; c < nc; ++c) {
-          h16[c][i] = e->zhit16[c][t];
-          h8[c][i] = e->zhit8[c][t];
+      continue;
+    }
+
+    if (s == 1) {
+      // direct-value map; handles zeros too (dir1[0] IS the zero entry)
+      for (int64_t i = 0; i < cnt; ++i) {
+        uint32_t v = gaps[i];
+        if (v < MultiMap::kDir1) {
+          uint32_t ds = map.dir1[v];
+          fill(i, ds == ~0u ? nullptr : &map.slots[ds]);
+        } else {
+          fill(i, map.find_fast(win_hash(u, i, s), 1));
         }
-        continue;
       }
-      const MSlot* sl = verified
-                            ? map.find_verified(wh[i], gaps + i, (uint32_t)s)
-                            : map.find_fast(wh[i], (uint32_t)s);
-      if (!sl) {
-        for (int c = 0; c < nc; ++c) {
-          h16[c][i] = kNoHit;
-          h8[c][i] = kNoHit;
+    } else if (s >= 8) {
+      // negative filter screens the (almost-all-miss) big windows;
+      // all-zero windows keep the constant shortcut — the combined map
+      // is RAM-resident, so skipped probes matter
+      for (int64_t i = 0; i < cnt; ++i) {
+        if (u.zrun[i] >= (uint32_t)s) {
+          mv[i] = zv;
+          continue;
         }
-      } else {
-        for (int c = 0; c < nc; ++c) {
-          h16[c][i] = sl->v16[c] ? uint32_t(sl->v16[c]) : kNoHit;
-          h8[c][i] = sl->v8[c] ? uint32_t(sl->v8[c]) : kNoHit;
+        uint64_t k = slot_key(win_hash(u, i, s), (uint32_t)s);
+        uint64_t b = MultiMap::filter_bit(k);
+        if (!((map.filter[b >> 6] >> (b & 63)) & 1)) {
+          std::memset(&mv[i], 0, sizeof(MVal));
+          continue;
         }
+        fill(i, map.find_fast_keyed(k));
+      }
+    } else {
+      for (int64_t i = 0; i < cnt; ++i) {
+        if (u.zrun[i] >= (uint32_t)s) {
+          mv[i] = zv;
+          continue;
+        }
+        if (i + PF < cnt && u.zrun[i + PF] < (uint32_t)s) {
+          uint64_t kp = slot_key(win_hash(u, i + PF, s), (uint32_t)s);
+          __builtin_prefetch(&map.slots[kp & map.mask]);
+        }
+        fill(i, map.find_fast(win_hash(u, i, s), (uint32_t)s));
       }
     }
   }
 }
 
+// Materialize one context/width's u32 hit arrays from the MVal scratch
+// (only used for the winner's emit parse and the verified fallback).
 static void parse_mhits(Encoder* e, const UnitScratch& u, int ctx, bool b8,
                         const uint32_t* gaps, int64_t n) {
   const uint32_t* hits[kNumTargetSizes];
-  for (int t = 0; t < kNumTargetSizes; ++t)
-    hits[t] = b8 ? g_tls.mhit8[ctx][t].data() : g_tls.mhit16[ctx][t].data();
+  for (int t = 0; t < kNumTargetSizes; ++t) {
+    int64_t cnt = n - (int64_t)kTargetSizes[t] + 1;
+    if (cnt < 0) cnt = 0;
+    g_tls.hit16[t].resize(cnt);
+    uint32_t* arr = g_tls.hit16[t].data();
+    const MVal* mv = g_tls.mvals[t].data();
+    for (int64_t i = 0; i < cnt; ++i) {
+      uint32_t v = b8 ? mv[i].v8[ctx] : mv[i].v16[ctx];
+      arr[i] = v ? v : kNoHit;
+    }
+    hits[t] = arr;
+  }
   parse_hits_arrays(e, u, hits, gaps, n);
 }
 
 // Both trial widths of one context in a single DP sweep: the run and
 // exception edges are shared work, only the dictionary hits differ.
 // Fills cost/parent/codeword (b=16) and cost8/parent8/codeword8 (b=8).
-static void parse_mhits_dual(Encoder* e, const UnitScratch& u, int ctx,
-                             const uint32_t* gaps, int64_t n) {
-  g_tls.cost.assign(n + 1, kBig);
+// Key packing for the dual sweep: cost<<40 | order<<35 | cw<<19 |
+// nedges.  (cost, order) uniquely identify an edge at a given j, so
+// the cw/nedges low bits never affect the argmin — ties still resolve
+// exactly like the oracle's relaxation order.  nedges (the parse's
+// codeword count) rides along so serialized sizes come straight off
+// the final key: bytes16 = 2*cost16 (every b=16 emission is 2*edge
+// cost bytes), bytes8 = 2*cost8 - nedges8 (b=8 emissions are
+// 2*edge_cost - 1 bytes each) — no backtracking walks needed.
+static constexpr int kCostShift = 40, kOrderShift = 35, kCwShift = 19;
+static constexpr uint64_t kNedgeMask = (1ull << kCwShift) - 1;
+
+template <bool RUNS>
+static void parse_mhits_dual_impl(Encoder* e, const UnitScratch& u, int ctx,
+                                  const uint32_t* gaps, int64_t n) {
+  g_tls.cost.assign(n + 1, 0);   // holds the full packed key per j
   g_tls.parent.assign(n + 1, 0);
   g_tls.codeword.assign(n + 1, 1);
-  g_tls.cost[0] = 0;
-  g_tls.cost8.assign(n + 1, kBig);
+  g_tls.cost8.assign(n + 1, 0);
   g_tls.parent8.assign(n + 1, 0);
   g_tls.codeword8.assign(n + 1, 1);
-  g_tls.cost8[0] = 0;
-  const uint32_t* h16[kNumTargetSizes];
-  const uint32_t* h8[kNumTargetSizes];
-  for (int t = 0; t < kNumTargetSizes; ++t) {
-    h16[t] = g_tls.mhit16[ctx][t].data();
-    h8[t] = g_tls.mhit8[ctx][t].data();
-  }
+  const uint64_t* kv = (const uint64_t*)g_tls.cost.data();
+  const uint64_t* kv8 = (const uint64_t*)g_tls.cost8.data();
+  const uint32_t* zrun = u.zrun.data();
+  static const MVal kZeroMVal{};
+  const MVal* mv[kNumTargetSizes];
+  for (int t = 0; t < kNumTargetSizes; ++t)
+    mv[t] = n - (int64_t)kTargetSizes[t] >= 0 ? g_tls.mvals[t].data()
+                                              : &kZeroMVal;
+  auto relax = [](uint64_t kim, uint64_t ec, uint64_t order, uint64_t cw) {
+    return (((kim >> kCostShift) + ec) << kCostShift) | (order << kOrderShift) |
+           (cw << kCwShift) | ((kim & kNedgeMask) + 1);
+  };
   for (int64_t j = 1; j <= n; ++j) {
-    int64_t best = kBig, best8 = kBig;
-    int32_t bpar = 0, bcw = 1, bpar8 = 0, bcw8 = 1;
-    for (int t = 0; t < 5; ++t) {
-      int64_t k = kRunKs[t];
-      if (j >= k && u.zrun[j - k] >= (uint32_t)k) {
-        int64_t c = g_tls.cost[j - k] + 1;
-        if (c < best) { best = c; bpar = int32_t(j - k); bcw = kExceptions + t; }
-        int64_t c8 = g_tls.cost8[j - k] + 1;
-        if (c8 < best8) { best8 = c8; bpar8 = int32_t(j - k); bcw8 = kExceptions + t; }
+    uint32_t large = gaps[j - 1] >= kSmallLimit;
+    uint64_t add = 2 + large;
+    uint64_t key = relax(kv[j - 1], add, 10, large);
+    uint64_t key8 = relax(kv8[j - 1], add, 10, large);
+    if (RUNS) {
+      for (int t = 0; t < 5; ++t) {
+        int64_t k = kRunKs[t];
+        int64_t i = j - k;
+        int64_t im = i >= 0 ? i : 0;
+        bool valid = (i >= 0) & (zrun[im] >= (uint32_t)k);
+        uint64_t ck = valid ? relax(kv[im], 1, t, kExceptions + t) : ~0ull;
+        key = ck < key ? ck : key;
+        uint64_t ck8 = valid ? relax(kv8[im], 1, t, kExceptions + t) : ~0ull;
+        key8 = ck8 < key8 ? ck8 : key8;
       }
     }
     for (int t = 0; t < kNumTargetSizes; ++t) {
       int64_t s = kTargetSizes[t];
-      if (j >= s) {
-        int64_t i = j - s;
-        uint32_t hit = h16[t][i];
-        if (hit != kNoHit) {
-          int64_t c = g_tls.cost[i] + 1;
-          if (c < best) { best = c; bpar = int32_t(i); bcw = int32_t(hit); }
-        }
-        uint32_t hit8v = h8[t][i];
-        if (hit8v != kNoHit) {
-          int64_t c8 = g_tls.cost8[i] + 1;
-          if (c8 < best8) { best8 = c8; bpar8 = int32_t(i); bcw8 = int32_t(hit8v); }
-        }
-      }
+      int64_t i = j - s;
+      int64_t im = i >= 0 ? i : 0;
+      uint32_t hit = mv[t][im].v16[ctx];
+      bool valid = (i >= 0) & (hit != 0);
+      uint64_t ck = valid ? relax(kv[im], 1, 5 + t, hit) : ~0ull;
+      key = ck < key ? ck : key;
+      uint32_t hit8v = mv[t][im].v8[ctx];
+      bool valid8 = (i >= 0) & (hit8v != 0);
+      uint64_t ck8 = valid8 ? relax(kv8[im], 1, 5 + t, hit8v) : ~0ull;
+      key8 = ck8 < key8 ? ck8 : key8;
     }
-    {
-      bool large = gaps[j - 1] >= kSmallLimit;
-      int64_t add = 2 + (large ? 1 : 0);
-      int64_t c = g_tls.cost[j - 1] + add;
-      if (c < best) { best = c; bpar = int32_t(j - 1); bcw = large ? 1 : 0; }
-      int64_t c8 = g_tls.cost8[j - 1] + add;
-      if (c8 < best8) { best8 = c8; bpar8 = int32_t(j - 1); bcw8 = large ? 1 : 0; }
-    }
-    g_tls.cost[j] = best;
-    g_tls.parent[j] = bpar;
-    g_tls.codeword[j] = bcw;
-    g_tls.cost8[j] = best8;
-    g_tls.parent8[j] = bpar8;
-    g_tls.codeword8[j] = bcw8;
+    uint32_t order = uint32_t(key >> kOrderShift) & 0x1f;
+    g_tls.cost[j] = int64_t(key);
+    g_tls.parent[j] = int32_t(j - kEdgeSpan[order]);
+    g_tls.codeword[j] = int32_t((key >> kCwShift) & 0xffff);
+    uint32_t order8 = uint32_t(key8 >> kOrderShift) & 0x1f;
+    g_tls.cost8[j] = int64_t(key8);
+    g_tls.parent8[j] = int32_t(j - kEdgeSpan[order8]);
+    g_tls.codeword8[j] = int32_t((key8 >> kCwShift) & 0xffff);
   }
 }
 
-static int64_t stream_bytes8_arrays(const Encoder* e, int64_t n) {
-  int64_t total = 0;
-  for (int64_t i = n; i != 0; i = g_tls.parent8[i]) {
-    int32_t cw = g_tls.codeword8[i];
-    total += cw > 1 ? 1 : (cw == 0 ? 3 : 5);
-  }
-  return total;
+// Returns (bytes16, bytes8) of the two trial parses.
+static std::pair<int64_t, int64_t> parse_mhits_dual(Encoder* e,
+                                                    const UnitScratch& u,
+                                                    int ctx,
+                                                    const uint32_t* gaps,
+                                                    int64_t n) {
+  if (u.has_run16)
+    parse_mhits_dual_impl<true>(e, u, ctx, gaps, n);
+  else
+    parse_mhits_dual_impl<false>(e, u, ctx, gaps, n);
+  uint64_t kf = uint64_t(g_tls.cost[n]);
+  uint64_t kf8 = uint64_t(g_tls.cost8[n]);
+  int64_t bytes16 = 2 * int64_t(kf >> kCostShift);
+  int64_t bytes8 =
+      2 * int64_t(kf8 >> kCostShift) - int64_t(kf8 & kNedgeMask);
+  return {bytes16, bytes8};
 }
 
 static void emit(const Encoder* e, const uint32_t* gaps, int64_t n, int b,
@@ -711,6 +915,16 @@ void* dint_encoder_create(const uint32_t* table, int64_t table_len,
       }
     }
   }
+  // all-zero-window constants, every context at once (MVal layout)
+  for (int t = 0; t < kNumTargetSizes; ++t) {
+    e->zmval[t] = MVal{};
+    for (int32_t d = 0; d < n_contexts && d < kMaxCtx; ++d) {
+      uint32_t z16 = e->zhit16[d][t];
+      uint32_t z8 = e->zhit8[d][t];
+      e->zmval[t].v16[d] = z16 == kNoHit ? 0 : uint16_t(z16);
+      e->zmval[t].v8[d] = z8 == kNoHit ? 0 : uint8_t(z8);
+    }
+  }
   // decode tables for the post-emit verification pass
   e->dec_off.assign(offsets, offsets + int64_t(n_contexts) * entries_per_ctx);
   e->dec_len.assign(lengths, lengths + int64_t(n_contexts) * entries_per_ctx);
@@ -786,26 +1000,39 @@ int64_t dint_encode_units(void* enc, const uint32_t* gaps,
       emit(e, g, n, 16, buf);
     } else {
       // mode 1: ONE combined-map probe pass per unit feeds all 12
-      // trial parses (6 contexts x {b=16, b=8})
+      // trial parses (6 contexts x {b=16, b=8}); serialized sizes come
+      // off the DP keys directly and the winning parse is cached, so
+      // no trial is ever walked or re-swept
       for (int pass = 0; pass < 2; ++pass) {
         bool verified = pass == 1;
         lookup_pass_multi(e, sc, g, n, verified);
         int64_t best_size = kBig;
         int32_t best_sc = 0;
         for (int32_t s = 0; s < e->n_contexts; ++s) {
-          parse_mhits_dual(e, sc, s, g, n);  // both widths, one sweep
-          int64_t sz16 = stream_bytes(e, n, 16);
-          int64_t sz8 = stream_bytes8_arrays(e, n);
+          auto [sz16, sz8] = parse_mhits_dual(e, sc, s, g, n);
           int64_t sz = sz16;
           int32_t c = s;
           if (sz8 <= sz16) { sz = sz8; c = s + e->n_contexts; }
-          if (sz < best_size) { best_size = sz; best_sc = c; }
+          if (sz < best_size) {
+            best_size = sz;
+            best_sc = c;
+            if (c >= e->n_contexts) {  // b=8 trial won
+              g_tls.bestpar.assign(g_tls.parent8.begin(), g_tls.parent8.end());
+              g_tls.bestcw.assign(g_tls.codeword8.begin(),
+                                  g_tls.codeword8.end());
+            } else {
+              g_tls.bestpar.assign(g_tls.parent.begin(), g_tls.parent.end());
+              g_tls.bestcw.assign(g_tls.codeword.begin(),
+                                  g_tls.codeword.end());
+            }
+          }
         }
         buf->clear();
         buf->push_back(uint8_t(best_sc));
         int32_t ctx = best_sc % e->n_contexts;
         int b = best_sc >= e->n_contexts ? 8 : 16;
-        parse_mhits(e, sc, ctx, b == 8, g, n);
+        g_tls.parent.assign(g_tls.bestpar.begin(), g_tls.bestpar.end());
+        g_tls.codeword.assign(g_tls.bestcw.begin(), g_tls.bestcw.end());
         if (verified || verify_parse(e, sc, g, n, ctx)) {
           emit(e, g, n, b, buf);
           break;  // hash collision otherwise: retry content-verified
