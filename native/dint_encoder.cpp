@@ -21,6 +21,11 @@
 #include <unordered_map>
 #include <vector>
 
+#if defined(__AVX512F__) && !defined(DINT_SCALAR)
+#include <immintrin.h>
+#define DINT_AVX512 1
+#endif
+
 namespace {
 
 constexpr uint32_t kExceptions = 2;
@@ -99,11 +104,16 @@ struct LookupMap {
   // values (L1-resident head).
   static constexpr uint32_t kDir1 = 1u << 16;
   std::vector<int32_t> dirv;
+  // size-2 direct map: (v0<<8)|v1 -> b=16 codeword for windows whose
+  // both gaps are < 256 (the overwhelming majority).  Content-exact
+  // like dirv; 256 KiB, L2-resident — replaces a hash + 1 MiB map
+  // probe with one load for the highest-volume probe class.
+  std::vector<int32_t> dir2;
   // negative filter for the high-miss window sizes (16/8): one bit per
   // inserted len>=8 entry, keyed by slot_key bits.  Bit clear => the
-  // window is DEFINITELY absent (no false negatives), so ~75%+ of the
-  // misses skip the 1 MiB map probe for a 32 KiB L1 bit test.
-  static constexpr uint64_t kFilterBits = 1ull << 18;
+  // window is DEFINITELY absent (no false negatives), so most misses
+  // skip the 1 MiB map probe for a 256 KiB L2 bit test.
+  static constexpr uint64_t kFilterBits = 1ull << 21;
   std::vector<uint64_t> filter;
 
   static inline uint64_t filter_bit(uint64_t k) {
@@ -119,6 +129,7 @@ struct LookupMap {
     ent_off.assign(cap, 0);
     mask = cap - 1;
     dirv.assign(kDir1, -1);
+    dir2.assign(1u << 16, -1);
     filter.assign(kFilterBits / 64, 0);
   }
 
@@ -149,6 +160,8 @@ struct LookupMap {
       slot = (slot + 1) & mask;
     }
     if (len == 1 && content[0] < kDir1) dirv[content[0]] = int32_t(index);
+    if (len == 2 && content[0] < 256 && content[1] < 256)
+      dir2[(content[0] << 8) | content[1]] = int32_t(index);
   }
 
   // Trusted probe (hot path): matches the 48-bit fingerprint only;
@@ -234,8 +247,10 @@ struct TLScratch {
   std::vector<int64_t> cost8;
   std::vector<int32_t> parent8;
   std::vector<int32_t> codeword8;
-  std::vector<int32_t> bestpar;  // winning multi trial's parse (cached
-  std::vector<int32_t> bestcw;   // so the winner is never re-swept)
+  // all-contexts DP sweep scratch: packed key per (position, context)
+  // for both trial widths — keys16[j*8+c] is context c's b=16 key at j
+  std::vector<uint64_t> mkey16;
+  std::vector<uint64_t> mkey8;
   UnitScratch scr0;
   std::vector<uint32_t> hit16[kNumTargetSizes];
   std::vector<uint32_t> hit8[kNumTargetSizes];
@@ -269,8 +284,10 @@ struct MultiMap {
   // overwhelmingly-common small single values matters even more here
   static constexpr uint32_t kDir1 = 1u << 16;
   std::vector<uint32_t> dir1;
+  // size-2 direct map: (v0<<8)|v1 -> slot index (see LookupMap::dir2)
+  std::vector<uint32_t> dir2;
   // negative filter for window sizes >= 8 (see LookupMap::filter)
-  static constexpr uint64_t kFilterBits = 1ull << 20;
+  static constexpr uint64_t kFilterBits = 1ull << 22;
   std::vector<uint64_t> filter;
 
   static inline uint64_t filter_bit(uint64_t k) {
@@ -285,6 +302,7 @@ struct MultiMap {
     ent_off.assign(cap, 0);
     mask = cap - 1;
     dir1.assign(kDir1, ~0u);
+    dir2.assign(1u << 16, ~0u);
     filter.assign(kFilterBits / 64, 0);
   }
 
@@ -313,6 +331,8 @@ struct MultiMap {
       slot = (slot + 1) & mask;
     }
     if (len == 1 && content[0] < kDir1) dir1[content[0]] = uint32_t(slot);
+    if (len == 2 && content[0] < 256 && content[1] < 256)
+      dir2[(content[0] << 8) | content[1]] = uint32_t(slot);
   }
 
   inline const MSlot* find_fast_keyed(uint64_t k) const {
@@ -406,6 +426,14 @@ static bool verify_parse(Encoder* e, const UnitScratch& u,
     int64_t ln = lens[cw];
     if (ln > (int64_t)kMaxEntrySize) {  // run entry: all zeros
       if (u.zrun[src] < (uint32_t)ln) return false;
+    } else if (ln == 1 && gaps[src] < LookupMap::kDir1) {
+      // content-exact by construction: every unverified lookup path
+      // resolves size-1 windows with value < kDir1 through the direct
+      // dirv/dir1 tables, never through a fingerprint probe
+      continue;
+    } else if (ln == 2 && (gaps[src] | gaps[src + 1]) < 256) {
+      // ditto for size-2 via dir2
+      continue;
     } else {
       if (std::memcmp(e->table.data() + offs[cw], gaps + src,
                       size_t(ln) * 4) != 0)
@@ -514,19 +542,47 @@ static void lookup_pass(Encoder* e, const UnitScratch& u, int ctx,
         h16[i] = hit;
       }
     } else if (s >= 8) {
-      // negative filter screens the (almost-all-miss) big windows
+      // negative filter screens the (almost-all-miss) big windows.
+      // Two phases: a branchless sweep appends filter survivors to a
+      // list, then only survivors probe the map — the main loop has
+      // no unpredictable branches and no probe-latency stalls.
+      static thread_local std::vector<int32_t> surv;
+      surv.resize(size_t(cnt));
+      int32_t* sv = surv.data();
+      int64_t ns = 0;
       for (int64_t i = 0; i < cnt; ++i) {
         uint64_t k = slot_key(win_hash(u, i, s), (uint32_t)s);
         uint64_t b = LookupMap::filter_bit(k);
-        if (!((map.filter[b >> 6] >> (b & 63)) & 1)) {
-          h16[i] = kNoHit;
-          continue;
+        uint64_t pass = (map.filter[b >> 6] >> (b & 63)) & 1;
+        h16[i] = kNoHit;
+        sv[ns] = int32_t(i);
+        ns += int64_t(pass);
+      }
+      for (int64_t j = 0; j < ns; ++j) {
+        if (j + 8 < ns) {
+          uint64_t kp = slot_key(win_hash(u, sv[j + 8], s), (uint32_t)s);
+          __builtin_prefetch(&map.slots[kp & map.mask]);
         }
-        size_t sl = map.find_fast_keyed(k);
-        h16[i] = sl == size_t(-1) ? kNoHit : map.val16_at(sl);
+        int64_t i = sv[j];
+        size_t sl =
+            map.find_fast_keyed(slot_key(win_hash(u, i, s), (uint32_t)s));
+        if (sl != size_t(-1)) h16[i] = map.val16_at(sl);
+      }
+    } else if (s == 2) {
+      // direct (v0,v1) table serves both-bytes-small windows (the
+      // overwhelming majority) with one L2 load, no hashing
+      for (int64_t i = 0; i < cnt; ++i) {
+        uint32_t v0 = gaps[i], v1 = gaps[i + 1];
+        if ((v0 | v1) < 256) {
+          int32_t dv = map.dir2[(v0 << 8) | v1];
+          h16[i] = dv < 0 ? kNoHit : uint32_t(dv);
+        } else {
+          size_t sl = map.find_fast(win_hash(u, i, s), 2);
+          h16[i] = sl == size_t(-1) ? kNoHit : map.val16_at(sl);
+        }
       }
     } else {
-      // high-hit classes (4/2): straight probes, prefetched ahead
+      // high-hit class (4): straight probes, prefetched ahead
       for (int64_t i = 0; i < cnt; ++i) {
         uint64_t k = slot_key(win_hash(u, i, s), (uint32_t)s);
         if (i + PF < cnt) {
@@ -670,7 +726,13 @@ static void lookup_pass_multi(Encoder* e, const UnitScratch& u,
     } else if (s >= 8) {
       // negative filter screens the (almost-all-miss) big windows;
       // all-zero windows keep the constant shortcut — the combined map
-      // is RAM-resident, so skipped probes matter
+      // is RAM-resident, so skipped probes matter.  Two phases like
+      // the single-map path: branchless survivor sweep, then probes.
+      static thread_local std::vector<int32_t> surv;
+      surv.resize(size_t(cnt));
+      int32_t* sv = surv.data();
+      int64_t ns = 0;
+      std::memset(mv, 0, sizeof(MVal) * size_t(cnt));
       for (int64_t i = 0; i < cnt; ++i) {
         if (u.zrun[i] >= (uint32_t)s) {
           mv[i] = zv;
@@ -678,11 +740,37 @@ static void lookup_pass_multi(Encoder* e, const UnitScratch& u,
         }
         uint64_t k = slot_key(win_hash(u, i, s), (uint32_t)s);
         uint64_t b = MultiMap::filter_bit(k);
-        if (!((map.filter[b >> 6] >> (b & 63)) & 1)) {
-          std::memset(&mv[i], 0, sizeof(MVal));
-          continue;
+        uint64_t pass = (map.filter[b >> 6] >> (b & 63)) & 1;
+        sv[ns] = int32_t(i);
+        ns += int64_t(pass);
+      }
+      for (int64_t j = 0; j < ns; ++j) {
+        if (j + 8 < ns) {
+          uint64_t kp = slot_key(win_hash(u, sv[j + 8], s), (uint32_t)s);
+          __builtin_prefetch(&map.slots[kp & map.mask]);
         }
-        fill(i, map.find_fast_keyed(k));
+        int64_t i = sv[j];
+        const MSlot* sl =
+            map.find_fast_keyed(slot_key(win_hash(u, i, s), (uint32_t)s));
+        if (sl) std::memcpy(mv[i].v16, sl->v16, 24);
+      }
+    } else if (s == 2) {
+      // direct (v0,v1) table: one RAM/L2 load replaces hash + probe
+      // for both-bytes-small windows; (0,0) rides the same path, so
+      // no zero-run branch is needed
+      for (int64_t i = 0; i < cnt; ++i) {
+        uint32_t v0 = gaps[i], v1 = gaps[i + 1];
+        if ((v0 | v1) < 256) {
+          uint32_t ds = map.dir2[(v0 << 8) | v1];
+          if (i + PF < cnt) {
+            uint32_t p0 = gaps[i + PF], p1 = gaps[i + PF + 1];
+            if ((p0 | p1) < 256)
+              __builtin_prefetch(&map.slots[map.dir2[(p0 << 8) | p1]]);
+          }
+          fill(i, ds == ~0u ? nullptr : &map.slots[ds]);
+        } else {
+          fill(i, map.find_fast(win_hash(u, i, s), 2));
+        }
       }
     } else {
       for (int64_t i = 0; i < cnt; ++i) {
@@ -812,6 +900,147 @@ static std::pair<int64_t, int64_t> parse_mhits_dual(Encoder* e,
   int64_t bytes8 =
       2 * int64_t(kf8 >> kCostShift) - int64_t(kf8 & kNedgeMask);
   return {bytes16, bytes8};
+}
+
+// ALL contexts x both widths in ONE DP sweep: each of the 8 u64 SIMD
+// lanes runs an independent trial DP (context c in lane c), reading
+// its dictionary hits straight out of the MVal bundles (v16[8]/v8[8]
+// are exactly one 128/64-bit lane-load away).  The 12 sequential
+// dual sweeps collapse into one pass with two 8-lane min chains.
+// Lanes >= n_contexts compute garbage and are never read.
+#ifdef DINT_AVX512
+template <bool RUNS>
+static void parse_mall_impl(const UnitScratch& u, const uint32_t* gaps,
+                            int64_t n) {
+  g_tls.mkey16.resize(size_t(n + 1) * 8);
+  g_tls.mkey8.resize(size_t(n + 1) * 8);
+  uint64_t* K16 = g_tls.mkey16.data();
+  uint64_t* K8 = g_tls.mkey8.data();
+  std::memset(K16, 0, 64);  // j=0: cost 0, nedges 0 in every lane
+  std::memset(K8, 0, 64);
+  const uint32_t* zrun = u.zrun.data();
+  static const MVal kZeroMVal{};
+  const MVal* mv[kNumTargetSizes];
+  for (int t = 0; t < kNumTargetSizes; ++t)
+    mv[t] = n - (int64_t)kTargetSizes[t] >= 0 ? g_tls.mvals[t].data()
+                                              : &kZeroMVal;
+  const __m512i vones = _mm512_set1_epi64(-1);
+  const __m512i vone = _mm512_set1_epi64(1);
+  const __m512i vnmask = _mm512_set1_epi64(int64_t(kNedgeMask));
+  // relax with a constant (order|cw) OR-term, edge cost ec
+  auto relax_c = [&](__m512i kim, int64_t ec, uint64_t oc) {
+    __m512i hi = _mm512_slli_epi64(
+        _mm512_add_epi64(_mm512_srli_epi64(kim, kCostShift),
+                         _mm512_set1_epi64(ec)),
+        kCostShift);
+    __m512i ne = _mm512_add_epi64(_mm512_and_epi64(kim, vnmask), vone);
+    return _mm512_or_epi64(_mm512_or_epi64(hi, _mm512_set1_epi64(int64_t(oc))),
+                           ne);
+  };
+  // relax with per-lane cw values (dictionary hits); invalid (cw==0)
+  // lanes resolve to all-ones (never the min)
+  auto relax_h = [&](__m512i kim, uint64_t order, __m512i cw) {
+    __mmask8 valid = _mm512_cmpneq_epu64_mask(cw, _mm512_setzero_si512());
+    __m512i hi = _mm512_slli_epi64(
+        _mm512_add_epi64(_mm512_srli_epi64(kim, kCostShift), vone),
+        kCostShift);
+    __m512i ne = _mm512_add_epi64(_mm512_and_epi64(kim, vnmask), vone);
+    __m512i ck = _mm512_or_epi64(
+        _mm512_or_epi64(hi, _mm512_set1_epi64(int64_t(order << kOrderShift))),
+        _mm512_or_epi64(_mm512_slli_epi64(cw, kCwShift), ne));
+    return _mm512_mask_mov_epi64(vones, valid, ck);
+  };
+  for (int64_t j = 1; j <= n; ++j) {
+    uint64_t large = gaps[j - 1] >= kSmallLimit;
+    int64_t add = int64_t(2 + large);
+    uint64_t oc_exc = (10ull << kOrderShift) | (large << kCwShift);
+    __m512i kp = _mm512_loadu_si512((const void*)(K16 + (j - 1) * 8));
+    __m512i kp8 = _mm512_loadu_si512((const void*)(K8 + (j - 1) * 8));
+    __m512i key = relax_c(kp, add, oc_exc);
+    __m512i key8 = relax_c(kp8, add, oc_exc);
+    if (RUNS) {
+      for (int t = 0; t < 5; ++t) {
+        int64_t k = kRunKs[t];
+        int64_t i = j - k;
+        if (i >= 0 && zrun[i] >= (uint32_t)k) {
+          uint64_t oc = (uint64_t(t) << kOrderShift) |
+                        (uint64_t(kExceptions + t) << kCwShift);
+          __m512i ki = _mm512_loadu_si512((const void*)(K16 + i * 8));
+          key = _mm512_min_epu64(key, relax_c(ki, 1, oc));
+          __m512i ki8 = _mm512_loadu_si512((const void*)(K8 + i * 8));
+          key8 = _mm512_min_epu64(key8, relax_c(ki8, 1, oc));
+        }
+      }
+    }
+    for (int t = 0; t < kNumTargetSizes; ++t) {
+      int64_t s = kTargetSizes[t];
+      int64_t i = j - s;
+      if (i < 0) continue;
+      const MVal& m = mv[t][i];
+      __m512i hit = _mm512_cvtepu16_epi64(
+          _mm_loadu_si128((const __m128i*)m.v16));
+      __m512i ki = _mm512_loadu_si512((const void*)(K16 + i * 8));
+      key = _mm512_min_epu64(key, relax_h(ki, uint64_t(5 + t), hit));
+      __m512i hit8 = _mm512_cvtepu8_epi64(
+          _mm_loadl_epi64((const __m128i*)m.v8));
+      __m512i ki8 = _mm512_loadu_si512((const void*)(K8 + i * 8));
+      key8 = _mm512_min_epu64(key8, relax_h(ki8, uint64_t(5 + t), hit8));
+    }
+    _mm512_storeu_si512((void*)(K16 + j * 8), key);
+    _mm512_storeu_si512((void*)(K8 + j * 8), key8);
+  }
+}
+
+static void parse_mall(Encoder* e, const UnitScratch& u, const uint32_t* gaps,
+                       int64_t n, int nctx) {
+  (void)e;
+  (void)nctx;
+  if (u.has_run16)
+    parse_mall_impl<true>(u, gaps, n);
+  else
+    parse_mall_impl<false>(u, gaps, n);
+}
+#else
+// Scalar fallback: run the per-context dual sweeps and scatter their
+// packed keys into the lane layout parse_mall's consumers expect.
+static void parse_mall(Encoder* e, const UnitScratch& u, const uint32_t* gaps,
+                       int64_t n, int nctx) {
+  g_tls.mkey16.resize(size_t(n + 1) * 8);
+  g_tls.mkey8.resize(size_t(n + 1) * 8);
+  for (int c = 0; c < nctx; ++c) {
+    parse_mhits_dual(e, u, c, gaps, n);
+    for (int64_t j = 0; j <= n; ++j) {
+      g_tls.mkey16[size_t(j) * 8 + c] = uint64_t(g_tls.cost[j]);
+      g_tls.mkey8[size_t(j) * 8 + c] = uint64_t(g_tls.cost8[j]);
+    }
+  }
+}
+#endif
+
+// Serialized byte sizes of context `ctx`'s two trials, off the final keys.
+static std::pair<int64_t, int64_t> parse_mall_sizes(int ctx, int64_t n) {
+  uint64_t kf = g_tls.mkey16[size_t(n) * 8 + ctx];
+  uint64_t kf8 = g_tls.mkey8[size_t(n) * 8 + ctx];
+  int64_t bytes16 = 2 * int64_t(kf >> kCostShift);
+  int64_t bytes8 = 2 * int64_t(kf8 >> kCostShift) - int64_t(kf8 & kNedgeMask);
+  return {bytes16, bytes8};
+}
+
+// Reconstruct the winning trial's parse path into g_tls.parent /
+// g_tls.codeword (path nodes only — emit and verify_parse walk the
+// path from n, never the full arrays).
+static void parse_mall_extract(int ctx, bool b8, int64_t n) {
+  const uint64_t* K = (b8 ? g_tls.mkey8 : g_tls.mkey16).data();
+  g_tls.parent.resize(n + 1);
+  g_tls.codeword.resize(n + 1);
+  int64_t j = n;
+  while (j != 0) {
+    uint64_t k = K[size_t(j) * 8 + ctx];
+    uint32_t order = uint32_t(k >> kOrderShift) & 0x1f;
+    g_tls.parent[j] = int32_t(j - kEdgeSpan[order]);
+    g_tls.codeword[j] = int32_t((k >> kCwShift) & 0xffff);
+    j = g_tls.parent[j];
+  }
 }
 
 static void emit(const Encoder* e, const uint32_t* gaps, int64_t n, int b,
@@ -1006,33 +1235,24 @@ int64_t dint_encode_units(void* enc, const uint32_t* gaps,
       for (int pass = 0; pass < 2; ++pass) {
         bool verified = pass == 1;
         lookup_pass_multi(e, sc, g, n, verified);
+        parse_mall(e, sc, g, n, e->n_contexts);
         int64_t best_size = kBig;
         int32_t best_sc = 0;
         for (int32_t s = 0; s < e->n_contexts; ++s) {
-          auto [sz16, sz8] = parse_mhits_dual(e, sc, s, g, n);
+          auto [sz16, sz8] = parse_mall_sizes(s, n);
           int64_t sz = sz16;
           int32_t c = s;
           if (sz8 <= sz16) { sz = sz8; c = s + e->n_contexts; }
           if (sz < best_size) {
             best_size = sz;
             best_sc = c;
-            if (c >= e->n_contexts) {  // b=8 trial won
-              g_tls.bestpar.assign(g_tls.parent8.begin(), g_tls.parent8.end());
-              g_tls.bestcw.assign(g_tls.codeword8.begin(),
-                                  g_tls.codeword8.end());
-            } else {
-              g_tls.bestpar.assign(g_tls.parent.begin(), g_tls.parent.end());
-              g_tls.bestcw.assign(g_tls.codeword.begin(),
-                                  g_tls.codeword.end());
-            }
           }
         }
         buf->clear();
         buf->push_back(uint8_t(best_sc));
         int32_t ctx = best_sc % e->n_contexts;
         int b = best_sc >= e->n_contexts ? 8 : 16;
-        g_tls.parent.assign(g_tls.bestpar.begin(), g_tls.bestpar.end());
-        g_tls.codeword.assign(g_tls.bestcw.begin(), g_tls.bestcw.end());
+        parse_mall_extract(ctx, best_sc >= e->n_contexts, n);
         if (verified || verify_parse(e, sc, g, n, ctx)) {
           emit(e, g, n, b, buf);
           break;  // hash collision otherwise: retry content-verified
