@@ -109,6 +109,57 @@ struct LookupMap {
   // like dirv; 256 KiB, L2-resident — replaces a hash + 1 MiB map
   // probe with one load for the highest-volume probe class.
   std::vector<int32_t> dir2;
+  // content-exact len-4 map: key = the 4 gap bytes packed LE (windows
+  // with all gaps < 256 — nearly all size-4 probes), slot = key32<<32
+  // | 1<<16 | val16.  Sized to the len-4 entry census (grows by
+  // rehash), so it is far smaller than the main map AND exact — len-4
+  // edges skip the verify-pass memcmp entirely.
+  std::vector<uint64_t> map4;
+  uint64_t mask4 = 0;
+  size_t cnt4 = 0;
+
+  static inline uint64_t hash4(uint32_t key) {
+    return (uint64_t(key) * 0x9e3779b97f4a7c15ull) >> 24;
+  }
+
+  void insert4(uint32_t key, uint32_t val) {
+    if ((cnt4 + 1) * 2 > map4.size()) {  // grow: load factor <= 0.5
+      std::vector<uint64_t> old;
+      old.swap(map4);
+      map4.assign(old.size() * 2, 0);
+      mask4 = map4.size() - 1;
+      for (uint64_t s : old)
+        if (s) {
+          uint64_t slot = hash4(uint32_t(s >> 32)) & mask4;
+          while (map4[slot]) slot = (slot + 1) & mask4;
+          map4[slot] = s;
+        }
+    }
+    uint64_t slot = hash4(key) & mask4;
+    while (true) {
+      uint64_t s = map4[slot];
+      if (s == 0) {
+        map4[slot] = (uint64_t(key) << 32) | 0x10000u | val;
+        ++cnt4;
+        return;
+      }
+      if (uint32_t(s >> 32) == key) {
+        map4[slot] = (uint64_t(key) << 32) | 0x10000u | val;  // override
+        return;
+      }
+      slot = (slot + 1) & mask4;
+    }
+  }
+
+  inline uint32_t find4(uint32_t key) const {
+    uint64_t slot = hash4(key) & mask4;
+    while (true) {
+      uint64_t s = map4[slot];
+      if (s == 0) return kNoHit;
+      if (uint32_t(s >> 32) == key) return uint32_t(s & 0xffff);
+      slot = (slot + 1) & mask4;
+    }
+  }
   // negative filter for the high-miss window sizes (16/8): one bit per
   // inserted len>=8 entry, keyed by slot_key bits.  Bit clear => the
   // window is DEFINITELY absent (no false negatives), so most misses
@@ -130,6 +181,9 @@ struct LookupMap {
     mask = cap - 1;
     dirv.assign(kDir1, -1);
     dir2.assign(1u << 16, -1);
+    map4.assign(1u << 13, 0);
+    mask4 = map4.size() - 1;
+    cnt4 = 0;
     filter.assign(kFilterBits / 64, 0);
   }
 
@@ -162,6 +216,10 @@ struct LookupMap {
     if (len == 1 && content[0] < kDir1) dirv[content[0]] = int32_t(index);
     if (len == 2 && content[0] < 256 && content[1] < 256)
       dir2[(content[0] << 8) | content[1]] = int32_t(index);
+    if (len == 4 && (content[0] | content[1] | content[2] | content[3]) < 256)
+      insert4(content[0] | (content[1] << 8) | (content[2] << 16) |
+                  (content[3] << 24),
+              index);
   }
 
   // Trusted probe (hot path): matches the 48-bit fingerprint only;
@@ -286,6 +344,54 @@ struct MultiMap {
   std::vector<uint32_t> dir1;
   // size-2 direct map: (v0<<8)|v1 -> slot index (see LookupMap::dir2)
   std::vector<uint32_t> dir2;
+  // content-exact len-4 map (see LookupMap::map4): key32<<32 |
+  // (main-map slot index + 1); 0 = empty
+  std::vector<uint64_t> map4;
+  uint64_t mask4 = 0;
+  size_t cnt4 = 0;
+
+  static inline uint64_t hash4(uint32_t key) {
+    return (uint64_t(key) * 0x9e3779b97f4a7c15ull) >> 24;
+  }
+
+  void insert4(uint32_t key, uint32_t slotidx) {
+    if ((cnt4 + 1) * 2 > map4.size()) {
+      std::vector<uint64_t> old;
+      old.swap(map4);
+      map4.assign(old.size() * 2, 0);
+      mask4 = map4.size() - 1;
+      for (uint64_t s : old)
+        if (s) {
+          uint64_t slot = hash4(uint32_t(s >> 32)) & mask4;
+          while (map4[slot]) slot = (slot + 1) & mask4;
+          map4[slot] = s;
+        }
+    }
+    uint64_t slot = hash4(key) & mask4;
+    while (true) {
+      uint64_t s = map4[slot];
+      if (s == 0) {
+        map4[slot] = (uint64_t(key) << 32) | (slotidx + 1);
+        ++cnt4;
+        return;
+      }
+      if (uint32_t(s >> 32) == key) {
+        map4[slot] = (uint64_t(key) << 32) | (slotidx + 1);
+        return;
+      }
+      slot = (slot + 1) & mask4;
+    }
+  }
+
+  inline const MSlot* find4(uint32_t key) const {
+    uint64_t slot = hash4(key) & mask4;
+    while (true) {
+      uint64_t s = map4[slot];
+      if (s == 0) return nullptr;
+      if (uint32_t(s >> 32) == key) return &slots[uint32_t(s) - 1];
+      slot = (slot + 1) & mask4;
+    }
+  }
   // negative filter for window sizes >= 8 (see LookupMap::filter)
   static constexpr uint64_t kFilterBits = 1ull << 22;
   std::vector<uint64_t> filter;
@@ -303,6 +409,9 @@ struct MultiMap {
     mask = cap - 1;
     dir1.assign(kDir1, ~0u);
     dir2.assign(1u << 16, ~0u);
+    map4.assign(1u << 13, 0);
+    mask4 = map4.size() - 1;
+    cnt4 = 0;
     filter.assign(kFilterBits / 64, 0);
   }
 
@@ -333,6 +442,10 @@ struct MultiMap {
     if (len == 1 && content[0] < kDir1) dir1[content[0]] = uint32_t(slot);
     if (len == 2 && content[0] < 256 && content[1] < 256)
       dir2[(content[0] << 8) | content[1]] = uint32_t(slot);
+    if (len == 4 && (content[0] | content[1] | content[2] | content[3]) < 256)
+      insert4(content[0] | (content[1] << 8) | (content[2] << 16) |
+                  (content[3] << 24),
+              uint32_t(slot));
   }
 
   inline const MSlot* find_fast_keyed(uint64_t k) const {
@@ -433,6 +546,10 @@ static bool verify_parse(Encoder* e, const UnitScratch& u,
       continue;
     } else if (ln == 2 && (gaps[src] | gaps[src + 1]) < 256) {
       // ditto for size-2 via dir2
+      continue;
+    } else if (ln == 4 && (gaps[src] | gaps[src + 1] | gaps[src + 2] |
+                           gaps[src + 3]) < 256) {
+      // ditto for size-4 via the packed-key content-exact map
       continue;
     } else {
       if (std::memcmp(e->table.data() + offs[cw], gaps + src,
@@ -582,15 +699,24 @@ static void lookup_pass(Encoder* e, const UnitScratch& u, int ctx,
         }
       }
     } else {
-      // high-hit class (4): straight probes, prefetched ahead
+      // high-hit class (4): the content-exact packed-key map serves
+      // all-bytes-small windows (nearly all of them); the rest take
+      // the generic probe.  Both prefetched ahead.
       for (int64_t i = 0; i < cnt; ++i) {
-        uint64_t k = slot_key(win_hash(u, i, s), (uint32_t)s);
+        uint32_t v0 = gaps[i], v1 = gaps[i + 1], v2 = gaps[i + 2],
+                 v3 = gaps[i + 3];
         if (i + PF < cnt) {
-          uint64_t kp = slot_key(win_hash(u, i + PF, s), (uint32_t)s);
-          __builtin_prefetch(&map.slots[kp & map.mask]);
+          uint32_t p = gaps[i + PF] | (gaps[i + PF + 1] << 8) |
+                       (gaps[i + PF + 2] << 16) | (gaps[i + PF + 3] << 24);
+          __builtin_prefetch(&map.map4[LookupMap::hash4(p) & map.mask4]);
         }
-        size_t sl = map.find_fast_keyed(k);
-        h16[i] = sl == size_t(-1) ? kNoHit : map.val16_at(sl);
+        if ((v0 | v1 | v2 | v3) < 256) {
+          h16[i] = map.find4(v0 | (v1 << 8) | (v2 << 16) | (v3 << 24));
+        } else {
+          uint64_t k = slot_key(win_hash(u, i, s), (uint32_t)s);
+          size_t sl = map.find_fast_keyed(k);
+          h16[i] = sl == size_t(-1) ? kNoHit : map.val16_at(sl);
+        }
       }
     }
   }
@@ -773,16 +899,25 @@ static void lookup_pass_multi(Encoder* e, const UnitScratch& u,
         }
       }
     } else {
+      // size 4: content-exact packed-key map for all-bytes-small
+      // windows, generic probe otherwise
       for (int64_t i = 0; i < cnt; ++i) {
         if (u.zrun[i] >= (uint32_t)s) {
           mv[i] = zv;
           continue;
         }
-        if (i + PF < cnt && u.zrun[i + PF] < (uint32_t)s) {
-          uint64_t kp = slot_key(win_hash(u, i + PF, s), (uint32_t)s);
-          __builtin_prefetch(&map.slots[kp & map.mask]);
+        uint32_t v0 = gaps[i], v1 = gaps[i + 1], v2 = gaps[i + 2],
+                 v3 = gaps[i + 3];
+        if ((v0 | v1 | v2 | v3) < 256) {
+          if (i + PF < cnt) {
+            uint32_t p = gaps[i + PF] | (gaps[i + PF + 1] << 8) |
+                         (gaps[i + PF + 2] << 16) | (gaps[i + PF + 3] << 24);
+            __builtin_prefetch(&map.map4[MultiMap::hash4(p) & map.mask4]);
+          }
+          fill(i, map.find4(v0 | (v1 << 8) | (v2 << 16) | (v3 << 24)));
+        } else {
+          fill(i, map.find_fast(win_hash(u, i, s), (uint32_t)s));
         }
-        fill(i, map.find_fast(win_hash(u, i, s), (uint32_t)s));
       }
     }
   }
