@@ -279,16 +279,22 @@ def build_index(
     freqs_flat = np.delete(
         np.asarray(fvals, dtype=np.uint32), np.asarray(foffs, np.int64)
     )
-    g = docs_flat.astype(np.int64)
-    dgap = np.empty_like(g)
-    if g.shape[0]:
-        dgap[0] = g[0]
-        dgap[1:] = g[1:] - g[:-1] - 1
+    # u32-native gap transforms: docids increase strictly within a
+    # list so u32 subtraction never wraps (cross-list positions may
+    # wrap but are overwritten below), and freqs are >= 1.  In-place
+    # forms keep peak footprint minimal: this host's hypervisor
+    # unbacks freed pages (see dint_tpu/__init__), so every avoided
+    # large temporary is an avoided ~20 MB/s cold-fault pass.
+    dgap = np.empty_like(docs_flat)
     lstart = np.cumsum(list_n) - list_n
+    if docs_flat.shape[0]:
+        np.subtract(docs_flat[1:], docs_flat[:-1], out=dgap[1:])
+        dgap[1:] -= 1
+        dgap[0] = docs_flat[0]
     ne = lstart[list_n > 0]
-    dgap[ne] = g[ne]  # first gap of each list = its first docid
-    dgap = dgap.astype(np.uint32)
-    fgap = (freqs_flat.astype(np.int64) - 1).astype(np.uint32)
+    dgap[ne] = docs_flat[ne]  # first gap of each list = its first docid
+    fgap = freqs_flat
+    fgap -= 1  # in place; freqs_flat is not read again
 
     nb = -(-list_n // BLOCK_SIZE)
     block_ptr = np.concatenate([[0], np.cumsum(nb)])
