@@ -104,23 +104,30 @@ class NativeEncoder:
         offs = np.zeros(len(units) + 1, dtype=np.int64)
         np.cumsum([len(u) for u in units], out=offs[1:])
         out_lens = np.zeros(len(units), dtype=np.int64)
-        cap = int(flat.shape[0] * 6 + len(units) * 8 + 64)
-        out = np.zeros(cap, dtype=np.uint8)
+        # Modest capacity (real DINT output is ~0.3-0.5 B/int; worst
+        # case 6 B/int falls back to the exact-size retry below).
+        # Oversizing is not free on this host: fresh footprint pays
+        # ~20 MB/s cold faults (see dint_tpu/__init__).
+        cap = int(flat.shape[0] * 2 + len(units) * 8 + 64)
+        out = np.empty(cap, dtype=np.uint8)
         n = self._lib.dint_encode_units(
             self._h, flat.ctypes.data, offs.ctypes.data, len(units), mode,
             out.ctypes.data, cap, out_lens.ctypes.data,
         )
-        if n < 0:
-            cap = int(-n) + 64
-            out = np.zeros(cap, dtype=np.uint8)
+        while n < 0:
+            # -n is a lower bound on the bytes needed (the serial path
+            # reports the overflow point, not the total) — grow past it
+            # and past a doubling, and re-run (unit memoization makes
+            # the retry pass cheap).
+            cap = max(int(-n) + 64, cap * 2)
+            out = np.empty(cap, dtype=np.uint8)
             n = self._lib.dint_encode_units(
                 self._h, flat.ctypes.data, offs.ctypes.data, len(units), mode,
                 out.ctypes.data, cap, out_lens.ctypes.data,
             )
-            assert n >= 0
         res: List[bytes] = []
         pos = 0
-        buf = out.tobytes()
+        buf = out[: int(n)].tobytes()
         for ln in out_lens:
             res.append(buf[pos : pos + int(ln)])
             pos += int(ln)

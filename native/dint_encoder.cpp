@@ -11,6 +11,7 @@
 //
 // Exposed as a C ABI for ctypes.  Build: see dint_tpu/native_build.py.
 
+#include <chrono>
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
@@ -87,6 +88,15 @@ static inline uint64_t slot_key(uint64_t h, uint32_t len) {
   return (k >> 16) ? k : (k | (1ull << 16));
 }
 
+// Count of trusted-fingerprint probe HITS since the last reset.  When
+// a whole lookup pass records zero trusted hits, every edge the DP saw
+// came from a content-exact source (direct-value tables, packed-key
+// maps, zero-run constants, or true misses — a fingerprint false MISS
+// is impossible since identical content always produces the identical
+// key), so the parse equals the content-verified parse and
+// verify_parse can be skipped.
+static thread_local uint64_t g_trusted_hits = 0;
+
 struct LookupMap {
   // hot: one u64 per slot = fingerprint48 << 16 | val16codeword.
   // 131072 slots x 8B = 1 MiB — L2-resident on this machine (2 MiB L2),
@@ -160,6 +170,70 @@ struct LookupMap {
       slot = (slot + 1) & mask4;
     }
   }
+
+  // content-exact overflow maps for the rare size-1 (value >= kDir1)
+  // and size-2 (a gap >= 256) windows the direct tables don't cover:
+  // the 64-bit key IS the window content, so hits here are exact and
+  // never force a verify pass.  Both censuses are tiny (a few hundred
+  // entries at most), so the maps stay L1/L2-resident.
+  struct XSlot {
+    uint64_t key;  // size1: (kX1Tag<<32)|value; size2: (v0<<32)|v1
+    uint32_t val;
+    uint32_t pad;
+  };
+  // Size-1 keys are tagged with v0 = 0xffffffff.  A size-2 entry whose
+  // FIRST gap is 0xffffffff (the u32 maximum) would be ambiguous, so
+  // such entries are excluded from xmap at insert AND probe time (they
+  // take the trusted find_fast path instead) — xmap hits are therefore
+  // always unambiguous content matches.
+  static constexpr uint64_t kX1Tag = 0xffffffffull;
+  std::vector<XSlot> xmap;
+  uint64_t xmask = 0;
+  size_t xcnt = 0;
+
+  static inline uint64_t xhash(uint64_t key) {
+    return (key * 0x9e3779b97f4a7c15ull) >> 29;
+  }
+
+  void xinsert(uint64_t key, uint32_t val) {
+    if ((xcnt + 1) * 2 > xmap.size()) {
+      std::vector<XSlot> old;
+      old.swap(xmap);
+      xmap.assign(old.size() * 2, XSlot{0, 0, 0});
+      xmask = xmap.size() - 1;
+      for (const XSlot& s : old)
+        if (s.key) {
+          uint64_t slot = xhash(s.key) & xmask;
+          while (xmap[slot].key) slot = (slot + 1) & xmask;
+          xmap[slot] = s;
+        }
+    }
+    uint64_t slot = xhash(key) & xmask;
+    while (true) {
+      XSlot& s = xmap[slot];
+      if (s.key == 0) {
+        s.key = key;
+        s.val = val;
+        ++xcnt;
+        return;
+      }
+      if (s.key == key) {
+        s.val = val;  // override, like the main map
+        return;
+      }
+      slot = (slot + 1) & xmask;
+    }
+  }
+
+  inline uint32_t xfind(uint64_t key) const {
+    uint64_t slot = xhash(key) & xmask;
+    while (true) {
+      const XSlot& s = xmap[slot];
+      if (s.key == 0) return kNoHit;
+      if (s.key == key) return s.val;
+      slot = (slot + 1) & xmask;
+    }
+  }
   // negative filter for the high-miss window sizes (16/8): one bit per
   // inserted len>=8 entry, keyed by slot_key bits.  Bit clear => the
   // window is DEFINITELY absent (no false negatives), so most misses
@@ -184,6 +258,9 @@ struct LookupMap {
     map4.assign(1u << 13, 0);
     mask4 = map4.size() - 1;
     cnt4 = 0;
+    xmap.assign(1u << 10, XSlot{0, 0, 0});
+    xmask = xmap.size() - 1;
+    xcnt = 0;
     filter.assign(kFilterBits / 64, 0);
   }
 
@@ -214,8 +291,13 @@ struct LookupMap {
       slot = (slot + 1) & mask;
     }
     if (len == 1 && content[0] < kDir1) dirv[content[0]] = int32_t(index);
+    if (len == 1 && content[0] >= kDir1)
+      xinsert((kX1Tag << 32) | content[0], index);
     if (len == 2 && content[0] < 256 && content[1] < 256)
       dir2[(content[0] << 8) | content[1]] = int32_t(index);
+    if (len == 2 && (content[0] >= 256 || content[1] >= 256) &&
+        content[0] != 0xffffffffu)  // kX1Tag ambiguity exclusion
+      xinsert((uint64_t(content[0]) << 32) | content[1], index);
     if (len == 4 && (content[0] | content[1] | content[2] | content[3]) < 256)
       insert4(content[0] | (content[1] << 8) | (content[2] << 16) |
                   (content[3] << 24),
@@ -229,22 +311,17 @@ struct LookupMap {
     uint64_t slot = k & mask;
     while (true) {
       uint64_t s = slots[slot];
-      if ((s & ~0xffffull) == fp && s != 0) return size_t(slot);
+      if ((s & ~0xffffull) == fp && s != 0) {
+        ++g_trusted_hits;
+        return size_t(slot);
+      }
       if (s == 0) return size_t(-1);
       slot = (slot + 1) & mask;
     }
   }
 
   inline size_t find_fast(uint64_t h, uint32_t len) const {
-    uint64_t k = slot_key(h, len);
-    uint64_t fp = k & ~0xffffull;
-    uint64_t slot = k & mask;
-    while (true) {
-      uint64_t s = slots[slot];
-      if ((s & ~0xffffull) == fp && s != 0) return size_t(slot);
-      if (s == 0) return size_t(-1);
-      slot = (slot + 1) & mask;
-    }
+    return find_fast_keyed(slot_key(h, len));
   }
 
   // Content-verified probe (fallback path).
@@ -452,7 +529,10 @@ struct MultiMap {
     uint64_t slot = k & mask;
     while (true) {
       const MSlot& s = slots[slot];
-      if (s.key == k) return &s;
+      if (s.key == k) {
+        ++g_trusted_hits;
+        return &s;
+      }
       if (s.key == 0) return nullptr;
       slot = (slot + 1) & mask;
     }
@@ -646,16 +726,16 @@ static void lookup_pass(Encoder* e, const UnitScratch& u, int ctx,
     // position constant returned), so zeros flow through the same
     // branchless loops as everything else.
     if (s == 1) {
-      // branchless direct-value loop (the >= kDir1 tail is ~0.06%)
+      // branchless direct-value loop (the >= kDir1 tail is ~0.06%);
+      // the tail takes the content-exact overflow map, so size-1
+      // lookups never record a trusted hit
       for (int64_t i = 0; i < cnt; ++i) {
         uint32_t v = gaps[i];
         uint32_t vm = v < LookupMap::kDir1 ? v : 0;
         int32_t dv = map.dirv[vm];
         uint32_t hit = dv < 0 ? kNoHit : uint32_t(dv);
-        if (v >= LookupMap::kDir1) {
-          size_t sl = map.find_fast(win_hash(u, i, s), 1);
-          hit = sl == size_t(-1) ? kNoHit : map.val16_at(sl);
-        }
+        if (v >= LookupMap::kDir1)
+          hit = map.xfind((LookupMap::kX1Tag << 32) | v);
         h16[i] = hit;
       }
     } else if (s >= 8) {
@@ -681,18 +761,26 @@ static void lookup_pass(Encoder* e, const UnitScratch& u, int ctx,
           __builtin_prefetch(&map.slots[kp & map.mask]);
         }
         int64_t i = sv[j];
+        // verified-on-hit: misses cost the same as the trusted probe,
+        // hits pay one table memcmp — and the whole parse then needs
+        // no verify_parse backstop (no trusted hits recorded)
         size_t sl =
-            map.find_fast_keyed(slot_key(win_hash(u, i, s), (uint32_t)s));
+            map.find_verified(win_hash(u, i, s), gaps + i, (uint32_t)s);
         if (sl != size_t(-1)) h16[i] = map.val16_at(sl);
       }
     } else if (s == 2) {
       // direct (v0,v1) table serves both-bytes-small windows (the
-      // overwhelming majority) with one L2 load, no hashing
+      // overwhelming majority) with one L2 load, no hashing; larger
+      // windows take the content-exact overflow map (except the
+      // kX1Tag-ambiguous v0 == u32max, which stays on the trusted
+      // probe and forces a verify)
       for (int64_t i = 0; i < cnt; ++i) {
         uint32_t v0 = gaps[i], v1 = gaps[i + 1];
         if ((v0 | v1) < 256) {
           int32_t dv = map.dir2[(v0 << 8) | v1];
           h16[i] = dv < 0 ? kNoHit : uint32_t(dv);
+        } else if (v0 != 0xffffffffu) {
+          h16[i] = map.xfind((uint64_t(v0) << 32) | v1);
         } else {
           size_t sl = map.find_fast(win_hash(u, i, s), 2);
           h16[i] = sl == size_t(-1) ? kNoHit : map.val16_at(sl);
@@ -713,8 +801,8 @@ static void lookup_pass(Encoder* e, const UnitScratch& u, int ctx,
         if ((v0 | v1 | v2 | v3) < 256) {
           h16[i] = map.find4(v0 | (v1 << 8) | (v2 << 16) | (v3 << 24));
         } else {
-          uint64_t k = slot_key(win_hash(u, i, s), (uint32_t)s);
-          size_t sl = map.find_fast_keyed(k);
+          // verified-on-hit (see the s >= 8 loop)
+          size_t sl = map.find_verified(win_hash(u, i, s), gaps + i, 4);
           h16[i] = sl == size_t(-1) ? kNoHit : map.val16_at(sl);
         }
       }
@@ -736,9 +824,12 @@ template <bool RUNS>
 static void parse_hits_arrays_impl(const UnitScratch& u,
                                    const uint32_t* const hits[kNumTargetSizes],
                                    const uint32_t* gaps, int64_t n) {
-  g_tls.cost.assign(n + 1, kBig);
-  g_tls.parent.assign(n + 1, 0);
-  g_tls.codeword.assign(n + 1, 1);
+  // resize only — every slot 1..n is stored by the loop below, and the
+  // only index read before being written is cost[0] (the im clamp), so
+  // no kBig/default fills are needed (16B/position of memset saved)
+  g_tls.cost.resize(size_t(n + 1));
+  g_tls.parent.resize(size_t(n + 1));
+  g_tls.codeword.resize(size_t(n + 1));
   g_tls.cost[0] = 0;
   const int64_t* cost = g_tls.cost.data();
   const uint32_t* zrun = u.zrun.data();
@@ -749,13 +840,19 @@ static void parse_hits_arrays_impl(const UnitScratch& u,
   const uint32_t* ht[kNumTargetSizes];
   for (int t = 0; t < kNumTargetSizes; ++t)
     ht[t] = n - (int64_t)kTargetSizes[t] >= 0 ? hits[t] : &kNoHitCell;
-  for (int64_t j = 1; j <= n; ++j) {
-    // exception edge (order 10) — always valid
-    uint32_t large = gaps[j - 1] >= kSmallLimit;
-    uint64_t key = (uint64_t(cost[j - 1] + 2 + large) << 24) |
-                   (10ull << 16) | large;
-    // run edges, largest span (earliest relaxation) first: orders 0-4
-    // (compiled out when the unit has no >= 16 zero run)
+
+  // Dependency-split DP: only the two span-1 edges (exception and the
+  // size-1 dictionary hit) read cost[j-1], so only they sit on the
+  // loop-carried critical path (kept in the register cprev).  Every
+  // span >= 2 edge into j+1 reads cost[<= j-1], so its 8-way min tree
+  // is computed one iteration AHEAD (`pre`), off the critical chain —
+  // the out-of-order core overlaps it with the short chain.  The key
+  // packing makes the min order-independent, so results are identical
+  // to the naive relaxation.
+  auto span2_min = [&](int64_t j) -> uint64_t {
+    // min key over span >= 2 edges into j (j may be n+1: guarded)
+    uint64_t p = ~0ull;
+    if (j > n) return p;
     if (RUNS) {
       for (int t = 0; t < 5; ++t) {
         int64_t k = kRunKs[t];
@@ -765,11 +862,10 @@ static void parse_hits_arrays_impl(const UnitScratch& u,
         uint64_t ck = valid ? ((uint64_t(cost[im] + 1) << 24) |
                                (uint64_t(t) << 16) | (kExceptions + t))
                             : ~0ull;
-        key = ck < key ? ck : key;
+        p = ck < p ? ck : p;
       }
     }
-    // dictionary-hit edges: orders 5-9
-    for (int t = 0; t < kNumTargetSizes; ++t) {
+    for (int t = 0; t + 1 < kNumTargetSizes; ++t) {  // sizes 16,8,4,2
       int64_t s = kTargetSizes[t];
       int64_t i = j - s;
       int64_t im = i >= 0 ? i : 0;
@@ -778,12 +874,30 @@ static void parse_hits_arrays_impl(const UnitScratch& u,
       uint64_t ck = valid ? ((uint64_t(cost[im] + 1) << 24) |
                              (uint64_t(5 + t) << 16) | hit)
                           : ~0ull;
-      key = ck < key ? ck : key;
+      p = ck < p ? ck : p;
     }
+    return p;
+  };
+
+  const uint32_t* ht1 = ht[kNumTargetSizes - 1];  // size-1 hits
+  uint64_t cprev = 0;  // cost[0]
+  uint64_t pre = span2_min(1);
+  for (int64_t j = 1; j <= n; ++j) {
+    // short chain: exception (order 10) + size-1 dict edge (order 9)
+    uint32_t large = gaps[j - 1] >= kSmallLimit;
+    uint64_t key = ((cprev + 2 + large) << 24) | (10ull << 16) | large;
+    uint32_t hit1 = ht1[j - 1];
+    uint64_t ck = hit1 != kNoHit
+                      ? (((cprev + 1) << 24) | (9ull << 16) | hit1)
+                      : ~0ull;
+    key = ck < key ? ck : key;
+    key = pre < key ? pre : key;
     uint32_t order = uint32_t(key >> 16) & 0xff;
-    g_tls.cost[j] = int64_t(key >> 24);
+    cprev = key >> 24;
+    g_tls.cost[j] = int64_t(cprev);
     g_tls.parent[j] = int32_t(j - kEdgeSpan[order]);
     g_tls.codeword[j] = int32_t(key & 0xffff);
+    pre = span2_min(j + 1);  // off the critical path
   }
 }
 
@@ -794,6 +908,132 @@ static void parse_hits_arrays(Encoder* e, const UnitScratch& u,
     parse_hits_arrays_impl<true>(u, hits, gaps, n);
   else
     parse_hits_arrays_impl<false>(u, hits, gaps, n);
+}
+
+// Fused probe + forward-relaxation DP for the single-dict (mode 0)
+// parse.  One pass over the unit replaces the five per-size probe
+// passes and the backward DP sweep: at position i the cost key[i] is
+// final (every edge spans forward), so all out-edges of i — exception,
+// runs, and the five dictionary window sizes starting AT i — relax
+// their targets immediately.  The (cost<<24 | order<<16 | cw) key
+// packing makes the min order-independent, so the result is edge-for-
+// edge identical to parse_hits_arrays (same oracle tie-breaks).
+// Every probe here is content-exact (direct tables, packed-key maps,
+// the xmap overflow maps, or find_verified for sizes >= 4), so the
+// parse never needs a verify_parse backstop and g_trusted_hits stays
+// untouched.  Fills g_tls.parent/codeword along the used path only.
+static void fused_parse_single(Encoder* e, const UnitScratch& u,
+                               const uint32_t* gaps, int64_t n) {
+  const LookupMap& map = e->maps[0];
+  static thread_local std::vector<uint64_t> key;
+  key.assign(size_t(n + 1), ~0ull);
+  uint64_t* kp = key.data();
+  kp[0] = 0;
+  const uint32_t* zrun = u.zrun.data();
+  const bool runs = u.has_run16;
+  const uint32_t z16_16 = e->zhit16[0][0], z16_8 = e->zhit16[0][1];
+  for (int64_t i = 0; i < n; ++i) {
+    const uint64_t ci = (kp[i] >> 24) + 1;  // cost of a 1-codeword edge
+    // exception edge (order 10)
+    {
+      uint64_t large = gaps[i] >= kSmallLimit;
+      uint64_t nk = ((ci + 1 + large) << 24) | (10ull << 16) | large;
+      if (nk < kp[i + 1]) kp[i + 1] = nk;
+    }
+    if (runs && zrun[i] >= 16) {
+      // run edges (orders 0-4), spans 256..16
+      for (int t = 0; t < 5; ++t) {
+        int64_t k = kRunKs[t];
+        if (zrun[i] >= (uint32_t)k && i + k <= n) {
+          uint64_t nk = (ci << 24) | (uint64_t(t) << 16) | (kExceptions + t);
+          if (nk < kp[i + k]) kp[i + k] = nk;
+        }
+      }
+    }
+    // dict edges (orders 5-9), sizes 16, 8, 4, 2, 1
+    // sizes 16/8: zero-run constant, else negative filter + verified
+    for (int t = 0; t < 2; ++t) {
+      int64_t s = (int64_t)kTargetSizes[t];
+      if (i + s > n) continue;
+      uint32_t hit;
+      if (zrun[i] >= (uint32_t)s) {
+        hit = t == 0 ? z16_16 : z16_8;
+      } else {
+        uint64_t k = slot_key(win_hash(u, i, s), (uint32_t)s);
+        uint64_t b = LookupMap::filter_bit(k);
+        if (!((map.filter[b >> 6] >> (b & 63)) & 1)) continue;
+        size_t sl = map.find_verified(win_hash(u, i, s), gaps + i,
+                                      (uint32_t)s);
+        hit = sl == size_t(-1) ? kNoHit : map.val16_at(sl);
+      }
+      if (hit != kNoHit) {
+        uint64_t nk = (ci << 24) | (uint64_t(5 + t) << 16) | hit;
+        if (nk < kp[i + s]) kp[i + s] = nk;
+      }
+    }
+    // size 4 (order 7): packed-key map / verified fallback
+    if (i + 4 <= n) {
+      uint32_t v0 = gaps[i], v1 = gaps[i + 1], v2 = gaps[i + 2],
+               v3 = gaps[i + 3];
+      uint32_t hit;
+      if ((v0 | v1 | v2 | v3) < 256) {
+        hit = map.find4(v0 | (v1 << 8) | (v2 << 16) | (v3 << 24));
+      } else {
+        size_t sl = map.find_verified(win_hash(u, i, 4), gaps + i, 4);
+        hit = sl == size_t(-1) ? kNoHit : map.val16_at(sl);
+      }
+      if (hit != kNoHit) {
+        uint64_t nk = (ci << 24) | (7ull << 16) | hit;
+        if (nk < kp[i + 4]) kp[i + 4] = nk;
+      }
+    }
+    // size 2 (order 8): direct table / content-exact overflow map
+    if (i + 2 <= n) {
+      uint32_t v0 = gaps[i], v1 = gaps[i + 1];
+      uint32_t hit;
+      if ((v0 | v1) < 256) {
+        int32_t dv = map.dir2[(v0 << 8) | v1];
+        hit = dv < 0 ? kNoHit : uint32_t(dv);
+      } else if (v0 != 0xffffffffu) {
+        hit = map.xfind((uint64_t(v0) << 32) | v1);
+      } else {
+        size_t sl = map.find_verified(win_hash(u, i, 2), gaps + i, 2);
+        hit = sl == size_t(-1) ? kNoHit : map.val16_at(sl);
+      }
+      if (hit != kNoHit) {
+        uint64_t nk = (ci << 24) | (8ull << 16) | hit;
+        if (nk < kp[i + 2]) kp[i + 2] = nk;
+      }
+    }
+    // size 1 (order 9): direct value table / overflow map
+    {
+      uint32_t v = gaps[i];
+      uint32_t hit;
+      if (v < LookupMap::kDir1) {
+        int32_t dv = map.dirv[v];
+        hit = dv < 0 ? kNoHit : uint32_t(dv);
+      } else {
+        hit = map.xfind((LookupMap::kX1Tag << 32) | v);
+      }
+      if (hit != kNoHit) {
+        uint64_t nk = (ci << 24) | (9ull << 16) | hit;
+        if (nk < kp[i + 1]) kp[i + 1] = nk;
+      }
+    }
+  }
+  // reconstruct parent/codeword along the winning path only (every
+  // node 1..n is reachable via exception edges, so kp[j] is never the
+  // ~0 sentinel)
+  g_tls.parent.resize(size_t(n + 1));
+  g_tls.codeword.resize(size_t(n + 1));
+  for (int64_t j = n; j != 0;) {
+    uint64_t k = kp[j];
+    uint32_t order = uint32_t(k >> 16) & 0xff;
+    int32_t span = kEdgeSpan[order];
+    g_tls.parent[j] = int32_t(j - span);
+    g_tls.codeword[j] = int32_t(k & 0xffff);
+    j -= span;
+  }
 }
 
 static void parse_hits(Encoder* e, const UnitScratch& u, bool b8,
@@ -1181,29 +1421,36 @@ static void parse_mall_extract(int ctx, bool b8, int64_t n) {
 static void emit(const Encoder* e, const uint32_t* gaps, int64_t n, int b,
                  std::vector<uint8_t>* out) {
   // backtrack (nodes strictly decrease), then emit in forward order
+  // into a pre-sized scratch (raw pointer writes — per-byte push_back
+  // capacity checks measured ~12 ns/byte) and append once
   static thread_local std::vector<int32_t> nodes;
+  static thread_local std::vector<uint8_t> scratch;
   nodes.clear();
   for (int64_t i = n; i != 0; i = g_tls.parent[i]) nodes.push_back(int32_t(i));
+  size_t worst = nodes.size() * 6 + 8;
+  if (scratch.size() < worst) scratch.resize(worst);
+  uint8_t* p = scratch.data();
   for (size_t t = nodes.size(); t-- > 0;) {
     int32_t v = nodes[t];
     int32_t cw = g_tls.codeword[v];
     if (cw > 1) {
-      out->push_back(uint8_t(cw & 0xff));
-      if (b == 16) out->push_back(uint8_t((cw >> 8) & 0xff));
+      *p++ = uint8_t(cw & 0xff);
+      if (b == 16) *p++ = uint8_t((cw >> 8) & 0xff);
     } else {
       uint32_t val = gaps[g_tls.parent[v]];
       if (val < kSmallLimit) {
-        out->push_back(0);
-        if (b == 16) out->push_back(0);
-        out->push_back(uint8_t(val & 0xff));
-        out->push_back(uint8_t((val >> 8) & 0xff));
+        *p++ = 0;
+        if (b == 16) *p++ = 0;
+        *p++ = uint8_t(val & 0xff);
+        *p++ = uint8_t((val >> 8) & 0xff);
       } else {
-        out->push_back(1);
-        if (b == 16) out->push_back(0);
-        for (int k = 0; k < 4; ++k) out->push_back(uint8_t((val >> (8 * k)) & 0xff));
+        *p++ = 1;
+        if (b == 16) *p++ = 0;
+        for (int k = 0; k < 4; ++k) *p++ = uint8_t((val >> (8 * k)) & 0xff);
       }
     }
   }
+  out->insert(out->end(), scratch.data(), p);
 }
 
 static int64_t stream_bytes(const Encoder* e, int64_t n, int b) {
@@ -1317,9 +1564,15 @@ int64_t dint_encode_units(void* enc, const uint32_t* gaps,
 
   // unit memo (mode-keyed so single/multi streams never mix);
   // mutex-guarded: the map is shared across worker threads
+  // sampled key (first/last 16 + every 16th): memo_get content-compares
+  // on hit, so a weaker key only risks extra compares, never wrong bytes
   auto memo_key = [&](const uint32_t* g, int64_t n) {
     uint64_t h = 0;
-    for (int64_t i = 0; i < n; ++i) h = h * kP + mix64(g[i]);
+    int64_t head = n < 16 ? n : 16;
+    for (int64_t i = 0; i < head; ++i) h = h * kP + mix64(g[i]);
+    for (int64_t i = head; i < n - 16; i += 16) h = h * kP + mix64(g[i]);
+    for (int64_t i = n - 16 > head ? n - 16 : head; i < n; ++i)
+      h = h * kP + mix64(g[i]);
     return h ^ (uint64_t(n) << 1) ^ uint64_t(mode);
   };
   auto memo_get = [&](uint64_t key, const uint32_t* g, int64_t n,
@@ -1345,23 +1598,80 @@ int64_t dint_encode_units(void* enc, const uint32_t* gaps,
 
   // encode one unit into *buf (uses only thread_local scratch + the
   // read-only Encoder tables — safe to run concurrently)
+  // DINT_ENC_PROF=1: per-phase wall-time breakdown to stderr (serial
+  // runs only; counters are unsynchronized across threads)
+  static bool prof = std::getenv("DINT_ENC_PROF") != nullptr;
+  static std::atomic<int64_t> t_pre{0}, t_lookup{0}, t_parse{0},
+      t_verify{0}, t_emit{0}, t_memo{0};
+  auto now_ns = [] {
+    return std::chrono::duration_cast<std::chrono::nanoseconds>(
+               std::chrono::steady_clock::now().time_since_epoch())
+        .count();
+  };
+
   auto encode_one = [&](int64_t u, std::vector<uint8_t>* buf) {
     const uint32_t* g = gaps + unit_offs[u];
     int64_t n = unit_offs[u + 1] - unit_offs[u];
     buf->clear();
+    int64_t t0 = prof ? now_ns() : 0;
     uint64_t mk = memo_key(g, n);
-    if (memo_get(mk, g, n, buf)) return;
+    if (memo_get(mk, g, n, buf)) {
+      if (prof) t_memo += now_ns() - t0;
+      return;
+    }
+    if (prof) t_memo += now_ns() - t0;
     UnitScratch& sc = g_tls.scr0;
+    if (prof) t0 = now_ns();
     precompute_unit(&sc, g, n);
+    if (prof) {
+      int64_t t1 = now_ns();
+      t_pre += t1 - t0;
+      t0 = t1;
+    }
     if (mode == 0) {
-      lookup_pass(e, sc, 0, g, n, /*verified=*/false, /*need8=*/false);
-      parse_hits(e, sc, /*b8=*/false, g, n);
-      if (!verify_parse(e, sc, g, n, 0)) {
-        // hash collision (~never): redo content-verified
-        lookup_pass(e, sc, 0, g, n, /*verified=*/true, /*need8=*/false);
-        parse_hits(e, sc, false, g, n);
+      // fused is kept for A/B experiments; the split probe passes win
+      // because probe latency stays off the DP's serial relax chain
+      static const bool fused = [] {
+        const char* v = std::getenv("DINT_ENC_FUSED");
+        return v && v[0] == '1';
+      }();
+      if (fused) {
+        // single fused pass; all probes content-exact, no verify
+        fused_parse_single(e, sc, g, n);
+        if (prof) {
+          int64_t t1 = now_ns();
+          t_parse += t1 - t0;
+          t0 = t1;
+        }
+      } else {
+        g_trusted_hits = 0;
+        lookup_pass(e, sc, 0, g, n, /*verified=*/false, /*need8=*/false);
+        if (prof) {
+          int64_t t1 = now_ns();
+          t_lookup += t1 - t0;
+          t0 = t1;
+        }
+        parse_hits(e, sc, /*b8=*/false, g, n);
+        if (prof) {
+          int64_t t1 = now_ns();
+          t_parse += t1 - t0;
+          t0 = t1;
+        }
+        // zero trusted-fingerprint hits => the parse is already
+        // content-exact; verify_parse would be a no-op scan
+        if (g_trusted_hits != 0 && !verify_parse(e, sc, g, n, 0)) {
+          // hash collision (~never): redo content-verified
+          lookup_pass(e, sc, 0, g, n, /*verified=*/true, /*need8=*/false);
+          parse_hits(e, sc, false, g, n);
+        }
+        if (prof) {
+          int64_t t1 = now_ns();
+          t_verify += t1 - t0;
+          t0 = t1;
+        }
       }
       emit(e, g, n, 16, buf);
+      if (prof) t_emit += now_ns() - t0;
     } else {
       // mode 1: ONE combined-map probe pass per unit feeds all 12
       // trial parses (6 contexts x {b=16, b=8}); serialized sizes come
@@ -1369,6 +1679,7 @@ int64_t dint_encode_units(void* enc, const uint32_t* gaps,
       // no trial is ever walked or re-swept
       for (int pass = 0; pass < 2; ++pass) {
         bool verified = pass == 1;
+        g_trusted_hits = 0;
         lookup_pass_multi(e, sc, g, n, verified);
         parse_mall(e, sc, g, n, e->n_contexts);
         int64_t best_size = kBig;
@@ -1388,7 +1699,8 @@ int64_t dint_encode_units(void* enc, const uint32_t* gaps,
         int32_t ctx = best_sc % e->n_contexts;
         int b = best_sc >= e->n_contexts ? 8 : 16;
         parse_mall_extract(ctx, best_sc >= e->n_contexts, n);
-        if (verified || verify_parse(e, sc, g, n, ctx)) {
+        if (verified || g_trusted_hits == 0 ||
+            verify_parse(e, sc, g, n, ctx)) {
           emit(e, g, n, b, buf);
           break;  // hash collision otherwise: retry content-verified
         }
@@ -1405,6 +1717,15 @@ int64_t dint_encode_units(void* enc, const uint32_t* gaps,
   }
   nthreads = int(std::min<int64_t>(nthreads, std::min<int64_t>(n_units, 64)));
 
+  auto prof_dump = [&] {
+    if (!prof) return;
+    fprintf(stderr,
+            "[enc prof ms] memo=%.1f pre=%.1f lookup=%.1f parse=%.1f "
+            "verify=%.1f emit=%.1f\n",
+            t_memo / 1e6, t_pre / 1e6, t_lookup / 1e6, t_parse / 1e6,
+            t_verify / 1e6, t_emit / 1e6);
+  };
+
   if (nthreads <= 1) {
     std::vector<uint8_t> buf;
     int64_t written = 0;
@@ -1416,6 +1737,7 @@ int64_t dint_encode_units(void* enc, const uint32_t* gaps,
       written += int64_t(buf.size());
       out_lens[u] = int64_t(buf.size());
     }
+    prof_dump();
     return written;
   }
 
