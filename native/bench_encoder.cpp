@@ -60,11 +60,13 @@ int main(int argc, char** argv) {
     auto a = clk::now();
     precompute_unit(&sc, g, n);
     auto b = clk::now();
+    g_trusted_hits = 0;
     lookup_pass(e, sc, 0, g, n, false, false);
     auto c = clk::now();
     parse_hits(e, sc, false, g, n);
     auto d = clk::now();
-    bool okv = verify_parse(e, sc, g, n, 0);
+    bool okv = g_trusted_hits == 0 ||
+               verify_parse(e, sc, g, n, 0, /*exact_small=*/true);
     auto f = clk::now();
     if (!okv) { fprintf(stderr, "collision!\n"); }
     buf.clear();
@@ -83,5 +85,16 @@ int main(int argc, char** argv) {
           " parse %.3fs\n ver   %.3fs\n emit  %.3fs\n",
           tt, n_gaps / tt / 1e6, (long long)total_bytes, t_pre, t_look,
           t_parse, t_ver, t_emit);
+#ifdef DINT_TPROF
+  fprintf(stderr, " lookup by size:");
+  for (int t = 0; t < kNumTargetSizes; ++t)
+    fprintf(stderr, " s%u=%.3fs", kTargetSizes[t], g_tprof[t] / 1e9);
+  fprintf(stderr, "\n survivors:");
+  for (int t = 0; t < 2; ++t)
+    fprintf(stderr, " s%u=%lld/%lld hits=%lld", kTargetSizes[t],
+            (long long)g_tsurv[t], (long long)g_tcnt[t],
+            (long long)g_thit[t]);
+  fprintf(stderr, "\n");
+#endif
   return 0;
 }

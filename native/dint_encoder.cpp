@@ -327,7 +327,11 @@ struct LookupMap {
   // Content-verified probe (fallback path).
   inline size_t find_verified(uint64_t h, const uint32_t* w,
                               uint32_t len) const {
-    uint64_t k = slot_key(h, len);
+    return find_verified_keyed(slot_key(h, len), w, len);
+  }
+
+  inline size_t find_verified_keyed(uint64_t k, const uint32_t* w,
+                                    uint32_t len) const {
     uint64_t fp = k & ~0xffffull;
     uint64_t slot = k & mask;
     while (true) {
@@ -593,8 +597,16 @@ struct Encoder {
 // emit, nothing to check).  Touches each used codeword once (vs 5
 // probes per position for content-verified probing) with lookahead
 // prefetching of the scattered entry reads.
+// exact_small: the mode-0 single-map lookup resolves ALL size-1/2/4
+// windows through content-exact structures (dirv/dir2/find4 packed-key
+// maps, xmap overflow maps, find_verified fallbacks) — the only
+// trusted-fingerprint sources are the size-8/16 filter survivors and
+// the kX1Tag-ambiguous size-2 probe — so verification reduces to those
+// edge types.  Mode 1 (multi map) resolves non-small windows of every
+// size through find_fast, so it keeps the full check set.
 static bool verify_parse(Encoder* e, const UnitScratch& u,
-                         const uint32_t* gaps, int64_t n, int ctx) {
+                         const uint32_t* gaps, int64_t n, int ctx,
+                         bool exact_small = false) {
   const uint32_t* offs = e->dec_off.data() + int64_t(ctx) * e->entries_per_ctx;
   const int32_t* lens = e->dec_len.data() + int64_t(ctx) * e->entries_per_ctx;
   static thread_local std::vector<int64_t> srcs;
@@ -619,6 +631,14 @@ static bool verify_parse(Encoder* e, const UnitScratch& u,
     int64_t ln = lens[cw];
     if (ln > (int64_t)kMaxEntrySize) {  // run entry: all zeros
       if (u.zrun[src] < (uint32_t)ln) return false;
+    } else if ((ln == 8 || ln == 16) && u.zrun[src] >= (uint32_t)ln) {
+      // zero-run constant shortcut in the lookup: the stored hit IS
+      // the dictionary's all-zero entry and the window is all zeros
+      continue;
+    } else if (exact_small && ln <= 4 &&
+               !(ln == 2 && gaps[src] == 0xffffffffu)) {
+      // mode-0 small windows are content-exact by construction
+      continue;
     } else if (ln == 1 && gaps[src] < LookupMap::kDir1) {
       // content-exact by construction: every unverified lookup path
       // resolves size-1 windows with value < kDir1 through the direct
@@ -642,7 +662,7 @@ static bool verify_parse(Encoder* e, const UnitScratch& u,
 
 // Precompute zero-run lengths and all window hashes for one unit; shared
 // by every trial parse (the multi encoder runs 12 parses per unit).
-static void precompute_unit(UnitScratch* u, const uint32_t* gaps, int64_t n) {
+static void precompute_zrun(UnitScratch* u, const uint32_t* gaps, int64_t n) {
   u->zrun.assign(n, 0);
   uint32_t run = 0, maxrun = 0;
   for (int64_t i = n - 1; i >= 0; --i) {
@@ -651,6 +671,10 @@ static void precompute_unit(UnitScratch* u, const uint32_t* gaps, int64_t n) {
     u->zrun[i] = run;
   }
   u->has_run16 = maxrun >= 16;
+}
+
+static void precompute_prefix(UnitScratch* u, const uint32_t* gaps,
+                              int64_t n) {
   grow_pows(size_t(n) + 1);
   u->prefix.resize(n + 1);
   u->prefix[0] = 0;
@@ -658,6 +682,11 @@ static void precompute_unit(UnitScratch* u, const uint32_t* gaps, int64_t n) {
     u->prefix[i + 1] = u->prefix[i] + mix64(gaps[i]) * g_pinvpow[i];
   // window hashes are derived on the fly in the probe loops:
   // wh(i, s) = (prefix[i+s] - prefix[i]) * ppow[i]
+}
+
+static void precompute_unit(UnitScratch* u, const uint32_t* gaps, int64_t n) {
+  precompute_zrun(u, gaps, n);
+  precompute_prefix(u, gaps, n);
 }
 
 static inline uint64_t win_hash(const UnitScratch& u, int64_t i, int64_t s) {
@@ -671,11 +700,31 @@ static inline uint64_t win_hash(const UnitScratch& u, int64_t i, int64_t s) {
 // many cache misses in flight (the DP loop serialized them), and
 // windows lying inside zero runs resolve to a precomputed constant
 // without touching the table at all.
+#ifdef DINT_TPROF
+// per-window-size lookup nanoseconds (harness builds only)
+double g_tprof[kNumTargetSizes] = {0};
+int64_t g_tcnt[kNumTargetSizes] = {0};   // positions swept
+int64_t g_tsurv[kNumTargetSizes] = {0};  // filter survivors probed
+int64_t g_thit[kNumTargetSizes] = {0};   // probe hits
+#endif
+
 static void lookup_pass(Encoder* e, const UnitScratch& u, int ctx,
                         const uint32_t* gaps, int64_t n,
                         bool verified = false, bool need8 = true) {
   const LookupMap& map = e->maps[ctx];
   for (int t = 0; t < kNumTargetSizes; ++t) {
+#ifdef DINT_TPROF
+    auto tpa = std::chrono::steady_clock::now();
+    struct TP {
+      std::chrono::steady_clock::time_point a;
+      int t;
+      ~TP() {
+        g_tprof[t] += std::chrono::duration<double, std::nano>(
+                          std::chrono::steady_clock::now() - a)
+                          .count();
+      }
+    } tp{tpa, t};
+#endif
     int64_t s = kTargetSizes[t];
     int64_t cnt = n - s + 1;
     if (cnt < 0) cnt = 0;
@@ -740,33 +789,47 @@ static void lookup_pass(Encoder* e, const UnitScratch& u, int ctx,
       }
     } else if (s >= 8) {
       // negative filter screens the (almost-all-miss) big windows.
-      // Two phases: a branchless sweep appends filter survivors to a
-      // list, then only survivors probe the map — the main loop has
-      // no unpredictable branches and no probe-latency stalls.
-      static thread_local std::vector<int32_t> surv;
+      // Zero-run windows (a quarter of real doc-gap positions) resolve
+      // to the dictionary's zero-entry constant with no hash, filter,
+      // or probe.  The rest sweep the filter branchlessly, appending
+      // (pos, key) survivors so the probe phase never re-hashes.
+      struct Surv {
+        int64_t pos;
+        uint64_t key;
+      };
+      static thread_local std::vector<Surv> surv;
       surv.resize(size_t(cnt));
-      int32_t* sv = surv.data();
+      Surv* sv = surv.data();
+      const uint32_t* zr = u.zrun.data();
       int64_t ns = 0;
       for (int64_t i = 0; i < cnt; ++i) {
+        uint64_t zero = zr[i] >= (uint32_t)s;
         uint64_t k = slot_key(win_hash(u, i, s), (uint32_t)s);
         uint64_t b = LookupMap::filter_bit(k);
-        uint64_t pass = (map.filter[b >> 6] >> (b & 63)) & 1;
-        h16[i] = kNoHit;
-        sv[ns] = int32_t(i);
+        uint64_t pass = (map.filter[b >> 6] >> (b & 63)) & 1 & ~zero;
+        h16[i] = zero ? z16 : kNoHit;
+        sv[ns].pos = i;
+        sv[ns].key = k;
         ns += int64_t(pass);
       }
+#ifdef DINT_TPROF
+      g_tcnt[t] += cnt;
+      g_tsurv[t] += ns;
+#endif
       for (int64_t j = 0; j < ns; ++j) {
-        if (j + 8 < ns) {
-          uint64_t kp = slot_key(win_hash(u, sv[j + 8], s), (uint32_t)s);
-          __builtin_prefetch(&map.slots[kp & map.mask]);
+        if (j + 8 < ns) __builtin_prefetch(&map.slots[sv[j + 8].key & map.mask]);
+        // trusted fingerprint probe: touches ONLY the 1 MiB slots
+        // array (L2).  A verified-on-hit variant was measured: ~30% of
+        // 8-windows are genuine hits, so per-hit table memcmps hit the
+        // 4 MiB entry table in RAM and cost more than the path-only
+        // verify_parse backstop these trusted hits force.
+        size_t sl = map.find_fast_keyed(sv[j].key);
+        if (sl != size_t(-1)) {
+          h16[sv[j].pos] = map.val16_at(sl);
+#ifdef DINT_TPROF
+          ++g_thit[t];
+#endif
         }
-        int64_t i = sv[j];
-        // verified-on-hit: misses cost the same as the trusted probe,
-        // hits pay one table memcmp — and the whole parse then needs
-        // no verify_parse backstop (no trusted hits recorded)
-        size_t sl =
-            map.find_verified(win_hash(u, i, s), gaps + i, (uint32_t)s);
-        if (sl != size_t(-1)) h16[i] = map.val16_at(sl);
       }
     } else if (s == 2) {
       // direct (v0,v1) table serves both-bytes-small windows (the
@@ -787,10 +850,15 @@ static void lookup_pass(Encoder* e, const UnitScratch& u, int ctx,
         }
       }
     } else {
-      // high-hit class (4): the content-exact packed-key map serves
-      // all-bytes-small windows (nearly all of them); the rest take
-      // the generic probe.  Both prefetched ahead.
+      // high-hit class (4): zero-run windows short-circuit to the
+      // zero-entry constant (31% of bench positions); the content-
+      // exact packed-key map serves all-bytes-small windows (nearly
+      // all of the rest); the remainder take the generic probe.
       for (int64_t i = 0; i < cnt; ++i) {
+        if (u.zrun[i] >= 4) {
+          h16[i] = z16;
+          continue;
+        }
         uint32_t v0 = gaps[i], v1 = gaps[i + 1], v2 = gaps[i + 2],
                  v3 = gaps[i + 3];
         if (i + PF < cnt) {
@@ -881,9 +949,10 @@ static void parse_hits_arrays_impl(const UnitScratch& u,
 
   const uint32_t* ht1 = ht[kNumTargetSizes - 1];  // size-1 hits
   uint64_t cprev = 0;  // cost[0]
-  uint64_t pre = span2_min(1);
-  for (int64_t j = 1; j <= n; ++j) {
-    // short chain: exception (order 10) + size-1 dict edge (order 9)
+  // prologue: j <= 256 needs the i>=0 clamps (span2_min handles them)
+  int64_t jmid = RUNS ? 256 : 16;
+  if (jmid > n) jmid = n;
+  for (int64_t j = 1; j <= jmid; ++j) {
     uint32_t large = gaps[j - 1] >= kSmallLimit;
     uint64_t key = ((cprev + 2 + large) << 24) | (10ull << 16) | large;
     uint32_t hit1 = ht1[j - 1];
@@ -891,13 +960,64 @@ static void parse_hits_arrays_impl(const UnitScratch& u,
                       ? (((cprev + 1) << 24) | (9ull << 16) | hit1)
                       : ~0ull;
     key = ck < key ? ck : key;
+    uint64_t pre = span2_min(j);
     key = pre < key ? pre : key;
     uint32_t order = uint32_t(key >> 16) & 0xff;
     cprev = key >> 24;
     g_tls.cost[j] = int64_t(cprev);
     g_tls.parent[j] = int32_t(j - kEdgeSpan[order]);
     g_tls.codeword[j] = int32_t(key & 0xffff);
-    pre = span2_min(j + 1);  // off the critical path
+  }
+  // main loop: no index clamps; the up-to-9 span>=2 candidate keys are
+  // independent loads/ALU, minned in a BALANCED tree (the sequential
+  // cmov chain was the critical path: ~2 cycles x 9 deep per position)
+  const uint32_t* h16p = ht[0];
+  const uint32_t* h8p = ht[1];
+  const uint32_t* h4p = ht[2];
+  const uint32_t* h2p = ht[3];
+  for (int64_t j = jmid + 1; j <= n; ++j) {
+    uint32_t large = gaps[j - 1] >= kSmallLimit;
+    uint64_t key = ((cprev + 2 + large) << 24) | (10ull << 16) | large;
+    uint32_t hit1 = ht1[j - 1];
+    uint64_t ck1 = hit1 != kNoHit
+                       ? (((cprev + 1) << 24) | (9ull << 16) | hit1)
+                       : ~0ull;
+    uint32_t hit16 = h16p[j - 16], hit8 = h8p[j - 8], hit4 = h4p[j - 4],
+             hit2 = h2p[j - 2];
+    uint64_t ck16 = hit16 != kNoHit ? ((uint64_t(cost[j - 16] + 1) << 24) |
+                                       (5ull << 16) | hit16)
+                                    : ~0ull;
+    uint64_t ck8 = hit8 != kNoHit ? ((uint64_t(cost[j - 8] + 1) << 24) |
+                                     (6ull << 16) | hit8)
+                                  : ~0ull;
+    uint64_t ck4 = hit4 != kNoHit ? ((uint64_t(cost[j - 4] + 1) << 24) |
+                                     (7ull << 16) | hit4)
+                                  : ~0ull;
+    uint64_t ck2 = hit2 != kNoHit ? ((uint64_t(cost[j - 2] + 1) << 24) |
+                                     (8ull << 16) | hit2)
+                                  : ~0ull;
+    uint64_t ma = ck16 < ck8 ? ck16 : ck8;
+    uint64_t mb = ck4 < ck2 ? ck4 : ck2;
+    uint64_t md = ma < mb ? ma : mb;
+    if (RUNS) {
+      uint64_t mr = ~0ull;
+      for (int t = 0; t < 5; ++t) {
+        int64_t k = kRunKs[t];
+        uint64_t ck = zrun[j - k] >= (uint32_t)k
+                          ? ((uint64_t(cost[j - k] + 1) << 24) |
+                             (uint64_t(t) << 16) | (kExceptions + t))
+                          : ~0ull;
+        mr = ck < mr ? ck : mr;
+      }
+      md = mr < md ? mr : md;
+    }
+    key = ck1 < key ? ck1 : key;
+    key = md < key ? md : key;
+    uint32_t order = uint32_t(key >> 16) & 0xff;
+    cprev = key >> 24;
+    g_tls.cost[j] = int64_t(cprev);
+    g_tls.parent[j] = int32_t(j - kEdgeSpan[order]);
+    g_tls.codeword[j] = int32_t(key & 0xffff);
   }
 }
 
@@ -1659,7 +1779,8 @@ int64_t dint_encode_units(void* enc, const uint32_t* gaps,
         }
         // zero trusted-fingerprint hits => the parse is already
         // content-exact; verify_parse would be a no-op scan
-        if (g_trusted_hits != 0 && !verify_parse(e, sc, g, n, 0)) {
+        if (g_trusted_hits != 0 &&
+            !verify_parse(e, sc, g, n, 0, /*exact_small=*/true)) {
           // hash collision (~never): redo content-verified
           lookup_pass(e, sc, 0, g, n, /*verified=*/true, /*need8=*/false);
           parse_hits(e, sc, false, g, n);
