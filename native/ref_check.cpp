@@ -12,10 +12,15 @@
 // copied into this repository.
 //
 // Usage:
-//   ref_check single <dict_file> <units_file> <out_file>
-//   ref_check multi  <dict_file> <units_file> <out_file>
+//   ref_check single  <dict_file> <units_file> <out_file>
+//   ref_check multi   <dict_file> <units_file> <out_file>
+//   ref_check dsingle <dict_file> <units_file> <enc_file>   (decode check)
+//   ref_check dmulti  <dict_file> <units_file> <enc_file>   (decode check)
 // units_file: u64 n_units, u64 offs[n_units+1], u32 gaps[offs[n_units]]
 // out_file:   u64 n_units, u64 lens[n_units], u8 bytes[...]
+// dsingle/dmulti: decode enc_file (out_file format) with the REFERENCE
+// decoder and compare int-for-int against the units; exit 1 on any
+// mismatch.
 
 #include <cstdint>
 #include <cstdio>
@@ -59,10 +64,67 @@ int main(int argc, char** argv) {
         return 0;
     }
     if (argc != 5) {
-        fprintf(stderr, "usage: ref_check single|multi dict units out\n");
+        fprintf(stderr, "usage: ref_check single|multi|dsingle|dmulti dict units out\n");
         return 2;
     }
-    bool multi = std::string(argv[1]) == "multi";
+    std::string mode = argv[1];
+    if (mode == "dsingle" || mode == "dmulti") {
+        auto units = slurp(argv[3]);
+        uint64_t n_units;
+        std::memcpy(&n_units, units.data(), 8);
+        const uint64_t* offs = (const uint64_t*)(units.data() + 8);
+        const uint32_t* gaps =
+            (const uint32_t*)(units.data() + 8 + 8 * (n_units + 1));
+        auto enc = slurp(argv[4]);
+        const uint64_t* elens = (const uint64_t*)(enc.data() + 8);
+        const uint8_t* ebytes = enc.data() + 8 + 8 * n_units;
+        std::vector<uint32_t> out;
+        uint64_t epos = 0;
+        for (uint64_t u = 0; u < n_units; ++u) {
+            uint64_t n = offs[u + 1] - offs[u];
+            out.assign(n + 256 + 16, 0);  // run copy() writes 16-word chunks
+            const uint8_t* end;
+            if (mode == "dsingle") {
+                ds2i::single_dictionary_packed_type::builder b;
+                static ds2i::single_dictionary_packed_type dict;
+                static bool built = false;
+                if (!built) {
+                    b.load_from_file(argv[2]);
+                    b.build(dict);
+                    built = true;
+                }
+                end = ds2i::single_opt_dint::decode(dict, ebytes + epos,
+                                                    out.data(), 0u, n);
+            } else {
+                static ds2i::multi_dictionary_packed_type dict;
+                static bool built = false;
+                if (!built) {
+                    ds2i::multi_dictionary_packed_type::builder b;
+                    b.load_from_file(argv[2]);
+                    b.build(dict);
+                    built = true;
+                }
+                end = ds2i::multi_opt_dint::decode(dict, ebytes + epos,
+                                                   out.data(), 0u, n);
+            }
+            if (uint64_t(end - (ebytes + epos)) != elens[u]) {
+                fprintf(stderr, "unit %llu: consumed %lld bytes, expected %llu\n",
+                        (unsigned long long)u, (long long)(end - (ebytes + epos)),
+                        (unsigned long long)elens[u]);
+                return 1;
+            }
+            if (std::memcmp(out.data(), gaps + offs[u], n * 4) != 0) {
+                fprintf(stderr, "unit %llu: decoded ints differ\n",
+                        (unsigned long long)u);
+                return 1;
+            }
+            epos += elens[u];
+        }
+        fprintf(stderr, "ref_check decode: %llu units exact\n",
+                (unsigned long long)n_units);
+        return 0;
+    }
+    bool multi = mode == "multi";
 
     auto units = slurp(argv[3]);
     uint64_t n_units;

@@ -75,7 +75,7 @@ def dicts(tmp_path_factory):
     return gap_lists, ds, str(d / "single.dict"), dm, str(d / "multi.dict")
 
 
-def _run_ref(exe, mode, dict_file, units, tmp):
+def _write_units(units, tmp):
     flat = (
         np.concatenate(units).astype("<u4")
         if units
@@ -88,6 +88,11 @@ def _run_ref(exe, mode, dict_file, units, tmp):
         np.asarray([len(units)], "<u8").tofile(f)
         offs.tofile(f)
         flat.tofile(f)
+    return ufile
+
+
+def _run_ref(exe, mode, dict_file, units, tmp):
+    ufile = _write_units(units, tmp)
     ofile = os.path.join(tmp, "ref.bin")
     subprocess.run([exe, mode, dict_file, ufile, ofile], check=True,
                    capture_output=True)
@@ -102,6 +107,19 @@ def _run_ref(exe, mode, dict_file, units, tmp):
     return out
 
 
+def _ref_decode_check(exe, mode, dict_file, units, ours, tmp):
+    """Reference decoder over OUR bytes must reproduce the units."""
+    ufile = _write_units(units, tmp)
+    efile = os.path.join(tmp, "ours.bin")
+    with open(efile, "wb") as f:
+        np.asarray([len(units)], "<u8").tofile(f)
+        np.asarray([len(b) for b in ours], "<u8").tofile(f)
+        f.write(b"".join(ours))
+    r = subprocess.run([exe, mode, dict_file, ufile, efile],
+                       capture_output=True)
+    assert r.returncode == 0, r.stderr.decode()
+
+
 def test_single_bytes_match_reference(ref_check, dicts, tmp_path):
     gap_lists, ds, sdict, _, _ = dicts
     from dint_tpu.codecs.encode_batch import OPT_CHUNK
@@ -113,6 +131,8 @@ def test_single_bytes_match_reference(ref_check, dicts, tmp_path):
     ours = native.native_encoder_for(ds).encode_units(units, 0)
     ref = _run_ref(ref_check, "single", sdict, units, str(tmp_path))
     assert ours == ref
+    _ref_decode_check(ref_check, "dsingle", sdict, units, ours,
+                      str(tmp_path))
 
 
 def test_multi_bytes_match_reference(ref_check, dicts, tmp_path):
@@ -124,3 +144,5 @@ def test_multi_bytes_match_reference(ref_check, dicts, tmp_path):
     ours = native.native_encoder_for(dm).encode_units(units, 1)
     ref = _run_ref(ref_check, "multi", mdict, units, str(tmp_path))
     assert ours == ref
+    _ref_decode_check(ref_check, "dmulti", mdict, units, ours,
+                      str(tmp_path))
