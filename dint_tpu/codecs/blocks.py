@@ -9,10 +9,12 @@ varint_G8IU) fall back to interpolative coding for partial blocks, like
 the reference (block_codecs.hpp:199-203, :283-287).
 
 Byte layouts: u32/vbyte/streamvbyte/maskedvbyte/varint_G8IU follow the
-original formats; varintgb, simple16, qmx and optpfor are
-capability-equivalent numpy designs (the originals are SSE-intrinsic
-bit twiddling; byte identity is not a goal — round-trip exactness and
-competitive sizes are).  All encoders/decoders are numpy-vectorized.
+original formats; qmx is the ORIGINAL wire format (codecs/qmx.py,
+cross-validated byte-for-byte against the reference binary); varintgb,
+simple16 and optpfor are capability-equivalent numpy designs (the
+originals are SSE-intrinsic bit twiddling; byte identity is not a goal
+— round-trip exactness and competitive sizes are).  All
+encoders/decoders are numpy-vectorized.
 """
 
 from __future__ import annotations
@@ -23,6 +25,7 @@ import numpy as np
 
 from ..config import BLOCK_SIZE
 from . import interpolative, vbyte
+from . import qmx as qmx_wire
 
 UNKNOWN = interpolative.UNKNOWN_SUM
 
@@ -516,73 +519,29 @@ def simple16_decode(buf, pos, n, sum_of_values):
 
 
 # ---------------------------------------------------------------------------
-# qmx: capability-equivalent bin packing (selector byte per 16-value
-# group: bit width; payload bit-packed little-endian).  The original is
-# ~6K lines of unrolled SSE (qmx.hpp); this keeps the format idea —
-# width-selected packed groups — in a vectorizable layout.
+# qmx: the ORIGINAL wire format (codecs/qmx.py, bit-true to qmx.hpp and
+# cross-validated against the reference binary).  Block framing mirrors
+# qmx_block (block_codecs.hpp:320-355): partial blocks divert to
+# interpolative, full blocks are TightVariableByte(len) + QMX payload.
 # ---------------------------------------------------------------------------
-
-_QMX_GROUP = 16
 
 
 def qmx_encode(values, sum_of_values) -> bytes:
-    v = _as_u32(values).astype(np.uint64)
-    out = bytearray()
-    for g in range(0, v.shape[0], _QMX_GROUP):
-        grp = v[g : g + _QMX_GROUP]
-        w = max(1, int(grp.max()).bit_length()) if grp.size else 1
-        out.append(w)
-        acc = 0
-        for j, x in enumerate(grp):
-            acc |= int(x) << (j * w)
-        nbytes = (len(grp) * w + 7) // 8
-        out += acc.to_bytes(nbytes, "little")
-    return bytes(out)
-
-
-def _qmx_decode_scalar(buf, pos, n, sum_of_values):
-    out = np.empty(n, dtype=np.uint32)
-    i = 0
-    p = pos
-    while i < n:
-        w = int(buf[p])
-        p += 1
-        take = min(_QMX_GROUP, n - i)
-        nbytes = (take * w + 7) // 8
-        acc = int.from_bytes(bytes(buf[p : p + nbytes]), "little")
-        p += nbytes
-        mask = (1 << w) - 1
-        for j in range(take):
-            out[i] = (acc >> (j * w)) & mask
-            i += 1
-    return out, p
+    v = _as_u32(values)
+    if v.shape[0] < BLOCK_SIZE:
+        return interpolative_encode(v, sum_of_values)
+    payload = qmx_wire.encode(v)
+    return vbyte.encode_single(len(payload)) + payload
 
 
 def qmx_decode(buf, pos, n, sum_of_values):
-    """Vectorized: group headers found by the chain walk (advance is a
-    pure function of the width byte), then per-width batched bit
-    unpack (_bitunpack) — the role the original's 16-entry jump tables
-    of unrolled SSE loops play (qmx_codec.hpp decode)."""
-    if n == 0:
-        return np.zeros(0, np.uint32), pos
-    if n <= 32:
-        return _qmx_decode_scalar(buf, pos, n, sum_of_values)
-    G = -(-n // _QMX_GROUP)
-    data = _u8view(buf, pos, 65 * G)
-    body = data[: max(data.shape[0] - _U8_PAD + 1, 1)].astype(np.int64)
-    adv = 1 + ((_QMX_GROUP * body + 7) >> 3)
-    gpos = _chain_positions(adv, G)
-    w_g = data[gpos].astype(np.int64)
-    out = np.zeros(G * _QMX_GROUP, np.uint64)
-    j16 = np.arange(_QMX_GROUP, dtype=np.int64)
-    for w in np.unique(w_g):
-        rows = np.flatnonzero(w_g == w)
-        offs = ((gpos[rows] + 1) * 8)[:, None] + j16 * int(w)
-        fields = _bitunpack(data, offs.reshape(-1), int(w))
-        out[(rows[:, None] * _QMX_GROUP + j16).reshape(-1)] = fields
-    take_last = n - _QMX_GROUP * (G - 1)
-    end = int(gpos[-1]) + 1 + (take_last * int(w_g[-1]) + 7) // 8
-    return out[:n].astype(np.uint32), pos + end
+    if n < BLOCK_SIZE:
+        return interpolative_decode(buf, pos, n, sum_of_values)
+    ln, pos = vbyte.decode_single(buf, pos)
+    vals = qmx_wire.decode_payload(
+        np.asarray(buf[pos : pos + ln], dtype=np.uint8), n
+    )
+    return vals, pos + ln
 
 
 # ---------------------------------------------------------------------------

@@ -26,6 +26,19 @@ FIXED_BLOCK = ("optpfor", "varintg8iu", "interpolative")  # 256-chunked
 
 def encode_list_zoo(codec: str, gaps: np.ndarray) -> Tuple[bytes, List[int]]:
     """(payload, chunk byte lengths) for one gap list."""
+    if codec == "qmx":
+        # whole-list QMX, exactly the reference's vroom wrapper
+        # (codecs.hpp:333-347): n == 1 is a bare vbyte, else
+        # TightVariableByte(len) + one QMX payload for the full list.
+        from ..codecs import qmx as qmx_wire
+        from ..codecs import vbyte
+
+        if gaps.shape[0] == 1:
+            part = vbyte.encode_single(int(gaps[0]))
+        else:
+            payload = qmx_wire.encode(gaps)
+            part = vbyte.encode_single(len(payload)) + payload
+        return part, [len(part)]
     enc = blocks_mod.CODECS[codec][0]
     chunk = BLOCK_SIZE if codec in FIXED_BLOCK else OPT_CHUNK
     parts = []
@@ -36,6 +49,17 @@ def encode_list_zoo(codec: str, gaps: np.ndarray) -> Tuple[bytes, List[int]]:
 
 
 def decode_list_zoo(codec: str, arena, start: int, n: int) -> np.ndarray:
+    if codec == "qmx":
+        from ..codecs import qmx as qmx_wire
+        from ..codecs import vbyte
+
+        if n == 1:
+            val, _ = vbyte.decode_single(arena, start)
+            return np.asarray([val], np.uint32)
+        ln, pos = vbyte.decode_single(arena, start)
+        return qmx_wire.decode_payload(
+            np.asarray(arena[pos : pos + ln], dtype=np.uint8), n
+        )
     dec = blocks_mod.CODECS[codec][1]
     chunk = BLOCK_SIZE if codec in FIXED_BLOCK else OPT_CHUNK
     out = np.empty(n, dtype=np.uint32)

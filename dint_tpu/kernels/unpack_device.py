@@ -129,55 +129,147 @@ def plan_optpfor(arena: np.ndarray, meta) -> UnpackPlan:
 
 
 def plan_qmx(arena: np.ndarray, meta) -> UnpackPlan:
-    """Walk a qmx vroom stream (16-value width-tagged groups).
+    """Walk a qmx vroom stream (the ORIGINAL wire format, codecs/qmx.py:
+    per list vbyte(len) + payload with reversed selector bytes at the
+    end) into per-width instance classes.
 
-    Groups of one width PACK 16-per-row (256 values, 32w bytes — the
-    optpfor row geometry), so every class runs the efficient 256-lane
-    phase-grouped unpack instead of 16-value slivers; per-GROUP output
-    bases ride in ``group_base`` for reassembly."""
+    Every full instance of a striped width becomes one class row: its
+    payload is 4 (or 8) u32 lane words and the device decode is a pure
+    static shift/mask per (width, row) — no gathers, no bit walking.
+    Byte/short/word widths (8/16/32) are fixed 16-byte rows; width 0
+    emits runs of ONES generated on device.  Only a list's clamped
+    final byte-form instance and n==1 bare-vbyte lists decode on the
+    host (partials)."""
+    from ..codecs import qmx as qmx_wire
+
     per: Dict[int, list] = {}
     partials: List[Tuple[int, np.ndarray]] = []
     out_off = 0
     for i in range(meta.num_lists):
         n = int(meta.n[i])
         pos = int(meta.payload_off[i])
-        for p in range(0, max(n, 1), QMX_GROUP):
-            take = min(QMX_GROUP, n - p)
-            if take <= 0:
-                break
-            w = int(arena[pos])
-            nbytes = (take * w + 7) // 8
-            if take < QMX_GROUP:
-                vals, _ = blocks_mod._qmx_decode_scalar(
-                    arena, pos, take, blocks_mod.UNKNOWN
-                )
-                partials.append((out_off, vals))
-            else:
-                per.setdefault(w, []).append(
-                    (arena[pos + 1 : pos + 1 + nbytes], out_off)
-                )
-            pos += 1 + nbytes
-            out_off += take
-    GPR = BLOCK_SIZE // QMX_GROUP  # groups per packed row
+        if n == 1:
+            val, _ = vbyte.decode_single(arena, pos)
+            partials.append((out_off, np.asarray([val], np.uint32)))
+            out_off += 1
+            continue
+        ln, pos = vbyte.decode_single(arena, pos)
+        payload = np.asarray(arena[pos : pos + ln], dtype=np.uint8)
+        # selector bytes sit reversed at the payload end; walk them
+        # backwards, carving instances off the forward payload
+        p = 0
+        k = ln - 1
+        emitted = 0
+        while p <= k and emitted < n:
+            key = int(payload[k])
+            k -= 1
+            tpe = key >> 4
+            low = key & 0x0F
+            batch = 16 - low if low else 16
+            w = qmx_wire._TYPE_TO_WIDTH[tpe]
+            ints = qmx_wire._INTS[w]
+            for _ in range(batch):
+                take = min(ints, n - emitted)
+                if take <= 0:
+                    break
+                if w == 0:
+                    per.setdefault(0, []).append((None, out_off + emitted,
+                                                  take))
+                elif w in (8, 16, 32):
+                    nb = w // 8
+                    if take < ints:  # clamped final instance: host
+                        vals = np.frombuffer(
+                            payload[p : p + take * nb].tobytes(),
+                            dtype={8: "<u1", 16: "<u2", 32: "<u4"}[w],
+                        ).astype(np.uint32)
+                        partials.append((out_off + emitted, vals))
+                    else:
+                        per.setdefault(w, []).append(
+                            (payload[p : p + 16], out_off + emitted, take)
+                        )
+                    p += take * nb
+                else:
+                    nb = 32 if w in qmx_wire._DOUBLE else 16
+                    per.setdefault(w, []).append(
+                        (payload[p : p + nb], out_off + emitted, take)
+                    )
+                    p += nb
+                emitted += take
+        out_off += n
     classes = []
     for w, items in sorted(per.items()):
-        G = len(items)
-        rows = -(-G // GPR)
-        pay = np.zeros((rows * GPR, 2 * w), np.uint8)
-        for g, (b, _) in enumerate(items):
-            pay[g] = b
-        gbase = np.full(rows * GPR, -1, np.int64)
-        gbase[:G] = [x[1] for x in items]
+        if w == 0:
+            pay = np.zeros((len(items), 0), np.uint8)
+        else:
+            pay = np.stack([x[0] for x in items])
         c = WidthClass(
             w,
-            pay.reshape(rows, GPR * 2 * w),
-            gbase[0::GPR].copy(),  # row-level base (first group's)
-            np.full(rows, BLOCK_SIZE, np.int64),
+            pay,
+            np.asarray([x[1] for x in items], np.int64),
+            np.asarray([x[2] for x in items], np.int64),
         )
-        c.group_base = gbase  # per-group output offsets (-1 = pad)
+        c.qmx = True
         classes.append(c)
     total = int(np.asarray(meta.n, np.int64).sum())
     return UnpackPlan("qmx", BLOCK_SIZE, classes, partials, total)
+
+
+def _qmx_fns(w: int, n_rows_hint: int = 0):
+    """Device decode for one QMX width class: (N, lanes) u32 words ->
+    (N, ints) u32 via the format's static per-row lane shifts
+    (codecs/qmx.py _ROW_SHIFTS); width 0 generates ones, widths
+    8/16/32 re-split their 4 u32 words into bytes/shorts/words."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..codecs import qmx as qmx_wire
+
+    ints = qmx_wire._INTS[w] if w else 256
+
+    def unpack(words, exc_dense, salt):
+        del exc_dense
+        N = words.shape[0]
+        if w == 0:
+            return jnp.ones((N, 256), jnp.uint32) + salt
+        if w in (8, 16, 32):
+            nb = w // 8
+            cols = []
+            for j in range(ints):
+                word = words[:, (j * nb) // 4]
+                sh = (j * nb) % 4 * 8
+                cols.append((word >> jnp.uint32(sh))
+                            & jnp.uint32((1 << w) - 1 if w < 32 else
+                                         0xFFFFFFFF))
+            return jnp.stack(cols, axis=1) + salt
+        mask = jnp.uint32((1 << w) - 1)
+        cols = []
+        for j in range(ints):
+            lane = j & 3
+            sh = qmx_wire._ROW_SHIFTS[w][j // 4]
+            if sh + w <= 32:
+                v = (words[:, lane] >> jnp.uint32(sh)) & mask
+            elif sh < 32:
+                v = ((words[:, lane] >> jnp.uint32(sh))
+                     | (words[:, lane + 4] << jnp.uint32(32 - sh))) & mask
+            else:
+                v = (words[:, lane + 4] >> jnp.uint32(sh - 32)) & mask
+            cols.append(v)
+        return jnp.stack(cols, axis=1) + salt
+
+    decode = jax.jit(unpack)
+
+    @functools.partial(jax.jit, static_argnames=("runs",))
+    def chain(payload, exc_dense, *, runs: int):
+        def body(salt, _):
+            out = unpack(payload, exc_dense, salt)
+            s = out.sum(dtype=jnp.uint32)
+            cnt = jnp.uint32(out.size)
+            return s - salt * cnt, None
+
+        final, _ = jax.lax.scan(body, jnp.uint32(1), None, length=runs)
+        return final
+
+    return decode, chain, unpack
 
 
 def plan_simple16(arena: np.ndarray, meta) -> "Simple16Plan":
@@ -681,7 +773,16 @@ class UnpackEngine:
         self.plan = plan
         self._dev = []
         self._b0_out = {}  # class idx -> host output (zeros + exceptions)
+        qmx = plan.codec == "qmx"
         for ci, c in enumerate(plan.classes):
+            if c.b == 0 and qmx:
+                # width-0 QMX instances decode to ones ON DEVICE (the
+                # unpack fn generates them); no payload words needed
+                self._dev.append(
+                    (jnp.zeros((c.payload.shape[0], 1), jnp.uint32),
+                     jnp.zeros((0, 1), jnp.uint32), False)
+                )
+                continue
             if c.b == 0:
                 out = np.zeros(
                     (c.payload.shape[0], plan.values_per_block), np.uint32
@@ -711,12 +812,14 @@ class UnpackEngine:
         import jax.numpy as jnp
 
         outs = []
+        qmx = self.plan.codec == "qmx"
         for ci, (c, dev) in enumerate(zip(self.plan.classes, self._dev)):
             if dev is None:  # b == 0: zeros + exception highs (hosted)
                 outs.append(self._b0_out[ci])
                 continue
             pay, exc, has_exc = dev
-            decode = _fns(c.b, self.plan.values_per_block, has_exc)[0]
+            decode = (_qmx_fns(c.b) if qmx
+                      else _fns(c.b, self.plan.values_per_block, has_exc))[0]
             outs.append(
                 np.asarray(decode(pay, exc, jnp.uint32(salt)))
                 - np.uint32(salt)
@@ -752,13 +855,16 @@ class UnpackEngine:
             )
         )
 
+        qmx = self.plan.codec == "qmx"
+
         @functools.partial(jax.jit, static_argnames=("runs",))
         def chain_all(args, pvals, *, runs: int):
             def body(salt, _):
                 s = jnp.uint32(0)
                 cnt = 0
                 for (b, has_exc), (pay, exc) in zip(specs_t, args):
-                    unpack = _fns(b, vpb, has_exc)[2]
+                    unpack = (_qmx_fns(b) if qmx
+                              else _fns(b, vpb, has_exc))[2]
                     out = unpack(pay, exc, salt)
                     s = s + out.sum(dtype=jnp.uint32)
                     cnt += out.size
@@ -780,14 +886,6 @@ class UnpackEngine:
         reorder; used by --check)."""
         out = np.zeros(self.plan.total_ints, np.uint32)
         for c, vals in zip(self.plan.classes, self.decode_classes()):
-            gb = getattr(c, "group_base", None)
-            if gb is not None:  # qmx: 16-value groups packed 16-per-row
-                v16 = np.asarray(vals).reshape(-1, QMX_GROUP)
-                for gi in range(gb.shape[0]):
-                    o = int(gb[gi])
-                    if o >= 0:
-                        out[o : o + QMX_GROUP] = v16[gi]
-                continue
             for r in range(c.out_base.shape[0]):
                 o = int(c.out_base[r])
                 k = int(c.size[r])

@@ -31,6 +31,7 @@
 #include "succinct/util.hpp"  // ref_harness shim: ceil_div
 
 #include "dictionary_types.hpp"
+#include "ds2i/qmx.hpp"
 #include "vroom_env/dint_codecs.hpp"
 
 static std::vector<uint8_t> slurp(const char* path) {
@@ -49,6 +50,73 @@ static std::vector<uint8_t> slurp(const char* path) {
 }
 
 int main(int argc, char** argv) {
+    if (argc == 4 && std::string(argv[1]) == "qmx") {
+        // encode every unit with the reference QMX codec; also decode
+        // the reference's own bytes back and verify round-trip.
+        size_t o_unused;
+        (void)o_unused;
+        auto units = slurp(argv[2]);
+        uint64_t n_units;
+        std::memcpy(&n_units, units.data(), 8);
+        const uint64_t* offs = (const uint64_t*)(units.data() + 8);
+        const uint32_t* gaps =
+            (const uint32_t*)(units.data() + 8 + 8 * (n_units + 1));
+        std::vector<uint64_t> lens(n_units);
+        std::vector<uint8_t> bytes;
+        for (uint64_t u = 0; u < n_units; ++u) {
+            uint64_t n = offs[u + 1] - offs[u];
+            std::vector<uint8_t> buf(512 * 4 + 2 * 4 * n + 64);
+            QMX::codec qc(n);
+            size_t sz = qc.encode(buf.data(), gaps + offs[u]);
+            lens[u] = sz;
+            bytes.insert(bytes.end(), buf.data(), buf.data() + sz);
+            std::vector<uint32_t> dec(n + 16 * 256 + 64, 0);
+            QMX::codec qd(n);
+            qd.decode(dec.data(), buf.data(), sz);
+            if (std::memcmp(dec.data(), gaps + offs[u], n * 4) != 0) {
+                fprintf(stderr, "qmx ref roundtrip failed at unit %llu\n",
+                        (unsigned long long)u);
+                return 1;
+            }
+        }
+        FILE* f = fopen(argv[3], "wb");
+        fwrite(&n_units, 8, 1, f);
+        fwrite(lens.data(), 8, n_units, f);
+        fwrite(bytes.data(), 1, bytes.size(), f);
+        fclose(f);
+        fprintf(stderr, "ref_check qmx: %llu units, %zu bytes\n",
+                (unsigned long long)n_units, bytes.size());
+        return 0;
+    }
+    if (argc == 4 && std::string(argv[1]) == "qmxdec") {
+        // decode OUR qmx bytes with the reference decoder and verify
+        // against the units (argv[2] = units, argv[3] = enc file)
+        auto units = slurp(argv[2]);
+        uint64_t n_units;
+        std::memcpy(&n_units, units.data(), 8);
+        const uint64_t* offs = (const uint64_t*)(units.data() + 8);
+        const uint32_t* gaps =
+            (const uint32_t*)(units.data() + 8 + 8 * (n_units + 1));
+        auto enc = slurp(argv[3]);
+        const uint64_t* elens = (const uint64_t*)(enc.data() + 8);
+        const uint8_t* ebytes = enc.data() + 8 + 8 * n_units;
+        uint64_t epos = 0;
+        for (uint64_t u = 0; u < n_units; ++u) {
+            uint64_t n = offs[u + 1] - offs[u];
+            std::vector<uint32_t> dec(n + 16 * 256 + 64, 0);
+            QMX::codec qd(n);
+            qd.decode(dec.data(), ebytes + epos, elens[u]);
+            if (std::memcmp(dec.data(), gaps + offs[u], n * 4) != 0) {
+                fprintf(stderr, "qmxdec mismatch at unit %llu\n",
+                        (unsigned long long)u);
+                return 1;
+            }
+            epos += elens[u];
+        }
+        fprintf(stderr, "ref_check qmxdec: %llu units exact\n",
+                (unsigned long long)n_units);
+        return 0;
+    }
     if (argc >= 3 && std::string(argv[1]) == "probe") {
         // debug: lookup one window (remaining argv = u32 gaps) in every
         // context/width of a multi dict

@@ -236,7 +236,8 @@ def test_vectorized_decoders_match_scalar_oracles():
         (B.maskedvbyte_encode, B.maskedvbyte_decode, B._maskedvbyte_decode_scalar),
         (B.varintgb_encode, B.varintgb_decode, B._varintgb_decode_scalar),
         (B.simple16_encode, B.simple16_decode, B._simple16_decode_scalar),
-        (B.qmx_encode, B.qmx_decode, B._qmx_decode_scalar),
+        # qmx has no scalar oracle here: its oracle is the REFERENCE
+        # BINARY itself (tests/test_ref_parity.py cross-validation)
         (B.varint_g8iu_encode, B.varint_g8iu_decode, B._varint_g8iu_decode_scalar),
     ]
     for mag in (3, 8, 15, 24, 27):

@@ -41,7 +41,7 @@ def ref_check(tmp_path_factory):
     exe = str(tmp_path_factory.mktemp("refbin") / "ref_check")
     subprocess.run(
         [
-            "g++", "-O2", "-std=c++17",
+            "g++", "-O2", "-std=c++17", "-msse4.1",
             f"-I{REF}/include", f"-I{REF}/include/dint", f"-I{REF}",
             f"-I{REPO}/native/ref_harness",
             f"{REPO}/native/ref_check.cpp", "-o", exe,
@@ -133,6 +133,46 @@ def test_single_bytes_match_reference(ref_check, dicts, tmp_path):
     assert ours == ref
     _ref_decode_check(ref_check, "dsingle", sdict, units, ours,
                       str(tmp_path))
+
+
+def test_qmx_bytes_match_reference(ref_check, tmp_path):
+    """Our QMX (codecs/qmx.py) is the ORIGINAL wire format: encode
+    bytes equal the reference codec's, our decode inverts the
+    reference's bytes, and the reference decoder accepts ours."""
+    from dint_tpu.codecs import qmx as qmx_wire
+
+    rng = np.random.default_rng(17)
+    units = []
+    for n in (1, 3, 5, 8, 9, 16, 17, 63, 255, 256, 1000):
+        units.append(rng.integers(0, 4, n).astype("<u4"))
+        units.append(np.ones(n, "<u4"))
+        units.append(rng.integers(0, 1 << 20, n).astype("<u4"))
+        units.append(rng.integers(0, 1 << 31, n).astype("<u4"))
+    ufile = _write_units(units, str(tmp_path))
+    rfile = os.path.join(str(tmp_path), "qref.bin")
+    subprocess.run([ref_check, "qmx", ufile, rfile], check=True,
+                   capture_output=True)
+    raw = open(rfile, "rb").read()
+    nu = int(np.frombuffer(raw[:8], "<u8")[0])
+    lens = np.frombuffer(raw[8 : 8 + 8 * nu], "<u8")
+    blob = raw[8 + 8 * nu :]
+    p = 0
+    ours = []
+    for i, u in enumerate(units):
+        ref = blob[p : p + int(lens[i])]
+        p += int(lens[i])
+        mine = qmx_wire.encode(u)
+        assert mine == ref, f"unit {i} n={len(u)}"
+        np.testing.assert_array_equal(qmx_wire.decode_payload(ref, len(u)), u)
+        ours.append(mine)
+    efile = os.path.join(str(tmp_path), "qours.bin")
+    with open(efile, "wb") as f:
+        np.asarray([len(units)], "<u8").tofile(f)
+        np.asarray([len(b) for b in ours], "<u8").tofile(f)
+        f.write(b"".join(ours))
+    r = subprocess.run([ref_check, "qmxdec", ufile, efile],
+                       capture_output=True)
+    assert r.returncode == 0, r.stderr.decode()
 
 
 def test_multi_bytes_match_reference(ref_check, dicts, tmp_path):
