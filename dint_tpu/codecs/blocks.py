@@ -8,13 +8,15 @@ blocks, UNKNOWN for freq blocks.  Fixed-block codecs (optpfor,
 varint_G8IU) fall back to interpolative coding for partial blocks, like
 the reference (block_codecs.hpp:199-203, :283-287).
 
-Byte layouts: u32/vbyte/streamvbyte/maskedvbyte/varint_G8IU follow the
-original formats; qmx is the ORIGINAL wire format (codecs/qmx.py,
-cross-validated byte-for-byte against the reference binary); varintgb,
-simple16 and optpfor are capability-equivalent numpy designs (the
-originals are SSE-intrinsic bit twiddling; byte identity is not a goal
-— round-trip exactness and competitive sizes are).  All
-encoders/decoders are numpy-vectorized.
+Byte layouts: qmx (codecs/qmx.py), varintgb and varint_G8IU are
+BYTE-IDENTICAL to the reference implementations, cross-validated
+against binaries compiled from the read-only reference checkout
+(tests/test_ref_parity.py); u32/vbyte/streamvbyte/maskedvbyte follow
+the published formats; simple16 and optpfor are capability-equivalent
+numpy designs (their originals live in the FastPFor submodule, which
+is not available to validate against — round-trip exactness and
+competitive sizes are the contract there).  All encoders/decoders are
+numpy-vectorized.
 """
 
 from __future__ import annotations
@@ -333,8 +335,11 @@ def varintgb_decode(buf, pos, n, sum_of_values):
 
 
 # ---------------------------------------------------------------------------
-# varint_G8IU: 8 data bytes + descriptor byte per group
-# (bit i of the descriptor set iff data byte i ends a value)
+# varint_G8IU: descriptor byte + 8 data bytes per group.  Bit i of the
+# descriptor is CLEARED iff data byte i ends a value (VarIntG8IU.h
+# encodeBlock starts from 0xFF and XORs at end positions); unused tail
+# bytes stay zero with their bits set.  Byte-identical to the reference
+# class (cross-validated in tests/test_ref_parity.py).
 # ---------------------------------------------------------------------------
 
 
@@ -354,7 +359,7 @@ def _varint_g8iu_encode_full(values) -> bytes:
             desc |= 1 << (len(data) - 1)
             i += 1
         data += b"\x00" * (8 - len(data))
-        out.append(desc)
+        out.append(desc ^ 0xFF)
         out += data
     return bytes(out)
 
@@ -373,7 +378,7 @@ def _varint_g8iu_decode_scalar(buf, pos, n, sum_of_values):
     i = 0
     p = pos
     while i < n:
-        desc = int(buf[p])
+        desc = int(buf[p]) ^ 0xFF  # cleared bit = value end
         data = bytes(buf[p + 1 : p + 9])
         p += 9
         start = 0
@@ -401,7 +406,7 @@ def varint_g8iu_decode(buf, pos, n, sum_of_values):
         return interpolative.decode_block(buf, pos, n, sum_of_values)
     data = _u8view(buf, pos, 9 * n)
     avail = max((data.shape[0] - _U8_PAD) // 9, 1)
-    descs = data[0 : 9 * avail : 9]
+    descs = data[0 : 9 * avail : 9] ^ np.uint8(0xFF)  # cleared bit = end
     cnt = _POPCNT8[descs]
     cum = np.cumsum(cnt)
     G = int(np.searchsorted(cum, n, side="left")) + 1

@@ -566,7 +566,7 @@ def plan_byteclass(codec: str, arena: np.ndarray, meta) -> ByteClassPlan:
                     continue
                 got = 0
                 while got < c:
-                    desc = int(flat[p])
+                    desc = int(flat[p]) ^ 0xFF  # cleared bit = value end
                     bits = [(desc >> b) & 1 for b in range(8)]
                     start = 0
                     for b in range(8):

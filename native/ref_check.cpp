@@ -31,7 +31,11 @@
 #include "succinct/util.hpp"  // ref_harness shim: ceil_div
 
 #include "dictionary_types.hpp"
+#include <pmmintrin.h>
+#include <tmmintrin.h>
+#include "ds2i/VarIntG8IU.h"
 #include "ds2i/qmx.hpp"
+#include "ds2i/varintgb.h"
 #include "vroom_env/dint_codecs.hpp"
 
 static std::vector<uint8_t> slurp(const char* path) {
@@ -115,6 +119,58 @@ int main(int argc, char** argv) {
         }
         fprintf(stderr, "ref_check qmxdec: %llu units exact\n",
                 (unsigned long long)n_units);
+        return 0;
+    }
+    if (argc == 4 && (std::string(argv[1]) == "vgb" ||
+                      std::string(argv[1]) == "g8iu")) {
+        // encode every unit with the reference's VarIntGB<false> /
+        // VarIntG8IU (the classes behind varintgb_block and
+        // varint_G8IU_block) and emit the bytes for diffing; also
+        // round-trip through the reference decoder.
+        bool gb = std::string(argv[1]) == "vgb";
+        auto units = slurp(argv[2]);
+        uint64_t n_units;
+        std::memcpy(&n_units, units.data(), 8);
+        const uint64_t* offs = (const uint64_t*)(units.data() + 8);
+        const uint32_t* gaps =
+            (const uint32_t*)(units.data() + 8 + 8 * (n_units + 1));
+        std::vector<uint64_t> lens(n_units);
+        std::vector<uint8_t> bytes;
+        ds2i::VarIntGB<false> vgb;
+        ds2i::VarIntG8IU g8;
+        for (uint64_t u = 0; u < n_units; ++u) {
+            size_t n = offs[u + 1] - offs[u];
+            std::vector<uint8_t> buf(16 * n + 1024);
+            size_t sz;
+            if (gb) {
+                sz = vgb.encodeArray(gaps + offs[u], n, buf.data());
+                std::vector<uint32_t> dec(n + 64, 0);
+                vgb.decodeArray(buf.data(), n, dec.data());
+                if (std::memcmp(dec.data(), gaps + offs[u], n * 4) != 0) {
+                    fprintf(stderr, "vgb ref roundtrip failed unit %llu\n",
+                            (unsigned long long)u);
+                    return 1;
+                }
+            } else {
+                // the encodeBlock loop of varint_G8IU_block::encode
+                const uint32_t* src = gaps + offs[u];
+                size_t srclen = n * 4;
+                unsigned char* dst = buf.data();
+                size_t dstlen = buf.size();
+                sz = 0;
+                while (srclen > 0 && dstlen >= 9)
+                    sz += g8.encodeBlock(src, srclen, dst, dstlen);
+            }
+            lens[u] = sz;
+            bytes.insert(bytes.end(), buf.data(), buf.data() + sz);
+        }
+        FILE* f = fopen(argv[3], "wb");
+        fwrite(&n_units, 8, 1, f);
+        fwrite(lens.data(), 8, n_units, f);
+        fwrite(bytes.data(), 1, bytes.size(), f);
+        fclose(f);
+        fprintf(stderr, "ref_check %s: %llu units, %zu bytes\n", argv[1],
+                (unsigned long long)n_units, bytes.size());
         return 0;
     }
     if (argc >= 3 && std::string(argv[1]) == "probe") {

@@ -175,6 +175,35 @@ def test_qmx_bytes_match_reference(ref_check, tmp_path):
     assert r.returncode == 0, r.stderr.decode()
 
 
+def test_varintgb_and_g8iu_bytes_match_reference(ref_check, tmp_path):
+    """varintgb and varint_G8IU encodings equal the reference classes
+    (ds2i::VarIntGB<false>.encodeArray; varint_G8IU_block's
+    encodeBlock loop over a zeroed buffer) byte-for-byte."""
+    from dint_tpu.codecs import blocks as B
+
+    rng = np.random.default_rng(5)
+    units = []
+    for n in (256, 512, 1000, 4096):
+        for mag in (3, 8, 15, 24, 31):
+            units.append(rng.integers(0, 1 << mag, n).astype("<u4"))
+    units.append(np.zeros(256, "<u4"))
+    ufile = _write_units(units, str(tmp_path))
+    for mode, enc in (("vgb", lambda u: B.varintgb_encode(u, B.UNKNOWN)),
+                      ("g8iu", B._varint_g8iu_encode_full)):
+        rfile = os.path.join(str(tmp_path), f"{mode}.bin")
+        subprocess.run([ref_check, mode, ufile, rfile], check=True,
+                       capture_output=True)
+        raw = open(rfile, "rb").read()
+        nu = int(np.frombuffer(raw[:8], "<u8")[0])
+        lens = np.frombuffer(raw[8 : 8 + 8 * nu], "<u8")
+        blob = raw[8 + 8 * nu :]
+        p = 0
+        for i, u in enumerate(units):
+            ref = blob[p : p + int(lens[i])]
+            p += int(lens[i])
+            assert enc(u) == ref, f"{mode} unit {i} n={len(u)}"
+
+
 def test_multi_bytes_match_reference(ref_check, dicts, tmp_path):
     gap_lists, _, _, dm, mdict = dicts
     units = []
