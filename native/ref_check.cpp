@@ -34,6 +34,7 @@
 #include <pmmintrin.h>
 #include <tmmintrin.h>
 #include "ds2i/VarIntG8IU.h"
+#include "ds2i/interpolative_coding.hpp"
 #include "ds2i/qmx.hpp"
 #include "ds2i/varintgb.h"
 #include "vroom_env/dint_codecs.hpp"
@@ -171,6 +172,38 @@ int main(int argc, char** argv) {
         fclose(f);
         fprintf(stderr, "ref_check %s: %llu units, %zu bytes\n", argv[1],
                 (unsigned long long)n_units, bytes.size());
+        return 0;
+    }
+    if (argc == 4 && std::string(argv[1]) == "interp") {
+        // write each unit (a nondecreasing sequence; last arg of the
+        // unit is the `high` bound) with the reference's recursive
+        // interpolative coder and emit the BIT size per unit
+        auto units = slurp(argv[2]);
+        uint64_t n_units;
+        std::memcpy(&n_units, units.data(), 8);
+        const uint64_t* offs = (const uint64_t*)(units.data() + 8);
+        const uint32_t* gaps =
+            (const uint32_t*)(units.data() + 8 + 8 * (n_units + 1));
+        std::vector<uint64_t> bits(n_units);
+        for (uint64_t u = 0; u < n_units; ++u) {
+            size_t n = offs[u + 1] - offs[u];
+            if (n < 2) {
+                bits[u] = 0;
+                continue;
+            }
+            std::vector<uint32_t> buf;
+            ds2i::bit_writer bw(buf);
+            // values[0..n-2] coded within [0, values[n-1]]
+            bw.write_interpolative(gaps + offs[u], n - 1, 0,
+                                   gaps[offs[u] + n - 1]);
+            bits[u] = bw.size();
+        }
+        FILE* f = fopen(argv[3], "wb");
+        fwrite(&n_units, 8, 1, f);
+        fwrite(bits.data(), 8, n_units, f);
+        fclose(f);
+        fprintf(stderr, "ref_check interp: %llu units\n",
+                (unsigned long long)n_units);
         return 0;
     }
     if (argc >= 3 && std::string(argv[1]) == "probe") {

@@ -204,6 +204,29 @@ def test_varintgb_and_g8iu_bytes_match_reference(ref_check, tmp_path):
             assert enc(u) == ref, f"{mode} unit {i} n={len(u)}"
 
 
+def test_interpolative_bit_sizes_match_reference(ref_check, tmp_path):
+    """Our interpolative coder deliberately reorders bits for batched
+    decode (level order), but every code is the same minimal binary
+    code — so the exact BIT COUNT must equal the reference's recursive
+    coder on every sequence."""
+    from dint_tpu.codecs import interpolative as interp
+
+    rng = np.random.default_rng(13)
+    units = []
+    for n in (2, 3, 5, 17, 100, 256):
+        for _ in range(6):
+            u = int(rng.integers(n, n * 50))
+            vals = np.sort(rng.choice(u, n - 1, replace=False)).astype("<u4")
+            units.append(np.concatenate([vals, [u]]).astype("<u4"))
+    ufile = _write_units(units, str(tmp_path))
+    rfile = os.path.join(str(tmp_path), "ibits.bin")
+    subprocess.run([ref_check, "interp", ufile, rfile], check=True,
+                   capture_output=True)
+    bits = np.frombuffer(open(rfile, "rb").read()[8:], "<u8")
+    for i, v in enumerate(units):
+        assert interp.encoded_bits(v[:-1], 0, int(v[-1])) == int(bits[i]), i
+
+
 def test_multi_bytes_match_reference(ref_check, dicts, tmp_path):
     gap_lists, _, _, dm, mdict = dicts
     units = []
