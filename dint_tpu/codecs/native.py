@@ -108,17 +108,44 @@ class NativeEncoder:
         """mode 0 = single opt b16; 1 = multi exhaustive with selector byte."""
         if not units:
             return []
-        flat = np.ascontiguousarray(
-            np.concatenate([np.asarray(u, dtype=np.uint32) for u in units])
-        )
         offs = np.zeros(len(units) + 1, dtype=np.int64)
         np.cumsum([len(u) for u in units], out=offs[1:])
+        # Builders pass consecutive views of ONE contiguous gap array
+        # (index/dint_index.py chops dgap/fgap in order): detect that
+        # and skip the concatenate — re-copying the whole stream costs
+        # more than small-unit bookkeeping on this host.
+        flat = None
+        first = np.asarray(units[0])
+        if (
+            first.dtype == np.uint32
+            and first.flags.c_contiguous
+            and first.base is not None
+        ):
+            start = first.ctypes.data
+            expect = start
+            for u in units:
+                a = np.asarray(u)
+                if (
+                    a.dtype != np.uint32
+                    or not a.flags.c_contiguous
+                    or a.ctypes.data != expect
+                ):
+                    break
+                expect += a.nbytes
+            else:
+                flat = first  # keep a ref; pass `start` directly
+        if flat is None:
+            flat = np.ascontiguousarray(
+                np.concatenate(
+                    [np.asarray(u, dtype=np.uint32) for u in units]
+                )
+            )
         out_lens = np.zeros(len(units), dtype=np.int64)
         # Modest capacity (real DINT output is ~0.3-0.5 B/int; worst
         # case 6 B/int falls back to the exact-size retry below).
         # Oversizing is not free on this host: fresh footprint pays
         # ~20 MB/s cold faults (see dint_tpu/__init__).
-        cap = int(flat.shape[0] * 2 + len(units) * 8 + 64)
+        cap = int(int(offs[-1]) * 2 + len(units) * 8 + 64)
         out = np.empty(cap, dtype=np.uint8)
         n = self._lib.dint_encode_units(
             self._h, flat.ctypes.data, offs.ctypes.data, len(units), mode,
