@@ -82,6 +82,18 @@ def _quantize_and_promote(w: np.ndarray, n: int) -> np.ndarray:
     Returns the per-position widths after 4-group quantization, the
     short-tail byte-form rules, and the greedy instance promotion —
     every position's final width, so runs can be RLE'd directly.
+
+    Vectorized form of the reference's sequential promote loop.  Key
+    observation: a claim's mutations (promoting its head group,
+    raising its smaller groups to the claim width) are confined to the
+    claim's own consumed region, so every LATER claim decision sees
+    the ORIGINAL quantized group maxima — which makes the claim width
+    at any group position a pure function of sliding-window maxima:
+    the smallest ladder width s whose whole instance window
+    (ints(s)//4 groups) fits in s bits.  The data-dependent part
+    reduces to the claim WALK (position hops), a cheap scalar loop.
+    The short tails (< 16 values remaining) keep the reference's
+    scalar rules verbatim.
     """
     # pad with zero-widths (the reference's WASTAGE region)
     ln = np.zeros(n + 512, dtype=np.uint8)
@@ -91,7 +103,46 @@ def _quantize_and_promote(w: np.ndarray, n: int) -> np.ndarray:
     g = ln[:gl].reshape(-1, 4).max(axis=1)
     ln[:gl] = np.repeat(g, 4)
 
-    p = 0
+    if n >= 64:
+        G = g.shape[0]
+        gp = np.zeros(G + 70, dtype=np.uint8)
+        gp[:G] = g  # wastage groups are zero-width, like the reference
+        # smallest fitting ladder width per group position
+        ok_stack = np.empty((len(WIDTHS), G), dtype=bool)
+        for si, s in enumerate(WIDTHS):
+            k = _INTS[s] // 4
+            cur = gp.copy()
+            span = 1
+            while span < k:
+                take = min(span, k - span)
+                cur = np.maximum(cur[:-take], cur[take:])
+                span += take
+            ok_stack[si] = cur[:G] <= s
+        first_ok = np.argmax(ok_stack, axis=0)  # WIDTHS is the ladder order
+        widths_arr = np.asarray(WIDTHS, dtype=np.uint8)[first_ok]
+        # claim walk: hop instance windows until the scalar-tail region
+        p = 0
+        gi = 0
+        out_w: list = []
+        out_c: list = []
+        while n - p >= 16:
+            s = int(widths_arr[gi])
+            ints = _INTS[s]
+            out_w.append(s)
+            out_c.append(ints)
+            p += ints
+            gi += ints // 4
+        if out_w:
+            head = np.repeat(np.asarray(out_w, np.uint8),
+                             np.asarray(out_c, np.int64))
+            ln[: head.shape[0]] = head
+        # restore the untouched original quantization for the tail
+        # region, then run the reference's scalar rules on it
+        if p < n:
+            ln[p:gl] = np.repeat(g[p // 4 :], 4)
+    else:
+        p = 0
+
     while p < n:
         remaining = n - p
         if remaining < 4:
@@ -161,17 +212,24 @@ def encode(values, sum_of_values=None) -> bytes:
         return b""
     ln = _quantize_and_promote(_widths_of(v), n)
 
-    payload = bytearray()
     keys = bytearray()
 
-    # RLE over equal widths
+    # RLE over equal widths; striped runs are packed ONE batched
+    # _pack_striped call per width (per-run packing of 6-byte slivers
+    # measured 4x slower), then sliced back into stream order.
     bounds = np.flatnonzero(np.diff(ln.astype(np.int16))) + 1
-    starts = np.concatenate([[0], bounds])
-    ends = np.concatenate([bounds, [n]])
-    for st, en in zip(starts, ends):
-        wbits = int(ln[st])
+    starts = np.concatenate([[0], bounds]).astype(np.int64)
+    ends = np.concatenate([bounds, [n]]).astype(np.int64)
+    nruns = starts.shape[0]
+    parts: list = [b""] * nruns
+    per_w: dict = {}
+    rw = ln[starts]
+    for i in range(nruns):
+        st = int(starts[i])
+        en = int(ends[i])
+        wbits = int(rw[i])
         ints = _INTS[wbits]
-        raw = int(en - st)
+        raw = en - st
         count = -(-raw // ints)  # instances
         tpe = _TYPE[wbits]
         # selector bytes, one per batch of <= 16 instances
@@ -185,16 +243,26 @@ def encode(values, sum_of_values=None) -> bytes:
         if wbits in (8, 16, 32):
             # plain byte/short/word stream clamped at raw values
             dt = {8: "<u1", 16: "<u2", 32: "<u4"}[wbits]
-            payload += v[st:en].astype(dt).tobytes()
+            parts[i] = v[st:en].astype(dt).tobytes()
         else:
-            vals = v[st:en]
-            if raw != count * ints:
-                vals = np.concatenate(
-                    [vals, np.zeros(count * ints - raw, "<u4")]
-                )
-            payload += _pack_striped(vals, wbits)
+            per_w.setdefault(wbits, []).append((i, st, en, count))
+    for wbits, runs in per_w.items():
+        ints = _INTS[wbits]
+        wpb = (8 if wbits in _DOUBLE else 4) * 4  # bytes per instance
+        tot = sum(c for _, _, _, c in runs)
+        vals = np.zeros(tot * ints, dtype="<u4")
+        base = 0
+        for _, st, en, c in runs:
+            vals[base : base + (en - st)] = v[st:en]
+            base += c * ints
+        packed = _pack_striped(vals, wbits)
+        base = 0
+        for i, _, _, c in runs:
+            nb = c * wpb
+            parts[i] = packed[base : base + nb]
+            base += nb
 
-    return bytes(payload) + bytes(reversed(keys))
+    return b"".join(parts) + bytes(reversed(keys))
 
 
 def _unpack_striped(words: np.ndarray, w: int, count: int) -> np.ndarray:
@@ -219,47 +287,80 @@ def _unpack_striped(words: np.ndarray, w: int, count: int) -> np.ndarray:
 def decode_payload(payload, n: int) -> np.ndarray:
     """Decode a full QMX payload (qmx.hpp codec::decode semantics).
 
-    Selector bytes are walked backwards from the end; each emits
-    batch * ints(width) values (the byte/short/word forms clamp at the
-    remaining output count, mirroring the encoder's clamped writes).
+    Two phases: a cheap scalar walk over the (reversed, trailing)
+    selector bytes establishes every run's payload offset and output
+    position — byte/short/word forms clamp at the remaining output
+    count, mirroring the encoder's clamped writes — then each striped
+    width unpacks ALL its instances in one batched gather + static
+    shift/mask pass.
     """
     data = np.frombuffer(bytes(payload), dtype=np.uint8)
     # slack: one selector byte can command 16 instances x 256 values
     out = np.empty(n + 16 * 256 + 64, dtype=np.uint32)
+    # phase 1: selector walk (pure ints; one iteration per selector)
+    by_width: dict = {}  # w -> ([payload_start], [out_start], [batch])
     filled = 0
-    p = 0  # payload read position
-    k = data.shape[0] - 1  # selector read position (backwards)
+    p = 0
+    k = data.shape[0] - 1
+    db = data.tobytes()  # plain bytes: cheap scalar indexing
     while p <= k and filled < n:
-        key = int(data[k])
+        key = db[k]
         k -= 1
         tpe = key >> 4
         low = key & 0x0F
         batch = 16 - low if low else 16
         w = _TYPE_TO_WIDTH[tpe]
         ints = _INTS[w]
+        rec = by_width.setdefault(w, ([], [], []))
+        rec[0].append(p)
+        rec[1].append(filled)
+        rec[2].append(batch)
         if w == 0:
-            out[filled : filled + batch * 256] = 1
             filled += batch * 256
         elif w in (8, 16, 32):
+            take = min(batch * ints, n - filled)
+            filled += take
+            p += take * (w // 8)
+        else:
+            p += batch * (32 if w in _DOUBLE else 16)
+            filled += batch * ints
+    # phase 2: batched per-width unpack
+    for w, (ps, os_, bs) in by_width.items():
+        ps = np.asarray(ps, np.int64)
+        os_ = np.asarray(os_, np.int64)
+        bs = np.asarray(bs, np.int64)
+        if w == 0:
+            for o, b in zip(os_, bs):
+                out[o : o + b * 256] = 1
+            continue
+        if w in (8, 16, 32):
             dt = {8: "<u1", 16: "<u2", 32: "<u4"}[w]
             nb = w // 8
-            # clamped: the encoder wrote min(batch*ints, remaining)
-            take = min(batch * ints, n - filled)
-            nbytes = take * nb
-            vals = np.frombuffer(
-                data[p : p + nbytes].tobytes(), dtype=dt
-            ).astype(np.uint32)
-            out[filled : filled + take] = vals
-            filled += take
-            p += nbytes
-        else:
-            words_per = 8 if w in _DOUBLE else 4
-            nbytes = batch * words_per * 4
-            words = np.frombuffer(
-                data[p : p + nbytes].tobytes(), dtype="<u4"
-            ).reshape(batch, words_per)
-            vals = _unpack_striped(words, w, batch)
-            out[filled : filled + batch * ints] = vals
-            filled += batch * ints
-            p += nbytes
+            ends = np.minimum(os_ + bs * _INTS[w], n)
+            for pp, o, e in zip(ps, os_, ends):
+                nbytes = int(e - o) * nb
+                out[o:e] = np.frombuffer(
+                    db[pp : pp + nbytes], dtype=dt
+                ).astype(np.uint32)
+            continue
+        ints = _INTS[w]
+        wpw = 8 if w in _DOUBLE else 4  # u32 words per instance
+        total_inst = int(bs.sum())
+        # per-instance payload offsets: run start + index-in-run stride
+        inst_run = np.repeat(np.arange(bs.shape[0]), bs)
+        within = np.arange(total_inst) - np.repeat(
+            np.cumsum(bs) - bs, bs
+        )
+        inst_off = ps[inst_run] + within * (wpw * 4)
+        words = (
+            data[inst_off[:, None] + np.arange(wpw * 4)]
+            .reshape(total_inst, wpw, 4)
+            .view("<u4")
+            .reshape(total_inst, wpw)
+        )
+        vals = _unpack_striped(words, w, total_inst).reshape(
+            total_inst, ints
+        )
+        inst_out = (os_[inst_run] + within * ints)[:, None] + np.arange(ints)
+        out[inst_out.reshape(-1)] = vals.reshape(-1)
     return out[:n].copy()
