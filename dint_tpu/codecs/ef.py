@@ -256,6 +256,12 @@ class compact_ranked_bitvector:
         if r1samples:
             idx = np.arange(1, r1samples + 1, dtype=np.uint64)
             sample_pos = idx << np.uint64(p.rb_log_rank1_sampling)
+            # the reference's final set_rank1_samples bound is EXCLUSIVE
+            # of `universe`, so a sample slot landing exactly at the
+            # universe is allocated but never written (stays zero) —
+            # compact_ranked_bitvector.hpp:102 (bit-parity quirk)
+            keep = sample_pos < np.uint64(universe)
+            idx, sample_pos = idx[keep], sample_pos[keep]
             ranks = np.searchsorted(v, sample_pos, side="left")
             pos = np.uint64(r1off) + (idx - np.uint64(1)) * np.uint64(r1size)
             bb.set_bits_batch(pos, ranks.astype(np.uint64), r1size)

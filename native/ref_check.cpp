@@ -35,7 +35,10 @@
 #include <tmmintrin.h>
 #include "ds2i/VarIntG8IU.h"
 #include "ds2i/interpolative_coding.hpp"
+#include "ds2i/partitioned_sequence.hpp"
+#include "ds2i/positive_sequence.hpp"
 #include "ds2i/qmx.hpp"
+#include "ds2i/uniform_partitioned_sequence.hpp"
 #include "ds2i/varintgb.h"
 #include "vroom_env/dint_codecs.hpp"
 
@@ -203,6 +206,60 @@ int main(int argc, char** argv) {
         fwrite(bits.data(), 8, n_units, f);
         fclose(f);
         fprintf(stderr, "ref_check interp: %llu units\n",
+                (unsigned long long)n_units);
+        return 0;
+    }
+    if (argc == 5 && std::string(argv[1]) == "ef") {
+        // write every unit (sorted values; LAST element = universe)
+        // with a reference sequence writer and emit (u64 nbits,
+        // u64 nwords, u64 words...) per unit for bit-level diffing
+        std::string kind = argv[2];
+        auto units = slurp(argv[3]);
+        uint64_t n_units;
+        std::memcpy(&n_units, units.data(), 8);
+        const uint64_t* offs = (const uint64_t*)(units.data() + 8);
+        const uint32_t* gaps =
+            (const uint32_t*)(units.data() + 8 + 8 * (n_units + 1));
+        ds2i::global_parameters params;
+        FILE* f = fopen(argv[4], "wb");
+        fwrite(&n_units, 8, 1, f);
+        for (uint64_t u = 0; u < n_units; ++u) {
+            size_t n = offs[u + 1] - offs[u] - 1;
+            const uint32_t* vals = gaps + offs[u];
+            uint64_t universe = vals[n];
+            succinct::bit_vector_builder bvb;
+            if (kind == "ef")
+                ds2i::compact_elias_fano::write(bvb, vals, universe, n,
+                                                params);
+            else if (kind == "rb")
+                ds2i::compact_ranked_bitvector::write(bvb, vals, universe, n,
+                                                      params);
+            else if (kind == "strict")
+                ds2i::strict_sequence::write(bvb, vals, universe, n, params);
+            else if (kind == "indexed")
+                ds2i::indexed_sequence::write(bvb, vals, universe, n, params);
+            else if (kind == "uniform")
+                ds2i::uniform_partitioned_sequence<
+                    ds2i::indexed_sequence>::write(bvb, vals, universe, n,
+                                                   params);
+            else if (kind == "part")
+                ds2i::partitioned_sequence<ds2i::indexed_sequence>::write(
+                    bvb, vals, universe, n, params);
+            else if (kind == "positive")
+                ds2i::positive_sequence<ds2i::strict_sequence>::write(
+                    bvb, vals, universe, n, params);
+            else {
+                fprintf(stderr, "unknown ef kind %s\n", kind.c_str());
+                return 2;
+            }
+            uint64_t nbits = bvb.size();
+            uint64_t nwords = bvb.bits().size();
+            fwrite(&nbits, 8, 1, f);
+            fwrite(&nwords, 8, 1, f);
+            fwrite(bvb.bits().data(), 8, nwords, f);
+        }
+        fclose(f);
+        fprintf(stderr, "ref_check ef/%s: %llu units\n", kind.c_str(),
                 (unsigned long long)n_units);
         return 0;
     }

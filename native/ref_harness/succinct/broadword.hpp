@@ -18,5 +18,7 @@ inline bool msb(uint64_t x, unsigned long& ret) {
     return true;
 }
 
+inline uint64_t popcount(uint64_t x) { return __builtin_popcountll(x); }
+
 }  // namespace broadword
 }  // namespace succinct

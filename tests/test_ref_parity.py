@@ -227,6 +227,59 @@ def test_interpolative_bit_sizes_match_reference(ref_check, tmp_path):
         assert interp.encoded_bits(v[:-1], 0, int(v[-1])) == int(bits[i]), i
 
 
+def test_ef_family_bits_match_reference(ref_check, tmp_path):
+    """Every EF-family sequence writer produces bit-for-bit the words
+    the reference writers produce (via a functional
+    bit_vector_builder shim compiled against the reference headers):
+    compact EF (incl. 0/1-pointer slots), ranked bitvector (incl. the
+    never-written universe-boundary rank sample), strict, indexed,
+    uniform-partitioned, partitioned (PEF), and positive sequences."""
+    from dint_tpu.codecs import ef
+    from dint_tpu.utils.bitio import BitBuilder
+
+    rng = np.random.default_rng(43)
+    units = []
+    for n in (1, 2, 64, 257, 1000):
+        for dense in (1.1, 2.0, 100.0):
+            u = max(n + 1, int(n * dense))
+            vals = np.sort(rng.choice(u, n, replace=False)).astype("<u4")
+            units.append(np.concatenate([vals, [u]]).astype("<u4"))
+    punits = []
+    for n in (1, 5, 100, 1000):
+        vals = rng.integers(1, 50, n).astype("<u4")
+        punits.append(
+            np.concatenate([vals, [int(vals.sum()) + 1]]).astype("<u4")
+        )
+    kinds = {
+        "ef": (ef.compact_elias_fano, units),
+        "rb": (ef.compact_ranked_bitvector, units),
+        "strict": (ef.strict_sequence, units),
+        "indexed": (ef.indexed_sequence, units),
+        "uniform": (ef.uniform_partitioned_sequence(ef.indexed_sequence),
+                    units),
+        "part": (ef.partitioned_sequence(ef.indexed_sequence), units),
+        "positive": (ef.positive_sequence(ef.strict_sequence), punits),
+    }
+    for kind, (seq, us) in kinds.items():
+        ufile = _write_units(us, str(tmp_path))
+        rfile = os.path.join(str(tmp_path), f"ef_{kind}.bin")
+        subprocess.run([ref_check, "ef", kind, ufile, rfile], check=True,
+                       capture_output=True)
+        raw = open(rfile, "rb").read()
+        p = 8
+        for i, v in enumerate(us):
+            nbits, nwords = np.frombuffer(raw[p : p + 16], "<u8")
+            p += 16
+            words = np.frombuffer(raw[p : p + 8 * int(nwords)], "<u8")
+            p += 8 * int(nwords)
+            bb = BitBuilder()
+            seq.write(bb, v[:-1], int(v[-1]), len(v) - 1, ef.PARAMS)
+            assert bb.size == int(nbits), (kind, i)
+            got = bb.words()
+            assert got.shape[0] == int(nwords), (kind, i)
+            np.testing.assert_array_equal(got, words, err_msg=f"{kind} {i}")
+
+
 def test_multi_bytes_match_reference(ref_check, dicts, tmp_path):
     gap_lists, _, _, dm, mdict = dicts
     units = []
