@@ -69,10 +69,13 @@ def dicts(tmp_path_factory):
     mstats = block_stats.BlockStats(total, contexts)
     ds = build_dictionary(sstats, "single")
     dm = build_dictionary(mstats, "multi")
+    dr = build_dictionary(sstats, "rectangular")
     d = tmp_path_factory.mktemp("dicts")
     ds.store(str(d / "single.dict"))
     dm.store(str(d / "multi.dict"))
-    return gap_lists, ds, str(d / "single.dict"), dm, str(d / "multi.dict")
+    dr.store(str(d / "rect.dict"))
+    return (gap_lists, ds, str(d / "single.dict"), dm,
+            str(d / "multi.dict"), dr, str(d / "rect.dict"))
 
 
 def _write_units(units, tmp):
@@ -121,7 +124,7 @@ def _ref_decode_check(exe, mode, dict_file, units, ours, tmp):
 
 
 def test_single_bytes_match_reference(ref_check, dicts, tmp_path):
-    gap_lists, ds, sdict, _, _ = dicts
+    gap_lists, ds, sdict, _, _, _, _ = dicts
     from dint_tpu.codecs.encode_batch import OPT_CHUNK
 
     units = []
@@ -280,8 +283,23 @@ def test_ef_family_bits_match_reference(ref_check, tmp_path):
             np.testing.assert_array_equal(got, words, err_msg=f"{kind} {i}")
 
 
+def test_rect_bytes_match_reference(ref_check, dicts, tmp_path):
+    """The rectangular dictionary type (the bench headline) loads in
+    the reference's builder and encodes byte-identically."""
+    gap_lists, _, _, _, _, dr, rdict = dicts
+    from dint_tpu.codecs.encode_batch import OPT_CHUNK
+
+    units = []
+    for g in gap_lists:
+        for i in range(0, max(1, len(g)), OPT_CHUNK):
+            units.append(g[i : i + OPT_CHUNK])
+    ours = native.native_encoder_for(dr).encode_units(units, 0)
+    ref = _run_ref(ref_check, "rect", rdict, units, str(tmp_path))
+    assert ours == ref
+
+
 def test_multi_bytes_match_reference(ref_check, dicts, tmp_path):
-    gap_lists, _, _, dm, mdict = dicts
+    gap_lists, _, _, dm, mdict, _, _ = dicts
     units = []
     for g in gap_lists:
         for i in range(0, max(1, len(g)), 256):
