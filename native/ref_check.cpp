@@ -349,7 +349,18 @@ int main(int argc, char** argv) {
     std::vector<uint64_t> lens(n_units);
     std::vector<uint8_t> bytes;
 
-    if (mode == "rect") {
+    if (mode == "greedy") {
+        ds2i::single_dictionary_packed_type::builder b;
+        b.load_from_file(argv[2]);
+        b.prepare_for_encoding();
+        for (uint64_t u = 0; u < n_units; ++u) {
+            std::vector<uint8_t> out;
+            ds2i::single_greedy_dint::encode(
+                b, gaps + offs[u], 0u, uint32_t(offs[u + 1] - offs[u]), out);
+            lens[u] = out.size();
+            bytes.insert(bytes.end(), out.begin(), out.end());
+        }
+    } else if (mode == "rect") {
         ds2i::single_dictionary_rectangular_type::builder b;
         b.load_from_file(argv[2]);
         b.prepare_for_encoding();

@@ -283,6 +283,23 @@ def test_ef_family_bits_match_reference(ref_check, tmp_path):
             np.testing.assert_array_equal(got, words, err_msg=f"{kind} {i}")
 
 
+def test_greedy_bytes_match_reference(ref_check, dicts, tmp_path):
+    """The greedy coder (DS2I_HEURISTIC_GREEDY path) matches the
+    reference's single_greedy_dint byte-for-byte."""
+    gap_lists, ds, sdict, _, _, _, _ = dicts
+    from dint_tpu.codecs import dint
+    from dint_tpu.codecs.encode_batch import OPT_CHUNK
+
+    lt = ds.lookup_table()
+    units = []
+    for g in gap_lists:
+        for i in range(0, max(1, len(g)), OPT_CHUNK):
+            units.append(g[i : i + OPT_CHUNK])
+    ours = [dint.encode_greedy_single(lt, u) for u in units]
+    ref = _run_ref(ref_check, "greedy", sdict, units, str(tmp_path))
+    assert ours == ref
+
+
 def test_rect_bytes_match_reference(ref_check, dicts, tmp_path):
     """The rectangular dictionary type (the bench headline) loads in
     the reference's builder and encodes byte-identically."""
