@@ -25,6 +25,31 @@ import time
 if os.environ.get("JAX_PLATFORMS") == "axon":
     os.environ["JAX_PLATFORMS"] = ""
 
+# Watchdog: the TPU relay can go down for hours; a hung chip init or
+# compile must yield an honest error line, not an eternally-silent
+# process.  SIGALRM fires if the whole bench exceeds the budget.
+import signal
+
+
+def _watchdog(signum, frame):  # noqa: ARG001
+    print(
+        json.dumps(
+            {
+                "metric": "decode_speed",
+                "value": 0,
+                "unit": "G ints/s",
+                "vs_baseline": 0,
+                "error": "watchdog: TPU unavailable or hung (20 min budget)",
+            }
+        ),
+        flush=True,
+    )
+    os._exit(3)
+
+
+signal.signal(signal.SIGALRM, _watchdog)
+signal.alarm(20 * 60)
+
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 CACHE = os.path.join(REPO, ".bench")
