@@ -89,6 +89,7 @@ int main(int argc, char** argv) {
   fprintf(stderr, " lookup by size:");
   for (int t = 0; t < kNumTargetSizes; ++t)
     fprintf(stderr, " s%u=%.3fs", kTargetSizes[t], g_tprof[t] / 1e9);
+  fprintf(stderr, "\n s4 probes=%lld hits=%lld", (long long)g_tcnt[2], (long long)g_thit[2]);
   fprintf(stderr, "\n survivors:");
   for (int t = 0; t < 2; ++t)
     fprintf(stderr, " s%u=%lld/%lld hits=%lld", kTargetSizes[t],

@@ -868,6 +868,10 @@ static void lookup_pass(Encoder* e, const UnitScratch& u, int ctx,
         }
         if ((v0 | v1 | v2 | v3) < 256) {
           h16[i] = map.find4(v0 | (v1 << 8) | (v2 << 16) | (v3 << 24));
+#ifdef DINT_TPROF
+          g_tcnt[2] += 1;
+          g_thit[2] += h16[i] != kNoHit;
+#endif
         } else {
           // verified-on-hit (see the s >= 8 loop)
           size_t sl = map.find_verified(win_hash(u, i, s), gaps + i, 4);
