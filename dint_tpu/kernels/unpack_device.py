@@ -38,7 +38,6 @@ from ..codecs import blocks as blocks_mod
 from ..codecs import interpolative, vbyte
 from ..config import BLOCK_SIZE
 
-QMX_GROUP = 16
 
 
 @dataclass
