@@ -25,30 +25,39 @@ import time
 if os.environ.get("JAX_PLATFORMS") == "axon":
     os.environ["JAX_PLATFORMS"] = ""
 
-# Watchdog: the TPU relay can go down for hours; a hung chip init or
-# compile must yield an honest error line, not an eternally-silent
-# process.  SIGALRM fires if the whole bench exceeds the budget.
-import signal
+# Watchdog: the TPU relay can go down for hours, and a hung device
+# init blocks inside native code where no Python signal handler can
+# run.  The parent process therefore re-execs itself as a CHILD doing
+# the real work and supervises it with a wall-clock budget; on timeout
+# it kills the child and prints an honest error line.
+_WATCHDOG_SECS = int(os.environ.get("DINT_BENCH_BUDGET_SECS", 20 * 60))
 
+if __name__ == "__main__" and os.environ.get("DINT_BENCH_CHILD") != "1":
+    import subprocess
 
-def _watchdog(signum, frame):  # noqa: ARG001
-    print(
-        json.dumps(
-            {
-                "metric": "decode_speed",
-                "value": 0,
-                "unit": "G ints/s",
-                "vs_baseline": 0,
-                "error": "watchdog: TPU unavailable or hung (20 min budget)",
-            }
-        ),
-        flush=True,
-    )
-    os._exit(3)
-
-
-signal.signal(signal.SIGALRM, _watchdog)
-signal.alarm(20 * 60)
+    env = dict(os.environ, DINT_BENCH_CHILD="1")
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
+            env=env,
+            timeout=_WATCHDOG_SECS,
+        )
+        sys.exit(r.returncode)
+    except subprocess.TimeoutExpired:
+        print(
+            json.dumps(
+                {
+                    "metric": "vroom_decode_ints_per_sec_per_chip",
+                    "value": 0,
+                    "unit": "ints/s",
+                    "vs_baseline": 0,
+                    "error": "watchdog: TPU unavailable or hung "
+                             f"({_WATCHDOG_SECS}s budget)",
+                }
+            ),
+            flush=True,
+        )
+        sys.exit(3)
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
