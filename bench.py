@@ -33,17 +33,27 @@ if os.environ.get("JAX_PLATFORMS") == "axon":
 _WATCHDOG_SECS = int(os.environ.get("DINT_BENCH_BUDGET_SECS", 20 * 60))
 
 if __name__ == "__main__" and os.environ.get("DINT_BENCH_CHILD") != "1":
+    import signal
     import subprocess
 
     env = dict(os.environ, DINT_BENCH_CHILD="1")
+    # New session so the timeout kill reaches the WHOLE process group:
+    # a hung chip init spawns the axon relay helper, and an orphaned
+    # helper would hold the device (one TPU process at a time) long
+    # after the child itself is dead.
+    p = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
+        env=env,
+        start_new_session=True,
+    )
     try:
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
-            env=env,
-            timeout=_WATCHDOG_SECS,
-        )
-        sys.exit(r.returncode)
+        sys.exit(p.wait(timeout=_WATCHDOG_SECS))
     except subprocess.TimeoutExpired:
+        try:
+            os.killpg(p.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            p.kill()
+        p.wait()
         print(
             json.dumps(
                 {

@@ -55,6 +55,16 @@ def _as_u32(values) -> np.ndarray:
 _U8_PAD = 80  # covers qmx's worst over-read: 16 fields x 32 bits + window
 
 
+def _as_u8(x) -> np.ndarray:
+    """u8 array view of bytes-like or ndarray input (np.asarray would
+    reject a plain ``bytes`` buffer, which remains a valid decoder
+    input — the scalar fallbacks accept it, so the vectorized paths
+    must too)."""
+    if isinstance(x, (bytes, bytearray, memoryview)):
+        return np.frombuffer(x, dtype=np.uint8)
+    return np.asarray(x, dtype=np.uint8)
+
+
 def _u8view(buf, pos: int, bound: int = None) -> np.ndarray:
     """u8 array of buf[pos:pos+bound] with zero padding appended.
 
@@ -63,11 +73,7 @@ def _u8view(buf, pos: int, bound: int = None) -> np.ndarray:
     copy (and chain-walk) the entire arena tail.  Decoders may
     speculatively read whole groups past a partial final group; the
     results are discarded, the reads must just be in bounds."""
-    a = (
-        np.asarray(buf[pos : pos + bound], dtype=np.uint8)
-        if bound is not None
-        else np.asarray(buf[pos:], dtype=np.uint8)
-    )
+    a = _as_u8(buf[pos : pos + bound] if bound is not None else buf[pos:])
     return np.concatenate([a, np.zeros(_U8_PAD, np.uint8)])
 
 
@@ -496,7 +502,7 @@ def simple16_decode(buf, pos, n, sum_of_values):
         return np.zeros(0, np.uint32), pos
     if n <= 32:
         return _simple16_decode_scalar(buf, pos, n, sum_of_values)
-    raw = np.asarray(buf[pos : pos + 4 * n], dtype=np.uint8)
+    raw = _as_u8(buf[pos : pos + 4 * n])
     avail = min(raw.shape[0] // 4, n)
     words = np.frombuffer(raw[: 4 * avail].tobytes(), "<u4").astype(np.uint64)
     # clamp selectors before the table lookup: words past the true
@@ -543,9 +549,7 @@ def qmx_decode(buf, pos, n, sum_of_values):
     if n < BLOCK_SIZE:
         return interpolative_decode(buf, pos, n, sum_of_values)
     ln, pos = vbyte.decode_single(buf, pos)
-    vals = qmx_wire.decode_payload(
-        np.asarray(buf[pos : pos + ln], dtype=np.uint8), n
-    )
+    vals = qmx_wire.decode_payload(_as_u8(buf[pos : pos + ln]), n)
     return vals, pos + ln
 
 
@@ -614,7 +618,7 @@ def optpfor_decode(buf, pos, n, sum_of_values):
         p += nbytes
     else:
         out = np.zeros(n, dtype=np.uint64)
-    epos = np.asarray(buf[p : p + ne], dtype=np.int64)
+    epos = _as_u8(buf[p : p + ne]).astype(np.int64)
     p += ne
     for ep in epos:
         hi, p = vbyte.decode_single(buf, p)

@@ -85,7 +85,7 @@ def serve_ranked_sharded(
         from ..query import bmw
 
         drows, srows, _ = bmw.build_pruned_rows(
-            type(decoder.lazy_cache)(index), index, wdata, queries, k
+            decoder.lazy_cache, index, wdata, queries, k
         )
     else:
         drows, srows = device_batch.build_ranked_rows(

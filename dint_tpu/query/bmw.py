@@ -261,6 +261,16 @@ def build_pruned_rows(
     surviving-block postings — drop-in replacement for
     device_batch.build_ranked_rows with block-max pruning applied.
     Decode happens once per surviving block (batched, lazy cache)."""
+    from .device_batch import PAD_DOC
+
+    # same guard as device_batch._check_docid_range: docids are sorted
+    # as int32 with PAD_DOC as the padding sentinel, so a docid >=
+    # 2^31-1 would wrap negative or collide with the pad
+    if int(getattr(index, "num_docs", 0)) > int(PAD_DOC):
+        raise ValueError(
+            f"device batch engine requires docids < 2^31-1; index has "
+            f"num_docs={index.num_docs}"
+        )
     agg = {"postings_total": 0, "postings_kept": 0, "blocks_total": 0,
            "blocks_kept": 0}
     plans = []

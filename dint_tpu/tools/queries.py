@@ -78,9 +78,11 @@ def run_op_device(index, decoder, wdata, queries_list, op, runs, k):
             # DINT and block-codec index families.
             from ..query import bmw as bmw_mod
 
+            # reuse the decoder's memoizing cache: row construction is
+            # untimed, and a fresh cache would re-decode every surviving
+            # block (plus re-materialize both dictionary views) per call
             drows, srows, pruned_stats = bmw_mod.build_pruned_rows(
-                type(decoder.lazy_cache)(index), index, wdata,
-                queries_list, k,
+                decoder.lazy_cache, index, wdata, queries_list, k,
             )
         else:
             drows, srows = device_batch.build_ranked_rows(

@@ -45,6 +45,8 @@ def main():
     total = 0
     for docs, _ in collection.open_freq_collection(base):
         a = np.asarray(docs, dtype=np.uint32)
+        if a.shape[0] == 0:
+            continue
         g = np.empty_like(a)
         g[0] = a[0]
         np.subtract(a[1:], a[:-1], out=g[1:])

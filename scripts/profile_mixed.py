@@ -108,20 +108,35 @@ def main():
         )
         block_index.verify_block_index(midx, args.basename)  # exact check
         st = midx.size_stats()
-        # access-weighted predicted decode cost of the chosen encodings
+        # access-weighted predicted decode cost of the chosen encodings.
+        # Features must match the training convention exactly: the gap
+        # array the codec actually encoded (gap0 = d[0] - base, rest
+        # diff-1; freqs stored as freq-1) and the encoded body length.
+        midx.ensure_docs_end()
         cost_ns = 0.0
         for t, c in counts.items():
             p0, p1 = midx.list_blocks(t)
             for rb in range(min(p1 - p0, c.shape[1])):
-                acc = int(c[0, rb]) + int(c[1, rb])
-                if acc == 0:
-                    continue
-                d = midx.block_docs(p0 + rb, t)
-                g = np.diff(np.concatenate([[int(d[0])], d.astype(np.int64)]))
-                tag = int(midx.arena[midx.block_start(p0 + rb)])
-                codec = mixed_block.CANDIDATES[tag]
-                feats = dtp.feature_vector(g, 0)
-                cost_ns += acc * max(pred.predict(codec, feats), 0.0)
+                b = p0 + rb
+                acc_d, acc_f = int(c[0, rb]), int(c[1, rb])
+                if acc_d:
+                    d = midx.block_docs(b, t).astype(np.int64)
+                    base = int(midx.block_max[b - 1]) + 1 if b > p0 else 0
+                    g = np.empty(d.shape[0], np.int64)
+                    g[0] = d[0] - base
+                    g[1:] = np.diff(d) - 1
+                    start = midx.block_start(b)
+                    codec = mixed_block.CANDIDATES[int(midx.arena[start])]
+                    body = int(midx.docs_end[b]) - start - 1
+                    feats = dtp.feature_vector(g.astype(np.uint32), body)
+                    cost_ns += acc_d * max(pred.predict(codec, feats), 0.0)
+                if acc_f:
+                    f = midx.block_freqs(b, t).astype(np.int64) - 1
+                    fstart = int(midx.docs_end[b])
+                    codec = mixed_block.CANDIDATES[int(midx.arena[fstart])]
+                    body = int(midx.block_end[b]) - fstart - 1
+                    feats = dtp.feature_vector(f.astype(np.uint32), body)
+                    cost_ns += acc_f * max(pred.predict(codec, feats), 0.0)
         results[name] = (st, cost_ns)
         print(f"[mixed:{name}] docs_bpi {st['docs_bpi']:.3f} "
               f"freqs_bpi {st['freqs_bpi']:.3f} "

@@ -31,6 +31,21 @@ def test_codec_roundtrip(codec):
                 assert pos == len(buf), f"{codec}: stream length mismatch"
 
 
+@pytest.mark.parametrize("codec", sorted(blocks.CODECS))
+def test_codec_decode_accepts_plain_bytes(codec):
+    """Decoders must accept `bytes` buffers on BOTH the vectorized
+    (n > 32) and scalar-fallback paths — the encoder's output is bytes
+    and remains a valid decoder input."""
+    enc, dec = blocks.CODECS[codec]
+    rng = np.random.default_rng(hash(codec) % (2**31))
+    for n in (16, 256):
+        vals = rng.integers(0, 1 << 12, size=n).astype(np.uint32)
+        buf = enc(vals, blocks.UNKNOWN)
+        out, pos = dec(buf, 0, n, blocks.UNKNOWN)
+        np.testing.assert_array_equal(out, vals, err_msg=f"{codec} n={n}")
+        assert pos == len(buf)
+
+
 def test_codec_roundtrip_with_offset():
     # decoding must work at arbitrary byte offsets within a larger arena
     enc, dec = blocks.CODECS["streamvbyte"]
