@@ -121,12 +121,78 @@ def serve_stage(base, args):
     print("[scale] device ranked top-10 matches host oracle on 20 queries")
 
 
+def serve_sharded_stage(args):
+    """VERDICT #8 at scale: the real 90.8M-posting multi_packed index
+    served doc-sharded across a virtual n-device mesh (shard_map +
+    all_gather top-k merge, parallel/serve.py), exact parity with the
+    host ranked_or oracle.  Self-provisions its CPU mesh in a child
+    process (the dryrun_multichip recipe) so it runs from any shell."""
+    import subprocess
+
+    if os.environ.get("_DINT_SCALE_SHARDED_CHILD") != "1":
+        env = dict(os.environ)
+        env["_DINT_SCALE_SHARDED_CHILD"] = "1"
+        env["JAX_PLATFORMS"] = "cpu"
+        xla = env.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in xla:
+            xla = (
+                xla + f" --xla_force_host_platform_device_count={args.shards}"
+            ).strip()
+        env["XLA_FLAGS"] = xla
+        r = subprocess.run([sys.executable] + sys.argv, env=env)
+        if r.returncode != 0:
+            raise RuntimeError(f"serve-sharded child failed rc={r.returncode}")
+        return
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from jax.sharding import Mesh
+
+    from dint_tpu.index import dint_index
+    from dint_tpu.parallel import serve
+    from dint_tpu.query import boolean, ranked
+    from dint_tpu.query.term_decode import TermDecoder
+
+    devs = np.array(jax.devices()[: args.shards])
+    assert devs.size == args.shards, (devs, args.shards)
+    mesh = Mesh(devs, ("dp",))
+
+    t = time.perf_counter()
+    idx = dint_index.DintIndex.load(os.path.join(CACHE, "scale.idx.mpd.bin"))
+    wdata = ranked.WandData.load(os.path.join(CACHE, "scale.wand"))
+    queries_list = boolean.parse_query_log(os.path.join(CACHE, "scale.queries"))
+    qs = queries_list[: args.sharded_queries]
+    dec = TermDecoder(idx)
+    t = log_stage("sharded: load index + wand + queries", t)
+
+    vals, ids = serve.serve_ranked_sharded(mesh, idx, dec, wdata, qs, k=10)
+    t = log_stage(
+        f"sharded: {len(qs)} queries doc-sharded over {args.shards} devices "
+        f"(rows + shard_map dispatch)", t
+    )
+    for qi, q in enumerate(qs):
+        want = ranked.ranked_or(idx, dec, wdata, q, k=10)
+        got = np.asarray(vals[qi][: want.shape[0]])
+        assert got.shape == want.shape and np.allclose(got, want, rtol=1e-4), (
+            qi, q, got, want,
+        )
+    log_stage("sharded: host ranked_or oracle parity", t)
+    print(
+        f"[scale] sharded serve ok: {len(qs)} queries, top-10 exact parity "
+        f"with the host oracle on the {idx.num_lists}-list index"
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ints", type=float, default=1e8)
     ap.add_argument("--num-lists", type=int, default=20000)
     ap.add_argument("--decode", action="store_true")
     ap.add_argument("--serve", action="store_true")
+    ap.add_argument("--serve-sharded", action="store_true")
+    ap.add_argument("--shards", type=int, default=8)
+    ap.add_argument("--sharded-queries", type=int, default=32)
     ap.add_argument("--queries", type=int, default=512)
     ap.add_argument("--runs", type=int, default=5)
     args = ap.parse_args()
@@ -163,6 +229,10 @@ def main():
             "single_rect_dint", base + ".docs", stream, cache_dir=CACHE
         )
     t = log_stage("dict-train + encode", t)
+
+    if args.serve_sharded:
+        serve_sharded_stage(args)
+        return
 
     if args.serve:
         serve_stage(base, args)
