@@ -318,3 +318,21 @@ def test_split_width_class_engine_interpret(tmp_path, monkeypatch):
     s2 = int(np.asarray(eng.decode_chain(2)))
     s3 = int(np.asarray(eng.decode_chain(3)))
     assert s2 != s3
+
+    # large-plan chain flavor (sum-emitting kernels): force the
+    # crossover to 0 so the sums path runs in interpret mode — it must
+    # be deterministic, runs-dependent, and decode_all (always the
+    # plain kernels) must be unaffected
+    monkeypatch.setattr(decode_local, "CHAIN_SUMS_MIN_OUT_BYTES", 0)
+    decode_local._pallas_split_fns.cache_clear()
+    eng2 = decode_local.LocalDecodeEngine(plan, row_tile=32)
+    units2 = eng2.gather_units(
+        eng2.decode_all(), len(bufs), [len(g) for g in gap_lists]
+    )
+    for a, g in zip(units2, gap_lists):
+        np.testing.assert_array_equal(a, g)
+    t2 = int(np.asarray(eng2.decode_chain(2)))
+    t3 = int(np.asarray(eng2.decode_chain(3)))
+    assert t2 != t3
+    assert t2 == int(np.asarray(eng2.decode_chain(2)))
+    decode_local._pallas_split_fns.cache_clear()
