@@ -214,10 +214,12 @@ def plan_qmx(arena: np.ndarray, meta) -> UnpackPlan:
 
 
 def _qmx_fns(w: int, n_rows_hint: int = 0):
-    """Device decode for one QMX width class: (N, lanes) u32 words ->
-    (N, ints) u32 via the format's static per-row lane shifts
-    (codecs/qmx.py _ROW_SHIFTS); width 0 generates ones, widths
-    8/16/32 re-split their 4 u32 words into bytes/shorts/words."""
+    """Device decode for one QMX width class: lane COLUMNS (4 or 8
+    dense 1-D u32 arrays, split on the host — an (N, lanes) matrix
+    would lane-pad lanes -> 128 on device) -> value columns via the
+    format's static per-row lane shifts (codecs/qmx.py _ROW_SHIFTS);
+    width 0 generates ones, widths 8/16/32 re-split their 4 u32 words
+    into bytes/shorts/words."""
     import jax
     import jax.numpy as jnp
 
@@ -225,50 +227,69 @@ def _qmx_fns(w: int, n_rows_hint: int = 0):
 
     ints = qmx_wire._INTS[w] if w else 256
 
-    def unpack(words, exc_dense, salt):
-        del exc_dense
-        N = words.shape[0]
+    def _value_cols(cols, salt):
         if w == 0:
-            return jnp.ones((N, 256), jnp.uint32) + salt
+            n = cols[0].shape[0]
+            return [jnp.ones(n, jnp.uint32) + salt for _ in range(256)]
         if w in (8, 16, 32):
             nb = w // 8
-            cols = []
+            out = []
             for j in range(ints):
-                word = words[:, (j * nb) // 4]
+                word = cols[(j * nb) // 4]
                 sh = (j * nb) % 4 * 8
-                cols.append((word >> jnp.uint32(sh))
+                out.append(((word >> jnp.uint32(sh))
                             & jnp.uint32((1 << w) - 1 if w < 32 else
-                                         0xFFFFFFFF))
-            return jnp.stack(cols, axis=1) + salt
+                                         0xFFFFFFFF)) + salt)
+            return out
         mask = jnp.uint32((1 << w) - 1)
-        cols = []
+        out = []
         for j in range(ints):
             lane = j & 3
             sh = qmx_wire._ROW_SHIFTS[w][j // 4]
             if sh + w <= 32:
-                v = (words[:, lane] >> jnp.uint32(sh)) & mask
+                v = (cols[lane] >> jnp.uint32(sh)) & mask
             elif sh < 32:
-                v = ((words[:, lane] >> jnp.uint32(sh))
-                     | (words[:, lane + 4] << jnp.uint32(32 - sh))) & mask
+                v = ((cols[lane] >> jnp.uint32(sh))
+                     | (cols[lane + 4] << jnp.uint32(32 - sh))) & mask
             else:
-                v = (words[:, lane + 4] >> jnp.uint32(sh - 32)) & mask
-            cols.append(v)
-        return jnp.stack(cols, axis=1) + salt
+                v = (cols[lane + 4] >> jnp.uint32(sh - 32)) & mask
+            out.append(v + salt)
+        return out
+
+    def unpack(cols, exc_dense, salt):
+        del exc_dense
+        return jnp.stack(_value_cols(cols, salt), axis=1)  # (N, ints)
+
+    def unpack_flat(cols, exc_dense, salt):
+        # chain form: dense 1-D concatenation (column-major) — a
+        # materialized (N, ints) output lane-pads ints -> 128; the
+        # flat buffer writes exactly N*ints words, and value ORDER is
+        # irrelevant to the timing salt
+        del exc_dense
+        return jnp.concatenate(_value_cols(cols, salt))
 
     decode = jax.jit(unpack)
 
     @functools.partial(jax.jit, static_argnames=("runs",))
     def chain(payload, exc_dense, *, runs: int):
         def body(salt, _):
-            out = unpack(payload, exc_dense, salt)
-            s = out.sum(dtype=jnp.uint32)
-            cnt = jnp.uint32(out.size)
+            out = unpack_flat(payload, exc_dense, salt)
+            # materialize: without this barrier XLA fuses the unpack
+            # into the reduction and the timed loop never writes the
+            # decoded ints (measured ~3.5x optimistic).  The salt then
+            # reduces only a contiguous SAMPLE of the materialized
+            # buffer — the barrier already forces the full write, and
+            # a full re-read would dominate the chain's traffic.
+            out = jax.lax.optimization_barrier(out)
+            samp = out[:1024]
+            s = samp.sum(dtype=jnp.uint32)
+            cnt = jnp.uint32(samp.size)
             return s - salt * cnt, None
 
         final, _ = jax.lax.scan(body, jnp.uint32(1), None, length=runs)
         return final
 
-    return decode, chain, unpack
+    return decode, chain, unpack_flat
 
 
 def plan_simple16(arena: np.ndarray, meta) -> "Simple16Plan":
@@ -360,9 +381,12 @@ class Simple16Engine:
                 s = jnp.uint32(0)
                 cnt_total = 0
                 for (cnt, bits), w in zip(spec, args):
-                    out = _s16_unpack(w, cnt, bits, salt)
-                    s = s + out.sum(dtype=jnp.uint32)
-                    cnt_total += out.size
+                    out = _s16_unpack_flat(w, cnt, bits, salt)
+                    # materialize + sampled reduce (see _w_fns chain)
+                    out = jax.lax.optimization_barrier(out)
+                    samp = out[:1024]
+                    s = s + samp.sum(dtype=jnp.uint32)
+                    cnt_total += samp.size
                 return s - salt * jnp.uint32(cnt_total) + salt + jnp.uint32(1), None
 
             final, _ = jax.lax.scan(body, jnp.uint32(1), None, length=runs)
@@ -396,6 +420,22 @@ def _s16_unpack(words_i32, cnt: int, bits: int, salt):
     mask = jnp.uint32((1 << bits) - 1)
     cols = [((uw >> jnp.uint32(j * bits)) & mask) + salt for j in range(cnt)]
     return jnp.stack(cols, axis=1)  # (N, cnt)
+
+
+def _s16_unpack_flat(words_i32, cnt: int, bits: int, salt):
+    """Chain variant of _s16_unpack: same fields, concatenated into a
+    dense 1-D array (column-major).  A materialized (N, cnt) output
+    lane-pads cnt -> 128 on device (cnt <= 28), multiplying the timed
+    chain's write traffic ~4.6x; the flat form writes exactly N*cnt
+    words.  Field ORDER is irrelevant to the chain (the buffer only
+    feeds the salt)."""
+    import jax
+    import jax.numpy as jnp
+
+    uw = jax.lax.bitcast_convert_type(words_i32, jnp.uint32)
+    mask = jnp.uint32((1 << bits) - 1)
+    cols = [((uw >> jnp.uint32(j * bits)) & mask) + salt for j in range(cnt)]
+    return jnp.concatenate(cols)
 
 
 @functools.lru_cache(maxsize=None)
@@ -599,15 +639,21 @@ class ByteClassEngine:
         import jax.numpy as jnp
 
         self.plan = plan
+        # split class byte matrices into dense 1-D columns on the host:
+        # an (N, L) u8 device array lane-pads L -> 128 (see
+        # _byteclass_unpack)
         self._dev = [
-            (int(L), jnp.asarray(b)) for L, b, _ in plan.classes if b.shape[0]
+            (int(L),
+             tuple(jnp.asarray(np.ascontiguousarray(b[:, i]))
+                   for i in range(int(L))))
+            for L, b, _ in plan.classes if b.shape[0]
         ]
 
     def decode_classes(self):
         outs = {}
-        for L, b in self._dev:
+        for L, cols in self._dev:
             fn = _byteclass_fns(L, self.plan.group_bits)[0]
-            outs[L] = np.asarray(fn(b, np.uint32(0)))
+            outs[L] = np.asarray(fn(cols, np.uint32(0)))
         return outs
 
     def timed_chain(self, runs: int) -> float:
@@ -615,7 +661,7 @@ class ByteClassEngine:
         import jax.numpy as jnp
 
         spec = tuple(L for L, _ in self._dev)
-        args = tuple(b for _, b in self._dev)
+        args = tuple(cols for _, cols in self._dev)
         gb = self.plan.group_bits
 
         pvals = jnp.asarray(
@@ -629,11 +675,14 @@ class ByteClassEngine:
             def body(salt, _):
                 s = jnp.uint32(0)
                 cnt = 0
-                for L, b in zip(spec, args):
-                    out = _byteclass_unpack(b, L, gb, salt)
-                    s = s + out.sum(dtype=jnp.uint32)
-                    cnt += out.size
-                pv = pvals + salt
+                for L, cols in zip(spec, args):
+                    out = _byteclass_unpack(cols, gb, salt)
+                    # materialize + sampled reduce (see _w_fns chain)
+                    out = jax.lax.optimization_barrier(out)
+                    samp = out[:8]
+                    s = s + samp.sum(dtype=jnp.uint32)
+                    cnt += samp.size
+                pv = jax.lax.optimization_barrier(pvals + salt)
                 s = s + pv.sum(dtype=jnp.uint32)
                 cnt += pv.size
                 return s - salt * jnp.uint32(cnt) + salt + jnp.uint32(1), None
@@ -657,18 +706,18 @@ class ByteClassEngine:
         return res
 
 
-def _byteclass_unpack(bytes_u8, L: int, group_bits: int, salt):
-    """(N, L) u8 -> (N,) u32 + salt: little-endian groups of
-    `group_bits` bits per byte (7 for the vbyte family: marker masked)."""
+def _byteclass_unpack(cols, group_bits: int, salt):
+    """L dense (N,) u8 column arrays -> (N,) u32 + salt: little-endian
+    groups of `group_bits` bits per byte (7 for the vbyte family:
+    marker masked).  Columns are split on the HOST at plan time: an
+    (N, L) u8 array would lane-pad L -> 128 on device (measured ~3x
+    slower end-to-end), while 1-D arrays stay dense."""
     import jax.numpy as jnp
 
     mask = jnp.uint32(0xFF if group_bits == 8 else 0x7F)
-    v = jnp.zeros(bytes_u8.shape[0], jnp.uint32)
-    for i in range(L):
-        v = v | (
-            (bytes_u8[:, i].astype(jnp.uint32) & mask)
-            << jnp.uint32(group_bits * i)
-        )
+    v = jnp.zeros(cols[0].shape[0], jnp.uint32)
+    for i, c in enumerate(cols):
+        v = v | ((c.astype(jnp.uint32) & mask) << jnp.uint32(group_bits * i))
     return v + salt
 
 
@@ -676,8 +725,8 @@ def _byteclass_unpack(bytes_u8, L: int, group_bits: int, salt):
 def _byteclass_fns(L: int, group_bits: int):
     import jax
 
-    def decode(b, salt):
-        return _byteclass_unpack(b, L, group_bits, salt) - salt
+    def decode(cols, salt):
+        return _byteclass_unpack(cols, group_bits, salt) - salt
 
     return (jax.jit(decode),)
 
@@ -752,9 +801,12 @@ def _fns(b: int, vpb: int, has_exc: bool):
     def chain(payload, exc_dense, *, runs: int):
         def body(salt, _):
             out = unpack(payload, exc_dense, salt)
-            # reduce over the whole output: no element may be skipped
-            s = out.sum(dtype=jnp.uint32)
-            cnt = jnp.uint32(out.size)
+            # The barrier materializes the output (see _w_fns chain);
+            # the salt reduces a contiguous row sample of the written buffer.
+            out = jax.lax.optimization_barrier(out)
+            samp = out[:8]
+            s = samp.sum(dtype=jnp.uint32)
+            cnt = jnp.uint32(samp.size)
             return s - salt * cnt, None  # cancels the added salt exactly
 
         final, _ = jax.lax.scan(body, jnp.uint32(1), None, length=runs)
@@ -778,7 +830,7 @@ class UnpackEngine:
                 # width-0 QMX instances decode to ones ON DEVICE (the
                 # unpack fn generates them); no payload words needed
                 self._dev.append(
-                    (jnp.zeros((c.payload.shape[0], 1), jnp.uint32),
+                    ((jnp.zeros(c.payload.shape[0], jnp.uint32),),
                      jnp.zeros((0, 1), jnp.uint32), False)
                 )
                 continue
@@ -800,12 +852,21 @@ class UnpackEngine:
                     [pay8, np.zeros((pay8.shape[0], padc), np.uint8)], axis=1
                 )
             words = np.ascontiguousarray(pay8).view("<u4")
+            if qmx:
+                # lane columns as dense 1-D arrays (an (N, 4/8) matrix
+                # would lane-pad to 128 on device — see _qmx_fns)
+                words = tuple(
+                    jnp.asarray(np.ascontiguousarray(words[:, k]))
+                    for k in range(words.shape[1])
+                )
+            else:
+                words = jnp.asarray(words)
             exc = (
                 c.exc_dense
                 if has_exc
                 else np.zeros((0, self.plan.values_per_block), np.uint32)
             )
-            self._dev.append((jnp.asarray(words), jnp.asarray(exc), has_exc))
+            self._dev.append((words, jnp.asarray(exc), has_exc))
 
     def decode_classes(self, salt: int = 0) -> List[np.ndarray]:
         import jax.numpy as jnp
@@ -865,9 +926,13 @@ class UnpackEngine:
                     unpack = (_qmx_fns(b) if qmx
                               else _fns(b, vpb, has_exc))[2]
                     out = unpack(pay, exc, salt)
-                    s = s + out.sum(dtype=jnp.uint32)
-                    cnt += out.size
-                pv = pvals + salt
+                    # materialize + sampled reduce (see _w_fns chain);
+                    # qmx chain outputs are flat 1-D, optpfor (N, vpb)
+                    out = jax.lax.optimization_barrier(out)
+                    samp = out[:1024] if out.ndim == 1 else out[:8]
+                    s = s + samp.sum(dtype=jnp.uint32)
+                    cnt += samp.size
+                pv = jax.lax.optimization_barrier(pvals + salt)
                 s = s + pv.sum(dtype=jnp.uint32)
                 cnt += pv.size
                 return s - salt * jnp.uint32(cnt), None
