@@ -46,14 +46,25 @@ if __name__ == "__main__" and os.environ.get("DINT_BENCH_CHILD") != "1":
         env=env,
         start_new_session=True,
     )
-    try:
-        sys.exit(p.wait(timeout=_WATCHDOG_SECS))
-    except subprocess.TimeoutExpired:
+
+    def _killpg():
         try:
             os.killpg(p.pid, signal.SIGKILL)
         except (ProcessLookupError, PermissionError):
             p.kill()
         p.wait()
+
+    try:
+        sys.exit(p.wait(timeout=_WATCHDOG_SECS))
+    except subprocess.TimeoutExpired:
+        _killpg()
+    except BaseException:
+        # Ctrl-C / SIGTERM on the parent: the child runs in its own
+        # session, so the terminal's SIGINT never reaches it — kill the
+        # whole child group before re-raising or it would keep holding
+        # the device (one TPU process at a time).
+        _killpg()
+        raise
         print(
             json.dumps(
                 {

@@ -1057,12 +1057,18 @@ class LocalDecodeEngine:
     def decode_chain(self, runs: int):
         """`runs` full-stream decodes as ONE device dispatch.
 
-        Each run's salt is a u32 reduction over the previous run's
-        ENTIRE output (no element can be skipped or memoized), so all
-        runs are distinct, fully-materialized decodes; per-dispatch
-        runtime overhead (~ms through this stack) amortizes across the
-        chain.  Returns the final salt (fetch it to force completion).
-        """
+        Every run is a distinct, fully-materialized decode (the salt
+        carry makes each run's kernel inputs depend on the previous
+        run, so nothing can be hoisted, skipped, or memoized), and
+        per-dispatch runtime overhead (~ms through this stack)
+        amortizes across the chain.  Small plans derive each salt from
+        a u32 reduction over the previous run's ENTIRE output; plans
+        >= CHAIN_SUMS_MIN_OUT_BYTES use the sum-emitting kernels and
+        reduce per-tile output SAMPLES instead (the full re-read is
+        ~1/3 of chain traffic at scale) — there the full-write
+        guarantee rests on the Mosaic kernels being opaque to XLA,
+        which cannot split or partially execute them.  Returns the
+        final salt (fetch it to force completion)."""
         if self.use_pallas:
             _, chain = _pallas_split_fns(
                 self._spec, self.row_tile, self._interpret

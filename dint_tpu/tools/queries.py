@@ -80,7 +80,12 @@ def run_op_device(index, decoder, wdata, queries_list, op, runs, k):
 
             # reuse the decoder's memoizing cache: row construction is
             # untimed, and a fresh cache would re-decode every surviving
-            # block (plus re-materialize both dictionary views) per call
+            # block (plus re-materialize both dictionary views) per
+            # call.  Deliberate trade: decoded blocks stay resident on
+            # the decoder afterwards (they also warm any subsequent
+            # host-engine queries over the same index); call
+            # decoder.lazy_cache clearing explicitly if footprint
+            # matters more than reuse.
             drows, srows, pruned_stats = bmw_mod.build_pruned_rows(
                 decoder.lazy_cache, index, wdata, queries_list, k,
             )

@@ -127,17 +127,36 @@ def serve_sharded_stage(args):
     all_gather top-k merge, parallel/serve.py), exact parity with the
     host ranked_or oracle.  Self-provisions its CPU mesh in a child
     process (the dryrun_multichip recipe) so it runs from any shell."""
+    import re
     import subprocess
+
+    needed = [
+        os.path.join(CACHE, "scale.idx.mpd.bin.npz"),
+        os.path.join(CACHE, "scale.wand.npz"),
+        os.path.join(CACHE, "scale.queries"),
+    ]
+    missing = [f for f in needed if not os.path.exists(f)]
+    if missing:
+        raise SystemExit(
+            "--serve-sharded needs the artifacts a --serve run creates; "
+            f"missing: {missing}.  Run `python scripts/scale_test.py "
+            "--serve` first."
+        )
 
     if os.environ.get("_DINT_SCALE_SHARDED_CHILD") != "1":
         env = dict(os.environ)
         env["_DINT_SCALE_SHARDED_CHILD"] = "1"
         env["JAX_PLATFORMS"] = "cpu"
         xla = env.get("XLA_FLAGS", "")
-        if "xla_force_host_platform_device_count" not in xla:
-            xla = (
-                xla + f" --xla_force_host_platform_device_count={args.shards}"
-            ).strip()
+        want = f"--xla_force_host_platform_device_count={args.shards}"
+        if "xla_force_host_platform_device_count" in xla:
+            # override a conflicting inherited value instead of keeping
+            # it (the mesh assert below would fire otherwise)
+            xla = re.sub(
+                r"--?xla_force_host_platform_device_count=\d+", want, xla
+            )
+        else:
+            xla = (xla + " " + want).strip()
         env["XLA_FLAGS"] = xla
         r = subprocess.run([sys.executable] + sys.argv, env=env)
         if r.returncode != 0:
@@ -197,6 +216,13 @@ def main():
     ap.add_argument("--runs", type=int, default=5)
     args = ap.parse_args()
 
+    # sharded-serve child (and parent, once artifacts exist): jump
+    # straight to the stage — re-running the synth/count/encode checks
+    # here would pass over ~10^8 postings again for nothing
+    if args.serve_sharded:
+        serve_sharded_stage(args)
+        return
+
     from dint_tpu.io import collection, synth
 
     os.makedirs(CACHE, exist_ok=True)
@@ -229,10 +255,6 @@ def main():
             "single_rect_dint", base + ".docs", stream, cache_dir=CACHE
         )
     t = log_stage("dict-train + encode", t)
-
-    if args.serve_sharded:
-        serve_sharded_stage(args)
-        return
 
     if args.serve:
         serve_stage(base, args)
