@@ -43,7 +43,8 @@ def mixed_encode(values, sum_of_values, predictor=None, access_count=1,
             continue
         cost = float(len(body))
         if predictor is not None and lam > 0:
-            feats = dtp.feature_vector(values, len(body))
+            pb, pe = dtp.pfor_features(c, body, len(values))
+            feats = dtp.feature_vector(values, len(body), pb, pe)
             cost += lam * predictor.predict(c, feats) * access_count
         if best_cost is None or cost < best_cost:
             best_cost = cost

@@ -19,10 +19,18 @@ from typing import Dict, List
 
 import numpy as np
 
-FEATURES = ("const", "n", "size", "sum_of_logs", "entropy", "nonzeros", "max_b")
+FEATURES = ("const", "n", "size", "sum_of_logs", "entropy", "nonzeros",
+            "max_b", "pfor_b", "pfor_exceptions")
 
 
-def feature_vector(values: np.ndarray, encoded_size: int) -> np.ndarray:
+def feature_vector(
+    values: np.ndarray, encoded_size: int,
+    pfor_b: int = 0, pfor_exceptions: int = 0,
+) -> np.ndarray:
+    """The reference's full feature set (dec_time_prediction.hpp:13):
+    the codec-specific pfor_b / pfor_exceptions are nonzero only for
+    OptPFD blocks (mixed_block.hpp:79-97 fills them from the chosen b
+    and its exception census; every other codec passes 0)."""
     v = np.asarray(values, dtype=np.float64)
     n = v.shape[0]
     logs = np.log2(1.0 + v)
@@ -33,9 +41,20 @@ def feature_vector(values: np.ndarray, encoded_size: int) -> np.ndarray:
     max_b = int(v.max()).bit_length() if n else 0
     return np.asarray(
         [1.0, n, encoded_size, float(logs.sum()), entropy,
-         float((v != 0).sum()), max_b],
+         float((v != 0).sum()), max_b, pfor_b, pfor_exceptions],
         dtype=np.float64,
     )
+
+
+def pfor_features(codec: str, body: bytes, n: int):
+    """(pfor_b, pfor_exceptions) extracted from an encoded optpfor
+    block body (header = b u8, #exceptions u16 LE — see
+    codecs/blocks.py optpfor_decode); (0, 0) for every other codec and
+    for partial blocks (n < 256 encodes as interpolative, whose bits
+    are not a pfor header)."""
+    if codec != "optpfor" or n < 256 or len(body) < 3:
+        return 0, 0
+    return int(body[0]), int.from_bytes(bytes(body[1:3]), "little")
 
 
 @dataclass
@@ -93,5 +112,8 @@ def measure_block_decode(codec: str, blocks: List[np.ndarray], reps: int = 5):
         for _ in range(reps):
             dec(arr, 0, vals.shape[0], blocks_mod.UNKNOWN)
         t1 = time.perf_counter()
-        rows.append((feature_vector(vals, len(buf)), (t1 - t0) / reps * 1e9))
+        pb, pe = pfor_features(codec, buf, vals.shape[0])
+        rows.append(
+            (feature_vector(vals, len(buf), pb, pe), (t1 - t0) / reps * 1e9)
+        )
     return rows

@@ -127,15 +127,21 @@ def main():
                     g[1:] = np.diff(d) - 1
                     start = midx.block_start(b)
                     codec = mixed_block.CANDIDATES[int(midx.arena[start])]
-                    body = int(midx.docs_end[b]) - start - 1
-                    feats = dtp.feature_vector(g.astype(np.uint32), body)
+                    body = bytes(midx.arena[start + 1 : int(midx.docs_end[b])])
+                    pb, pe = dtp.pfor_features(codec, body, g.shape[0])
+                    feats = dtp.feature_vector(
+                        g.astype(np.uint32), len(body), pb, pe
+                    )
                     cost_ns += acc_d * max(pred.predict(codec, feats), 0.0)
                 if acc_f:
                     f = midx.block_freqs(b, t).astype(np.int64) - 1
                     fstart = int(midx.docs_end[b])
                     codec = mixed_block.CANDIDATES[int(midx.arena[fstart])]
-                    body = int(midx.block_end[b]) - fstart - 1
-                    feats = dtp.feature_vector(f.astype(np.uint32), body)
+                    body = bytes(midx.arena[fstart + 1 : int(midx.block_end[b])])
+                    pb, pe = dtp.pfor_features(codec, body, f.shape[0])
+                    feats = dtp.feature_vector(
+                        f.astype(np.uint32), len(body), pb, pe
+                    )
                     cost_ns += acc_f * max(pred.predict(codec, feats), 0.0)
         results[name] = (st, cost_ns)
         print(f"[mixed:{name}] docs_bpi {st['docs_bpi']:.3f} "
