@@ -254,8 +254,18 @@ def build_index(
     kind: str = "single",
     policy: str = "pack",
     cache_dir: str = ".",
+    list_range: Optional[Tuple[int, int]] = None,
 ) -> DintIndex:
-    """create_freq_index equivalent (src/create_freq_index.cpp:54-110)."""
+    """create_freq_index equivalent (src/create_freq_index.cpp:54-110).
+
+    ``list_range=(a, b)`` restricts the build to lists [a, b) — the
+    worker-shard form used by parallel/build.py's multi-process build
+    (the semiasync_queue "prepare" half, dict_freq_index.hpp:46-51):
+    shard outputs concatenate in order into an index identical to the
+    serial build.  Dictionaries are always trained on (or loaded from
+    the cache of) the FULL collection, matching the reference's
+    train-once model.
+    """
     view = open_freq_collection(basename)
     tools_common.log("building or loading dictionaries (docs, freqs)...")
     docs_dict = dict_builder.build_or_load_dict(
@@ -272,13 +282,36 @@ def build_index(
     dvals, doffs, dlens = view.docs.flat_view()
     fvals, foffs, flens = view.freqs.flat_view()
     L = len(view)
-    list_n = np.asarray(dlens[1:], dtype=np.int64)  # seq 0 = num_docs singleton
-    # payload concat = word stream minus length words (+ the singleton)
-    drop_d = np.concatenate([np.asarray(doffs, np.int64), [1]])
-    docs_flat = np.delete(np.asarray(dvals, dtype=np.uint32), drop_d)
-    freqs_flat = np.delete(
-        np.asarray(fvals, dtype=np.uint32), np.asarray(foffs, np.int64)
-    )
+    a, b = list_range if list_range is not None else (0, L)
+    assert 0 <= a <= b <= L, (a, b, L)
+    if list_range is None:
+        list_n = np.asarray(dlens[1:], dtype=np.int64)  # seq 0 = num_docs
+        # payload concat = word stream minus length words (+ singleton)
+        drop_d = np.concatenate([np.asarray(doffs, np.int64), [1]])
+        docs_flat = np.delete(np.asarray(dvals, dtype=np.uint32), drop_d)
+        freqs_flat = np.delete(
+            np.asarray(fvals, dtype=np.uint32), np.asarray(foffs, np.int64)
+        )
+    else:
+        # List i lives at docs sequence i+1 (seq 0 = num_docs singleton)
+        # and freqs sequence i; slice each word stream to the range and
+        # drop the in-range length words.
+        doffs = np.asarray(doffs, np.int64)
+        foffs = np.asarray(foffs, np.int64)
+        d_lo = int(doffs[1 + a]) if 1 + a < doffs.shape[0] else len(dvals)
+        d_hi = int(doffs[1 + b]) if 1 + b < doffs.shape[0] else len(dvals)
+        f_lo = int(foffs[a]) if a < foffs.shape[0] else len(fvals)
+        f_hi = int(foffs[b]) if b < foffs.shape[0] else len(fvals)
+        list_n = np.asarray(dlens[1 + a : 1 + b], dtype=np.int64)
+        docs_flat = np.delete(
+            np.asarray(dvals[d_lo:d_hi], dtype=np.uint32),
+            doffs[1 + a : 1 + b] - d_lo,
+        )
+        freqs_flat = np.delete(
+            np.asarray(fvals[f_lo:f_hi], dtype=np.uint32),
+            foffs[a:b] - f_lo,
+        )
+        L = b - a
     # u32-native gap transforms: docids increase strictly within a
     # list so u32 subtraction never wraps (cross-list positions may
     # wrap but are overwritten below), and freqs are >= 1.  In-place

@@ -1,0 +1,159 @@
+"""Sharded (multi-process) index construction.
+
+The reference parallelizes construction with `semiasync_queue`
+(semiasync_queue.hpp:12-95, used by dict_freq_index.hpp:46-51): workers
+run `prepare()` (encode a posting list) concurrently while the main
+thread runs `commit()` strictly in list order, so the built index is
+bit-identical to a serial build regardless of scheduling.
+
+This module is the multi-worker analogue at coarser grain, the shape
+that scales to multi-host TPU pods: the list space is partitioned into
+contiguous ranges, each worker PROCESS builds its range into an index
+part (`prepare`), and the parent concatenates the parts in range order
+(`commit`).  Dictionaries are trained once on the full collection
+(create-or-load cache) before workers launch, exactly like the
+reference's single `build_model` preceding its parallel encode.  The
+result is asserted-by-test identical to `build_index` serial output.
+
+In-process threading of the native encoder (DS2I_THREADS) composes with
+this: each worker can itself run the work-stealing pool.  On a
+multi-host deployment the worker boundary is the host boundary and the
+"parts" travel as files; here workers are local processes.
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+import os
+import tempfile
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..index import dint_index
+from ..io.collection import open_freq_collection
+from ..tools import common as tools_common
+
+_PART_KEYS = ("list_n", "block_ptr", "block_max", "docs_end", "block_end", "arena")
+
+
+def _build_part(args) -> str:
+    """Worker: build lists [a, b) and persist the part (prepare())."""
+    basename, kind, policy, cache_dir, a, b, part_path = args
+    idx = dint_index.build_index(
+        basename, kind=kind, policy=policy, cache_dir=cache_dir,
+        list_range=(a, b),
+    )
+    np.savez(
+        part_path,
+        list_n=idx.list_n,
+        block_ptr=idx.block_ptr,
+        block_max=idx.block_max,
+        docs_end=idx.docs_end,
+        block_end=idx.block_end,
+        arena=idx.arena,
+    )
+    return part_path
+
+
+def concat_index_parts(
+    kind: str,
+    policy: Optional[str],
+    num_docs: int,
+    parts: List[dict],
+    docs_dict=None,
+    freqs_dict=None,
+) -> dint_index.DintIndex:
+    """Ordered commit: concatenate per-range parts into one index.
+
+    Every per-list / per-block table is a plain concatenation with the
+    running block-count / arena-byte offsets folded into the pointer
+    arrays — the SoA layout makes the reference's in-order buffer
+    append (dict_freq_index.hpp:119-122) a pure array op.
+    """
+    list_n = np.concatenate([p["list_n"] for p in parts])
+    block_off = 0
+    arena_off = 0
+    bptr, bmax, dend, bend, arenas = [], [], [], [], []
+    for i, p in enumerate(parts):
+        ptr = np.asarray(p["block_ptr"], np.uint64) + np.uint64(block_off)
+        bptr.append(ptr if i == 0 else ptr[1:])  # drop duplicated boundary
+        bmax.append(p["block_max"])
+        dend.append(np.asarray(p["docs_end"], np.uint64) + np.uint64(arena_off))
+        bend.append(np.asarray(p["block_end"], np.uint64) + np.uint64(arena_off))
+        arenas.append(p["arena"])
+        block_off += int(p["block_max"].shape[0])
+        arena_off += int(p["arena"].shape[0])
+    return dint_index.DintIndex(
+        kind,
+        policy,
+        num_docs,
+        list_n.astype(np.uint32),
+        np.concatenate(bptr),
+        np.concatenate(bmax),
+        np.concatenate(dend),
+        np.concatenate(bend),
+        np.concatenate(arenas) if arenas else np.zeros(0, np.uint8),
+        docs_dict,
+        freqs_dict,
+    )
+
+
+def build_index_sharded(
+    basename: str,
+    kind: str = "single",
+    policy: str = "pack",
+    cache_dir: str = ".",
+    n_workers: int = 2,
+    serial: bool = False,
+) -> dint_index.DintIndex:
+    """Build an index with the list space sharded over worker processes.
+
+    ``serial=True`` runs the same range partition in-process (useful on
+    1-core hosts and for determinism tests).  Output is identical to
+    ``build_index`` by construction; tests assert it field-for-field.
+    """
+    from ..dictionary import builder as dict_builder
+
+    view = open_freq_collection(basename)
+    L = len(view)
+    n_workers = max(1, min(n_workers, L or 1))
+    # Train-once (or hit the cache) BEFORE workers launch, so every
+    # worker loads the same dictionaries (reference build_model order).
+    tools_common.log("building or loading dictionaries (docs, freqs)...")
+    docs_dict = dict_builder.build_or_load_dict(
+        basename + ".docs", True, kind, policy, cache_dir
+    )
+    freqs_dict = dict_builder.build_or_load_dict(
+        basename + ".freqs", False, kind, policy, cache_dir
+    )
+
+    bounds = np.linspace(0, L, n_workers + 1).astype(int)
+    ranges: List[Tuple[int, int]] = [
+        (int(bounds[i]), int(bounds[i + 1])) for i in range(n_workers)
+    ]
+    tools_common.log(
+        f"sharded encode: {L} lists over {n_workers} workers "
+        f"({'serial' if serial else 'processes'})..."
+    )
+    with tempfile.TemporaryDirectory(prefix="dint_build_") as td:
+        jobs = [
+            (basename, kind, policy, cache_dir, a, b,
+             os.path.join(td, f"part{i}.npz"))
+            for i, (a, b) in enumerate(ranges)
+        ]
+        if serial or n_workers == 1:
+            paths = [_build_part(j) for j in jobs]
+        else:
+            # spawn: no fork-inherited jax/numpy state; workers import
+            # fresh (the multi-host shape, each worker a clean runtime)
+            ctx = mp.get_context("spawn")
+            with ctx.Pool(processes=n_workers) as pool:
+                paths = pool.map(_build_part, jobs)
+        parts = []
+        for p in paths:
+            with np.load(p + ("" if p.endswith(".npz") else ".npz")) as z:
+                parts.append({k: np.array(z[k]) for k in _PART_KEYS})
+    return concat_index_parts(
+        kind, policy, view.num_docs, parts, docs_dict, freqs_dict
+    )

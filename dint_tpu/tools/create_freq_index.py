@@ -29,6 +29,12 @@ def main(argv=None):
     ap.add_argument("output_filename", nargs="?")
     ap.add_argument("--check", action="store_true")
     ap.add_argument("--cache-dir", default=".")
+    ap.add_argument(
+        "--shards", type=int, default=0, metavar="N",
+        help="DINT types: shard the list space over N worker processes "
+        "(parallel prepare, ordered commit — identical output to the "
+        "serial build)",
+    )
     args = ap.parse_args(argv)
 
     if args.index_type in common.BLOCK_KINDS:
@@ -64,9 +70,17 @@ def main(argv=None):
         return
 
     kind, policy = common.DINT_KINDS[args.index_type]
-    idx = dint_index.build_index(
-        args.collection_basename, kind, policy or "pack", args.cache_dir
-    )
+    if args.shards > 1:
+        from ..parallel import build as pbuild
+
+        idx = pbuild.build_index_sharded(
+            args.collection_basename, kind, policy or "pack",
+            args.cache_dir, n_workers=args.shards,
+        )
+    else:
+        idx = dint_index.build_index(
+            args.collection_basename, kind, policy or "pack", args.cache_dir
+        )
     stats = idx.size_stats()
     common.stats_line({"type": args.index_type, **stats})
     if args.output_filename:

@@ -1,0 +1,78 @@
+"""Multi-process sharded construction equals the serial build.
+
+The semiasync_queue contract (semiasync_queue.hpp:12-95): parallel
+prepare, in-order commit, output independent of scheduling.  Here the
+grain is contiguous list ranges built by worker processes
+(dint_tpu/parallel/build.py); these tests assert the committed index is
+field-for-field identical to build_index's serial output.
+"""
+
+import numpy as np
+import pytest
+
+from dint_tpu.index import dint_index
+from dint_tpu.io import collection, synth
+from dint_tpu.parallel import build as pbuild
+
+
+@pytest.fixture(scope="module")
+def coll(tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("shbuild") / "coll")
+    docs, freqs = synth.make_collection(num_lists=40, num_docs=4000, seed=11)
+    collection.write_freq_collection(base, docs, freqs, num_docs=4000)
+    return base
+
+
+def assert_index_equal(a: dint_index.DintIndex, b: dint_index.DintIndex):
+    assert a.kind == b.kind and a.num_docs == b.num_docs
+    np.testing.assert_array_equal(a.list_n, b.list_n)
+    np.testing.assert_array_equal(a.block_ptr, b.block_ptr)
+    np.testing.assert_array_equal(a.block_max, b.block_max)
+    np.testing.assert_array_equal(a.docs_end, b.docs_end)
+    np.testing.assert_array_equal(a.block_end, b.block_end)
+    np.testing.assert_array_equal(a.arena, b.arena)
+
+
+@pytest.mark.parametrize("kind", ["single", "multi"])
+def test_sharded_serial_ranges_identical(coll, kind, tmp_path):
+    cache = str(tmp_path)
+    full = dint_index.build_index(coll, kind=kind, cache_dir=cache)
+    sharded = pbuild.build_index_sharded(
+        coll, kind=kind, cache_dir=cache, n_workers=3, serial=True
+    )
+    assert_index_equal(full, sharded)
+
+
+def test_sharded_process_pool_identical(coll, tmp_path):
+    cache = str(tmp_path)
+    full = dint_index.build_index(coll, kind="single", cache_dir=cache)
+    sharded = pbuild.build_index_sharded(
+        coll, kind="single", cache_dir=cache, n_workers=2, serial=False
+    )
+    assert_index_equal(full, sharded)
+
+
+def test_list_range_matches_full_slice(coll, tmp_path):
+    cache = str(tmp_path)
+    full = dint_index.build_index(coll, kind="single", cache_dir=cache)
+    a, b = 7, 23
+    part = dint_index.build_index(
+        coll, kind="single", cache_dir=cache, list_range=(a, b)
+    )
+    np.testing.assert_array_equal(part.list_n, full.list_n[a:b])
+    p0, p1 = int(full.block_ptr[a]), int(full.block_ptr[b])
+    np.testing.assert_array_equal(
+        part.block_max, full.block_max[p0:p1]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(part.block_ptr, np.int64),
+        np.asarray(full.block_ptr[a : b + 1], np.int64) - p0,
+    )
+    s0 = int(full.block_end[p0 - 1]) if p0 > 0 else 0
+    np.testing.assert_array_equal(
+        np.asarray(part.block_end, np.int64),
+        np.asarray(full.block_end[p0:p1], np.int64) - s0,
+    )
+    np.testing.assert_array_equal(
+        part.arena, full.arena[s0 : int(full.block_end[p1 - 1])]
+    )
