@@ -99,6 +99,107 @@ def concat_index_parts(
     )
 
 
+def partition_collection_by_doc(
+    basename: str, out_dir: str, n_shards: int
+) -> dict:
+    """Split a collection into doc-range shard collections.
+
+    Shard j owns docids [j*span, (j+1)*span); every posting list is
+    sliced to the range (sorted docids → two searchsorteds) and rebased
+    to shard-local ids.  All term ids are kept in every shard (lists a
+    shard holds no postings of are written empty), so a term's id is
+    global.  Returns the catalog: doc ranges, global num_docs, and the
+    GLOBAL per-term document frequencies — BM25's idf must use global
+    statistics no matter which shard scores a posting.
+    """
+    from ..io.collection import write_freq_collection
+
+    view = open_freq_collection(basename)
+    N = view.num_docs
+    S = n_shards
+    span = -(-max(N, 1) // S)
+    lo = np.minimum(np.arange(S, dtype=np.int64) * span, N)
+    hi = np.minimum(lo + span, N)
+    docs_by_shard: List[List[np.ndarray]] = [[] for _ in range(S)]
+    freqs_by_shard: List[List[np.ndarray]] = [[] for _ in range(S)]
+    df = []
+    for d, f in view:
+        df.append(d.shape[0])
+        cut = np.searchsorted(d, np.concatenate([lo, [N]]).astype(d.dtype))
+        for j in range(S):
+            a, b = int(cut[j]), int(cut[j + 1])
+            docs_by_shard[j].append(
+                (d[a:b].astype(np.int64) - lo[j]).astype(np.uint32)
+            )
+            freqs_by_shard[j].append(f[a:b])
+    os.makedirs(out_dir, exist_ok=True)
+    for j in range(S):
+        write_freq_collection(
+            os.path.join(out_dir, f"shard{j}"),
+            docs_by_shard[j],
+            freqs_by_shard[j],
+            num_docs=int(hi[j] - lo[j]),
+        )
+    catalog = {
+        "n_shards": S,
+        "num_docs": N,
+        "doc_lo": lo,
+        "doc_hi": hi,
+        "df": np.asarray(df, np.int64),
+    }
+    np.savez(os.path.join(out_dir, "catalog"), **catalog)
+    return catalog
+
+
+def build_doc_sharded(
+    basename: str,
+    out_dir: str,
+    n_shards: int,
+    kind: str = "single",
+    policy: str = "pack",
+) -> "DocShardedIndex":
+    """Partition by doc range and build one full index per shard.
+
+    Unlike the list-sharded build (whose parts recombine into ONE
+    index), each doc shard here is a self-contained index over its doc
+    range — the multi-host serving topology where no host ever holds
+    the whole index.  Each shard trains its own dictionaries on its own
+    sub-collection (each host models its local data); global BM25
+    statistics travel in the catalog.
+    """
+    catalog = partition_collection_by_doc(basename, out_dir, n_shards)
+    for j in range(n_shards):
+        sbase = os.path.join(out_dir, f"shard{j}")
+        idx = dint_index.build_index(
+            sbase, kind=kind, policy=policy, cache_dir=out_dir
+        )
+        idx.save(sbase + ".idx")
+    return DocShardedIndex.load(out_dir)
+
+
+class DocShardedIndex:
+    """A set of per-doc-range indexes + the global-statistics catalog."""
+
+    def __init__(self, shards, doc_lo, doc_hi, num_docs, df):
+        self.shards = shards
+        self.doc_lo = np.asarray(doc_lo, np.int64)
+        self.doc_hi = np.asarray(doc_hi, np.int64)
+        self.num_docs = int(num_docs)
+        self.df = np.asarray(df, np.int64)
+
+    @classmethod
+    def load(cls, out_dir: str) -> "DocShardedIndex":
+        with np.load(os.path.join(out_dir, "catalog.npz")) as z:
+            S = int(z["n_shards"])
+            lo, hi = np.array(z["doc_lo"]), np.array(z["doc_hi"])
+            num_docs, df = int(z["num_docs"]), np.array(z["df"])
+        shards = [
+            dint_index.DintIndex.load(os.path.join(out_dir, f"shard{j}.idx"))
+            for j in range(S)
+        ]
+        return cls(shards, lo, hi, num_docs, df)
+
+
 def build_index_sharded(
     basename: str,
     kind: str = "single",

@@ -25,11 +25,13 @@ def shard_rows_by_doc(
     srows: Sequence[np.ndarray],
     n_shards: int,
     num_docs: int,
+    min_width: int = 1,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Split per-query (docid, score) rows into doc-range shards.
 
     Returns (d (S, Q, P) i32, s (S, Q, P) f32), PAD padded, where shard
     j owns docids in [j*ceil(num_docs/S), (j+1)*ceil(...)).
+    ``min_width`` floors P (the top-k step needs k candidates per row).
     """
     S = n_shards
     span = -(-max(num_docs, 1) // S)
@@ -44,6 +46,7 @@ def shard_rows_by_doc(
             m = shard_of == j
             per[j][q] = (d[m].astype(np.int32), s[m])
             width = max(width, int(m.sum()))
+    width = max(width, min_width)
     P = 1 << max(int(np.ceil(np.log2(width))), 3)
     dd = np.full((S, Q, P), PAD_DOC, np.int32)
     ss = np.zeros((S, Q, P), np.float32)
@@ -53,6 +56,83 @@ def shard_rows_by_doc(
             dd[j, q, : d.shape[0]] = d
             ss[j, q, : s.shape[0]] = s
     return dd, ss
+
+
+def serve_ranked_doc_sharded(
+    mesh,
+    sharded,  # parallel.build.DocShardedIndex
+    norm_lens: np.ndarray,
+    queries: Sequence[Sequence[int]],
+    k: int = 10,
+):
+    """Exact ranked top-k over a set of per-doc-range indexes.
+
+    The true multi-host topology: each shard is a SELF-CONTAINED index
+    over its doc range (built by parallel.build.build_doc_sharded — no
+    host ever holds the whole index); scoring uses the catalog's GLOBAL
+    document frequencies and the global norm_lens so per-shard partial
+    scores are globally comparable, and one shard_map dispatch merges
+    per-shard top-k via all_gather.  Returns (scores (Q, k) desc,
+    docids (Q, k) global ids)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..query import ranked
+    from ..query.term_decode import TermDecoder
+    from . import steps
+
+    S = len(sharded.shards)
+    Q = len(queries)
+    norm_lens = np.asarray(norm_lens, np.float32)
+    decs = [TermDecoder(idx) for idx in sharded.shards]
+    rows: List[List[Tuple[np.ndarray, np.ndarray]]] = []
+    width = 1
+    for j, (idx, dec) in enumerate(zip(sharded.shards, decs)):
+        lo = int(sharded.doc_lo[j])
+        qrows = []
+        for q in queries:
+            qf = {}
+            for t in q:
+                qf[int(t)] = qf.get(int(t), 0) + 1
+            ds, ss = [], []
+            for t, f in sorted(qf.items()):
+                qw = ranked.query_term_weight(
+                    f, int(sharded.df[t]), sharded.num_docs
+                )
+                d = dec.decode_docids([t])[t].astype(np.int64) + lo
+                fr = dec.decode_freqs([t])[t]
+                ds.append(d.astype(np.int32))
+                ss.append(
+                    np.float32(qw)
+                    * ranked.doc_term_weight(fr, norm_lens[d])
+                )
+            d = np.concatenate(ds) if ds else np.zeros(0, np.int32)
+            s = np.concatenate(ss) if ss else np.zeros(0, np.float32)
+            qrows.append((d, s))
+            width = max(width, d.shape[0])
+        rows.append(qrows)
+    width = max(width, k)  # top_k needs k candidates per row
+    Pw = 1 << max(int(np.ceil(np.log2(width))), 3)
+    dd = np.full((S, Q, Pw), PAD_DOC, np.int32)
+    ss = np.zeros((S, Q, Pw), np.float32)
+    for j in range(S):
+        for q in range(Q):
+            d, s = rows[j][q]
+            dd[j, q, : d.shape[0]] = d
+            ss[j, q, : s.shape[0]] = s
+    fn = steps.make_shard_map(
+        lambda d, s: steps.doc_sharded_rows_topk_step(d[0], s[0], k),
+        mesh,
+        (P("dp", None, None), P("dp", None, None)),
+        P(),
+    )
+    put = lambda x: jax.device_put(
+        jnp.asarray(x), NamedSharding(mesh, P("dp", None, None))
+    )
+    v, ids = fn(put(dd), put(ss))
+    jax.block_until_ready(v)
+    return np.asarray(v), np.asarray(ids)
 
 
 def serve_ranked_sharded(
@@ -92,7 +172,9 @@ def serve_ranked_sharded(
             index, decoder, wdata, queries
         )
     S = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
-    dd, ss = shard_rows_by_doc(drows, srows, S, index.num_docs)
+    dd, ss = shard_rows_by_doc(
+        drows, srows, S, index.num_docs, min_width=k
+    )
     fn = steps.make_shard_map(
         lambda d, s: steps.doc_sharded_rows_topk_step(d[0], s[0], k),
         mesh,

@@ -161,7 +161,13 @@ class TermDecoder:
                         parts.append(vals)  # device docids
                 else:
                     parts.append(vals.astype(np.int64) + 1)
-            arr = np.concatenate(parts).astype(np.uint32)
+            # empty posting lists (e.g. a doc shard holding none of a
+            # term's postings) decode to an empty array
+            arr = (
+                np.concatenate(parts).astype(np.uint32)
+                if parts
+                else np.zeros(0, np.uint32)
+            )
             if docs:
                 self._doc_cache[t] = arr
             else:

@@ -52,6 +52,57 @@ def test_sharded_process_pool_identical(coll, tmp_path):
     assert_index_equal(full, sharded)
 
 
+def test_doc_sharded_build_and_serve_parity(coll, tmp_path):
+    """Per-doc-range self-contained indexes + catalog (global BM25
+    stats) served over the 8-device mesh == exhaustive ranked_or on the
+    unsharded index."""
+    import jax
+    from jax.sharding import Mesh
+
+    from dint_tpu.io import collection as coll_mod
+    from dint_tpu.io import synth as synth_mod
+    from dint_tpu.parallel import serve
+    from dint_tpu.query import ranked
+    from dint_tpu.query.term_decode import TermDecoder
+
+    cache = str(tmp_path / "c")
+    out = str(tmp_path / "shards")
+    sharded = pbuild.build_doc_sharded(coll, out, n_shards=8)
+    # reload from disk (catalog + per-shard indexes round-trip)
+    sharded = pbuild.DocShardedIndex.load(out)
+    assert len(sharded.shards) == 8
+    # shard num_docs cover the doc space exactly
+    assert int(sharded.doc_hi[-1]) == sharded.num_docs
+
+    full = dint_index.build_index(coll, kind="single", cache_dir=cache)
+    view = coll_mod.open_freq_collection(coll)
+    import os
+
+    if not os.path.exists(coll + ".sizes"):
+        docs = [d for d, _ in view]
+        freqs_l = [f for _, f in view]
+        coll_mod.write_sizes_file(
+            coll, synth_mod.doc_sizes_from_lists(docs, freqs_l, view.num_docs)
+        )
+    wdata = ranked.build_wand_data(coll)
+    dec = TermDecoder(full)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    rng = np.random.default_rng(5)
+    nonempty = [t for t in range(full.num_lists) if full.list_n[t]]
+    queries = [
+        list(rng.choice(nonempty, size=int(rng.integers(1, 4)), replace=False))
+        for _ in range(8)
+    ]
+    vals, ids = serve.serve_ranked_doc_sharded(
+        mesh, sharded, wdata.norm_lens, queries, k=10
+    )
+    for qi, q in enumerate(queries):
+        want = ranked.ranked_or(full, dec, wdata, q, k=10)
+        got = vals[qi][: want.shape[0]]
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
 def test_list_range_matches_full_slice(coll, tmp_path):
     cache = str(tmp_path)
     full = dint_index.build_index(coll, kind="single", cache_dir=cache)
