@@ -120,24 +120,28 @@ def partition_collection_by_doc(
     span = -(-max(N, 1) // S)
     lo = np.minimum(np.arange(S, dtype=np.int64) * span, N)
     hi = np.minimum(lo + span, N)
-    docs_by_shard: List[List[np.ndarray]] = [[] for _ in range(S)]
-    freqs_by_shard: List[List[np.ndarray]] = [[] for _ in range(S)]
-    df = []
-    for d, f in view:
-        df.append(d.shape[0])
-        cut = np.searchsorted(d, np.concatenate([lo, [N]]).astype(d.dtype))
-        for j in range(S):
-            a, b = int(cut[j]), int(cut[j + 1])
-            docs_by_shard[j].append(
+    os.makedirs(out_dir, exist_ok=True)
+    # shard-outer passes over the memmap'd collection: peak memory is
+    # one shard's postings, not the whole collection × S
+    df = None
+    for j in range(S):
+        docs_j: List[np.ndarray] = []
+        freqs_j: List[np.ndarray] = []
+        df_j = []
+        for d, f in view:
+            df_j.append(d.shape[0])
+            a = int(np.searchsorted(d, lo[j]))
+            b = int(np.searchsorted(d, hi[j]))
+            docs_j.append(
                 (d[a:b].astype(np.int64) - lo[j]).astype(np.uint32)
             )
-            freqs_by_shard[j].append(f[a:b])
-    os.makedirs(out_dir, exist_ok=True)
-    for j in range(S):
+            freqs_j.append(f[a:b])
+        if df is None:
+            df = df_j
         write_freq_collection(
             os.path.join(out_dir, f"shard{j}"),
-            docs_by_shard[j],
-            freqs_by_shard[j],
+            docs_j,
+            freqs_j,
             num_docs=int(hi[j] - lo[j]),
         )
     catalog = {

@@ -203,6 +203,117 @@ def serve_sharded_stage(args):
     )
 
 
+def doc_sharded_stage(args):
+    """Doc-sharded construction + serving at scale: the collection
+    partitions into per-doc-range shard collections, each shard builds
+    a SELF-CONTAINED single_packed index (own dictionaries), and the
+    shard set serves queries with global BM25 statistics — exact
+    parity with ranked_or on an unsharded index.  The multi-host
+    topology: no host ever holds the whole index.  Reuses the
+    serve-sharded child re-exec recipe for the CPU mesh."""
+    import re
+    import subprocess
+
+    base = os.path.join(CACHE, "scale_collection")
+    needed = [
+        base + ".docs",
+        os.path.join(CACHE, "scale.wand.npz"),
+        os.path.join(CACHE, "scale.queries"),
+    ]
+    missing = [f for f in needed if not os.path.exists(f)]
+    if missing:
+        raise SystemExit(
+            "--build-doc-sharded needs the scale collection and the "
+            f"--serve artifacts; missing: {missing}.  Run `python "
+            "scripts/scale_test.py --serve` first."
+        )
+
+    if os.environ.get("_DINT_SCALE_SHARDED_CHILD") != "1":
+        env = dict(os.environ)
+        env["_DINT_SCALE_SHARDED_CHILD"] = "1"
+        env["JAX_PLATFORMS"] = "cpu"
+        xla = env.get("XLA_FLAGS", "")
+        want = f"--xla_force_host_platform_device_count={args.shards}"
+        if "xla_force_host_platform_device_count" in xla:
+            xla = re.sub(
+                r"--?xla_force_host_platform_device_count=\d+", want, xla
+            )
+        else:
+            xla = (xla + " " + want).strip()
+        env["XLA_FLAGS"] = xla
+        r = subprocess.run([sys.executable] + sys.argv, env=env)
+        if r.returncode != 0:
+            raise RuntimeError(f"doc-sharded child failed rc={r.returncode}")
+        return
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from jax.sharding import Mesh
+
+    from dint_tpu.index import dint_index
+    from dint_tpu.parallel import build as pbuild
+    from dint_tpu.parallel import serve
+    from dint_tpu.query import boolean, ranked
+    from dint_tpu.query.term_decode import TermDecoder
+
+    devs = np.array(jax.devices()[: args.shards])
+    assert devs.size == args.shards, (devs, args.shards)
+    mesh = Mesh(devs, ("dp",))
+
+    out_dir = os.path.join(CACHE, "doc_shards")
+    t = time.perf_counter()
+    if not os.path.exists(os.path.join(out_dir, "catalog.npz")):
+        sharded = pbuild.build_doc_sharded(
+            base, out_dir, args.shards, kind="single"
+        )
+        t = log_stage(
+            f"doc-sharded: partition + {args.shards} self-contained "
+            "shard builds (own dicts)", t
+        )
+    sharded = pbuild.DocShardedIndex.load(out_dir)
+    t = log_stage("doc-sharded: load shard set", t)
+    print(
+        "[scale] shard postings: "
+        + " ".join(str(int(s.list_n.astype(np.int64).sum()))
+                   for s in sharded.shards)
+    )
+
+    # unsharded oracle index (same kind) + wand data
+    oracle_file = os.path.join(CACHE, "scale.idx.spd.bin")
+    if not os.path.exists(oracle_file + ".npz"):
+        idx = dint_index.build_index(base, kind="single", cache_dir=CACHE)
+        idx.save(oracle_file)
+        t = log_stage("doc-sharded: unsharded oracle index build", t)
+    idx = dint_index.DintIndex.load(oracle_file)
+    wdata = ranked.WandData.load(os.path.join(CACHE, "scale.wand"))
+    queries_list = boolean.parse_query_log(os.path.join(CACHE, "scale.queries"))
+    qs = queries_list[: args.sharded_queries]
+    dec = TermDecoder(idx)
+    t = log_stage("doc-sharded: oracle load", t)
+
+    vals, ids = serve.serve_ranked_doc_sharded(
+        mesh, sharded, wdata.norm_lens, qs, k=10
+    )
+    t = log_stage(
+        f"doc-sharded: {len(qs)} queries served from {args.shards} "
+        "self-contained shards (decode + shard_map dispatch)", t
+    )
+    for qi, q in enumerate(qs):
+        want = ranked.ranked_or(idx, dec, wdata, q, k=10)
+        got = np.asarray(vals[qi][: want.shape[0]])
+        assert got.shape == want.shape and np.allclose(got, want, rtol=1e-4), (
+            qi, q, got, want,
+        )
+    log_stage("doc-sharded: host ranked_or oracle parity", t)
+    print(
+        f"[scale] doc-sharded ok: {len(qs)} queries, top-10 exact parity; "
+        f"no shard holds more than "
+        f"{max(int(s.list_n.astype(np.int64).sum()) for s in sharded.shards)} "
+        f"of {int(idx.list_n.astype(np.int64).sum())} postings"
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ints", type=float, default=1e8)
@@ -210,6 +321,7 @@ def main():
     ap.add_argument("--decode", action="store_true")
     ap.add_argument("--serve", action="store_true")
     ap.add_argument("--serve-sharded", action="store_true")
+    ap.add_argument("--build-doc-sharded", action="store_true")
     ap.add_argument("--shards", type=int, default=8)
     ap.add_argument("--sharded-queries", type=int, default=32)
     ap.add_argument("--queries", type=int, default=512)
@@ -221,6 +333,9 @@ def main():
     # here would pass over ~10^8 postings again for nothing
     if args.serve_sharded:
         serve_sharded_stage(args)
+        return
+    if args.build_doc_sharded:
+        doc_sharded_stage(args)
         return
 
     from dint_tpu.io import collection, synth
