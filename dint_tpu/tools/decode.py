@@ -118,7 +118,7 @@ class StreamDecoder:
             if plan is None:
                 plan = decode_local.plan_stream(
                     arena, lay.starts, lay.byte_lens, lay.n, lay.ctx,
-                    lay.b_bits, view,
+                    lay.b_bits, view, pack_units=True,
                 )
                 if plan_cache:
                     try:

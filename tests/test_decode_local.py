@@ -336,3 +336,41 @@ def test_split_width_class_engine_interpret(tmp_path, monkeypatch):
     assert t2 != t3
     assert t2 == int(np.asarray(eng2.decode_chain(2)))
     decode_local._pallas_split_fns.cache_clear()
+
+
+def test_pack_plan_units_exact_and_budgeted(setup):  # noqa: F811
+    """Multi-unit row packing: identical unit outputs through the
+    engine, fewer rows, all three budgets respected."""
+    gap_lists, ds, _ = setup
+    lt = ds.lookup_table()
+    view = ds.decode_view()
+    lists = [g for g in gap_lists if 0 < len(g) <= 4000][:40]
+    bufs = [dint.encode_opt_single(lt, g) for g in lists]
+    starts = np.cumsum([0] + [len(b) for b in bufs])[:-1]
+    arena = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    ns = [len(g) for g in lists]
+    plan = decode_local.plan_stream(
+        arena, starts, [len(b) for b in bufs], ns,
+        [0] * len(bufs), [16] * len(bufs), view,
+    )
+    packed = decode_local.pack_plan_units(plan)
+    assert packed.packed and packed.rows <= plan.rows
+    # budgets hold for every merged row
+    lens = (packed.meta >> 13).astype(np.int64)
+    offs = (packed.meta & ((1 << 13) - 1)).astype(np.int64)
+    assert int((offs + lens).max()) <= decode_local.TABLE_CLS
+    assert int(packed.out_n.max()) <= decode_local.N_OUT
+    # segment map covers every int exactly once per unit
+    total = int(packed.seg_len.sum())
+    assert total == sum(ns)
+    # engine outputs identical through both plans
+    eng_a = decode_local.LocalDecodeEngine(plan)
+    eng_b = decode_local.LocalDecodeEngine(packed)
+    got_a = eng_a.gather_units(eng_a.decode_all(), len(bufs), ns)
+    got_b = eng_b.gather_units(eng_b.decode_all(), len(bufs), ns)
+    for g, a, b in zip(lists, got_a, got_b):
+        np.testing.assert_array_equal(a, g)
+        np.testing.assert_array_equal(b, g)
+    # docid rebuild refuses packed plans (index path keeps per-unit rows)
+    with pytest.raises(AssertionError):
+        eng_b.decode_docids_all(np.zeros(len(bufs), np.uint32))
