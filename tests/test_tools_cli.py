@@ -132,3 +132,41 @@ def test_queries_cli_host_lazy_ops_on_ef_and_block_indexes(tmp_path):
     for op in ("wand", "and"):
         stats = qtool.run_op(bidx, bdec, wd, queries_list, op, 1, 10)
         assert stats["avg"] >= 0
+
+
+def test_queries_device_engine_on_ef_and_block_indexes(tmp_path):
+    """The whole-batch device engine serves EVERY index family through
+    the generic decoder interface; top-k parity with ranked_or."""
+    import numpy as np
+
+    from dint_tpu.index import block_index, freq_index
+    from dint_tpu.io import collection, synth
+    from dint_tpu.query import device_batch, ranked
+    from dint_tpu.tools import queries as qtool
+
+    base = str(tmp_path / "c")
+    docs, freqs = synth.make_collection(30, 5000, seed=3, avg_len=90)
+    collection.write_freq_collection(base, docs, freqs, 5000)
+    collection.write_sizes_file(
+        base, synth.doc_sizes_from_lists(docs, freqs, 5000)
+    )
+    wd = ranked.build_wand_data(base)
+    queries_list = [[1, 2], [3], [5, 7, 9]]
+
+    for idx, dec in (
+        (lambda i: (i, freq_index.EFTermDecoder(i)))(
+            freq_index.build_freq_index(base, "ef")
+        ),
+        (lambda i: (i, block_index.BlockTermDecoder(i)))(
+            block_index.build_block_index(base, "optpfor")
+        ),
+    ):
+        got = device_batch.ranked_or_batch(idx, dec, wd, queries_list, k=10)
+        for q, g in zip(queries_list, got):
+            want = ranked.ranked_or(idx, dec, wd, q, k=10)
+            assert g.shape[0] == want.shape[0]
+            np.testing.assert_allclose(g, want, rtol=1e-3)
+        stats, shape, extra = qtool.run_op_device(
+            idx, dec, wd, queries_list, "wand", 1, 10
+        )
+        assert stats["avg"] >= 0
