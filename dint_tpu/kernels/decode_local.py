@@ -1158,7 +1158,6 @@ class LocalDecodeEngine:
             self._p16 = True  # marker: engine order is class-permuted
             # plan row -> engine row (classes are padded independently)
             self._eng_of_plan = np.zeros(max(R, 1), np.int64)
-            base = 0
             for (mode, rows, padded), cbase in zip(classes, cls_bases):
                 self._eng_of_plan[rows] = cbase + np.arange(
                     rows.shape[0], dtype=np.int64

@@ -121,38 +121,41 @@ def partition_collection_by_doc(
     lo = np.minimum(np.arange(S, dtype=np.int64) * span, N)
     hi = np.minimum(lo + span, N)
     os.makedirs(out_dir, exist_ok=True)
-    # shard-outer passes over the memmap'd collection: peak memory is
-    # one shard's postings, not the whole collection × S
-    df = None
+    # pass 0: per-list shard cut points (one searchsorted over all S+1
+    # edges per list) + global df — the shard-outer passes below then
+    # slice directly, so peak memory stays one shard's postings while
+    # the searchsorted work runs once, not S times
+    edges = np.concatenate([lo, [N]])
+    cuts: List[np.ndarray] = []
+    df: List[int] = []
+    for d, _ in view:
+        df.append(d.shape[0])
+        cuts.append(np.searchsorted(d, edges).astype(np.int64))
     for j in range(S):
         docs_j: List[np.ndarray] = []
         freqs_j: List[np.ndarray] = []
-        df_j = []
-        for d, f in view:
-            df_j.append(d.shape[0])
-            a = int(np.searchsorted(d, lo[j]))
-            b = int(np.searchsorted(d, hi[j]))
+        for i, (d, f) in enumerate(view):
+            a, b = int(cuts[i][j]), int(cuts[i][j + 1])
             docs_j.append(
                 (d[a:b].astype(np.int64) - lo[j]).astype(np.uint32)
             )
             freqs_j.append(f[a:b])
-        if df is None:
-            df = df_j
         write_freq_collection(
             os.path.join(out_dir, f"shard{j}"),
             docs_j,
             freqs_j,
             num_docs=int(hi[j] - lo[j]),
         )
-    catalog = {
+    # NOTE: the catalog is NOT written here — build_doc_sharded writes
+    # it after the last shard index exists, so its presence is a valid
+    # completion sentinel for resumable pipelines
+    return {
         "n_shards": S,
         "num_docs": N,
         "doc_lo": lo,
         "doc_hi": hi,
         "df": np.asarray(df, np.int64),
     }
-    np.savez(os.path.join(out_dir, "catalog"), **catalog)
-    return catalog
 
 
 def build_doc_sharded(
@@ -178,6 +181,9 @@ def build_doc_sharded(
             sbase, kind=kind, policy=policy, cache_dir=out_dir
         )
         idx.save(sbase + ".idx")
+    # the catalog is the completion sentinel: written only after every
+    # shard index exists, so an interrupted build reruns cleanly
+    np.savez(os.path.join(out_dir, "catalog"), **catalog)
     return DocShardedIndex.load(out_dir)
 
 

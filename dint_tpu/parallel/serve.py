@@ -37,7 +37,6 @@ def shard_rows_by_doc(
     span = -(-max(num_docs, 1) // S)
     Q = len(drows)
     per = [[None] * Q for _ in range(S)]
-    width = 1
     for q in range(Q):
         d = np.asarray(drows[q], np.int64)
         s = np.asarray(srows[q], np.float32)
@@ -45,8 +44,22 @@ def shard_rows_by_doc(
         for j in range(S):
             m = shard_of == j
             per[j][q] = (d[m].astype(np.int32), s[m])
-            width = max(width, int(m.sum()))
-    width = max(width, min_width)
+    return pad_shard_rows(per, min_width)
+
+
+def pad_shard_rows(
+    per: Sequence[Sequence[Tuple[np.ndarray, np.ndarray]]],
+    min_width: int = 1,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Pad per-shard per-query (docid, score) pairs to (S, Q, P) with
+    PAD_DOC / 0 fills; P = next pow2 of the widest row, floored at
+    ``min_width`` (the top-k step needs k candidates per row)."""
+    S = len(per)
+    Q = len(per[0]) if S else 0
+    width = max(
+        [min_width]
+        + [int(d.shape[0]) for qrows in per for d, _ in qrows]
+    )
     P = 1 << max(int(np.ceil(np.log2(width))), 3)
     dd = np.full((S, Q, P), PAD_DOC, np.int32)
     ss = np.zeros((S, Q, P), np.float32)
@@ -83,23 +96,24 @@ def serve_ranked_doc_sharded(
     from . import steps
 
     S = len(sharded.shards)
-    Q = len(queries)
+    mesh_devs = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    # the step consumes exactly one shard per device (d[0]); a
+    # mismatched mesh would silently drop shards
+    assert S == mesh_devs, (
+        f"shard count {S} != mesh devices {mesh_devs}: rebuild the shard "
+        "set or the mesh so each device serves exactly one shard"
+    )
     norm_lens = np.asarray(norm_lens, np.float32)
     decs = [TermDecoder(idx) for idx in sharded.shards]
     rows: List[List[Tuple[np.ndarray, np.ndarray]]] = []
-    width = 1
     for j, (idx, dec) in enumerate(zip(sharded.shards, decs)):
         lo = int(sharded.doc_lo[j])
         qrows = []
         for q in queries:
-            qf = {}
-            for t in q:
-                qf[int(t)] = qf.get(int(t), 0) + 1
             ds, ss = [], []
-            for t, f in sorted(qf.items()):
-                qw = ranked.query_term_weight(
-                    f, int(sharded.df[t]), sharded.num_docs
-                )
+            for t, qw in ranked.query_weights_from(
+                sharded.df, sharded.num_docs, q
+            ):
                 d = dec.decode_docids([t])[t].astype(np.int64) + lo
                 fr = dec.decode_freqs([t])[t]
                 ds.append(d.astype(np.int32))
@@ -110,17 +124,8 @@ def serve_ranked_doc_sharded(
             d = np.concatenate(ds) if ds else np.zeros(0, np.int32)
             s = np.concatenate(ss) if ss else np.zeros(0, np.float32)
             qrows.append((d, s))
-            width = max(width, d.shape[0])
         rows.append(qrows)
-    width = max(width, k)  # top_k needs k candidates per row
-    Pw = 1 << max(int(np.ceil(np.log2(width))), 3)
-    dd = np.full((S, Q, Pw), PAD_DOC, np.int32)
-    ss = np.zeros((S, Q, Pw), np.float32)
-    for j in range(S):
-        for q in range(Q):
-            d, s = rows[j][q]
-            dd[j, q, : d.shape[0]] = d
-            ss[j, q, : s.shape[0]] = s
+    dd, ss = pad_shard_rows(rows, min_width=k)
     fn = steps.make_shard_map(
         lambda d, s: steps.doc_sharded_rows_topk_step(d[0], s[0], k),
         mesh,

@@ -115,19 +115,27 @@ def build_wand_data(basename: str, block_max: bool = True) -> WandData:
     return WandData(norm, maxw)
 
 
-def _query_weights(
-    index: DintIndex, terms: Sequence[int]
+def query_weights_from(
+    df: np.ndarray, num_docs: int, terms: Sequence[int]
 ) -> List[Tuple[int, float]]:
-    """(term, q_weight) pairs; duplicate query terms raise qf
-    (wand_query ctor semantics, queries.hpp:209-222)."""
+    """(term, q_weight) pairs from explicit global statistics;
+    duplicate query terms raise qf (wand_query ctor semantics,
+    queries.hpp:209-222).  Doc-sharded serving passes the catalog's
+    global df here so per-shard partial scores stay globally
+    comparable."""
     qf: Dict[int, int] = {}
     for t in terms:
         qf[int(t)] = qf.get(int(t), 0) + 1
     out = []
     for t, f in sorted(qf.items()):
-        df = int(index.list_n[t])
-        out.append((t, query_term_weight(f, df, index.num_docs)))
+        out.append((t, query_term_weight(f, int(df[t]), num_docs)))
     return out
+
+
+def _query_weights(
+    index: DintIndex, terms: Sequence[int]
+) -> List[Tuple[int, float]]:
+    return query_weights_from(index.list_n, index.num_docs, terms)
 
 
 def ranked_or(

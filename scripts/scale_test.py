@@ -121,15 +121,43 @@ def serve_stage(base, args):
     print("[scale] device ranked top-10 matches host oracle on 20 queries")
 
 
+def reexec_in_cpu_mesh_child(n_devices: int) -> bool:
+    """Re-run this script in a child with a forced n-device CPU mesh
+    (the dryrun_multichip recipe) so sharded stages run from any shell.
+
+    Returns True in the PARENT (child already ran; caller returns),
+    False in the child (caller proceeds onto the mesh)."""
+    import re
+    import subprocess
+
+    if os.environ.get("_DINT_SCALE_SHARDED_CHILD") == "1":
+        return False
+    env = dict(os.environ)
+    env["_DINT_SCALE_SHARDED_CHILD"] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    xla = env.get("XLA_FLAGS", "")
+    want = f"--xla_force_host_platform_device_count={n_devices}"
+    if "xla_force_host_platform_device_count" in xla:
+        # override a conflicting inherited value instead of keeping it
+        # (the mesh assert below would fire otherwise)
+        xla = re.sub(
+            r"--?xla_force_host_platform_device_count=\d+", want, xla
+        )
+    else:
+        xla = (xla + " " + want).strip()
+    env["XLA_FLAGS"] = xla
+    r = subprocess.run([sys.executable] + sys.argv, env=env)
+    if r.returncode != 0:
+        raise RuntimeError(f"sharded-stage child failed rc={r.returncode}")
+    return True
+
+
 def serve_sharded_stage(args):
     """VERDICT #8 at scale: the real 90.8M-posting multi_packed index
     served doc-sharded across a virtual n-device mesh (shard_map +
     all_gather top-k merge, parallel/serve.py), exact parity with the
     host ranked_or oracle.  Self-provisions its CPU mesh in a child
     process (the dryrun_multichip recipe) so it runs from any shell."""
-    import re
-    import subprocess
-
     needed = [
         os.path.join(CACHE, "scale.idx.mpd.bin.npz"),
         os.path.join(CACHE, "scale.wand.npz"),
@@ -143,24 +171,7 @@ def serve_sharded_stage(args):
             "--serve` first."
         )
 
-    if os.environ.get("_DINT_SCALE_SHARDED_CHILD") != "1":
-        env = dict(os.environ)
-        env["_DINT_SCALE_SHARDED_CHILD"] = "1"
-        env["JAX_PLATFORMS"] = "cpu"
-        xla = env.get("XLA_FLAGS", "")
-        want = f"--xla_force_host_platform_device_count={args.shards}"
-        if "xla_force_host_platform_device_count" in xla:
-            # override a conflicting inherited value instead of keeping
-            # it (the mesh assert below would fire otherwise)
-            xla = re.sub(
-                r"--?xla_force_host_platform_device_count=\d+", want, xla
-            )
-        else:
-            xla = (xla + " " + want).strip()
-        env["XLA_FLAGS"] = xla
-        r = subprocess.run([sys.executable] + sys.argv, env=env)
-        if r.returncode != 0:
-            raise RuntimeError(f"serve-sharded child failed rc={r.returncode}")
+    if reexec_in_cpu_mesh_child(args.shards):
         return
 
     import jax
@@ -211,12 +222,10 @@ def doc_sharded_stage(args):
     parity with ranked_or on an unsharded index.  The multi-host
     topology: no host ever holds the whole index.  Reuses the
     serve-sharded child re-exec recipe for the CPU mesh."""
-    import re
-    import subprocess
-
     base = os.path.join(CACHE, "scale_collection")
     needed = [
         base + ".docs",
+        base + ".freqs",
         os.path.join(CACHE, "scale.wand.npz"),
         os.path.join(CACHE, "scale.queries"),
     ]
@@ -228,22 +237,7 @@ def doc_sharded_stage(args):
             "scripts/scale_test.py --serve` first."
         )
 
-    if os.environ.get("_DINT_SCALE_SHARDED_CHILD") != "1":
-        env = dict(os.environ)
-        env["_DINT_SCALE_SHARDED_CHILD"] = "1"
-        env["JAX_PLATFORMS"] = "cpu"
-        xla = env.get("XLA_FLAGS", "")
-        want = f"--xla_force_host_platform_device_count={args.shards}"
-        if "xla_force_host_platform_device_count" in xla:
-            xla = re.sub(
-                r"--?xla_force_host_platform_device_count=\d+", want, xla
-            )
-        else:
-            xla = (xla + " " + want).strip()
-        env["XLA_FLAGS"] = xla
-        r = subprocess.run([sys.executable] + sys.argv, env=env)
-        if r.returncode != 0:
-            raise RuntimeError(f"doc-sharded child failed rc={r.returncode}")
+    if reexec_in_cpu_mesh_child(args.shards):
         return
 
     import jax
@@ -272,6 +266,11 @@ def doc_sharded_stage(args):
             "shard builds (own dicts)", t
         )
     sharded = pbuild.DocShardedIndex.load(out_dir)
+    if len(sharded.shards) != args.shards:
+        raise SystemExit(
+            f"cached shard set has {len(sharded.shards)} shards but "
+            f"--shards={args.shards}; delete {out_dir} to rebuild"
+        )
     t = log_stage("doc-sharded: load shard set", t)
     print(
         "[scale] shard postings: "
