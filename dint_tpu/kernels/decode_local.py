@@ -743,7 +743,7 @@ FORCE_SPLIT_INTERPRET = False  # tests: run the split engine in pallas
 # interpret mode on CPU (exercises the width-class machinery off-TPU)
 
 
-def _gather16_body(salt_ref, vidx_ref, tab_ref, n_ref, out_ref, sum_ref):
+def _gather16_body(salt_ref, vidx_ref, tab_ref, n_ref, out_ref):
     """u16 width class: rows whose local-table words all fit 16 bits
     (the common case for gap contents) pack TWO table entries per i32
     lane — the packed table is 128 lanes, so ONE native lane gather
@@ -754,38 +754,26 @@ def _gather16_body(salt_ref, vidx_ref, tab_ref, n_ref, out_ref, sum_ref):
     Measured vs the i32 kernel on identical shapes: 90.2 vs 67.0
     G ints/s.
 
-    With ``sum_ref`` (the large-plan chain flavor), the kernel also
-    emits a per-tile sample of its written output (the first 8 rows of
-    each 128-lane chunk, one vreg add per chunk): the chain derives the
-    next salt from these partials instead of re-reading the whole
-    output from HBM (measured 48 -> 72 G ints/s steady-state at 90.8M
-    ints, where the re-read is ~1/3 of chain traffic).  The Mosaic
-    kernel is opaque to XLA, so every tile still gathers and writes ALL
-    rows regardless of what feeds the salt.  Small plans keep the
-    plain single-output kernel: the extra output stream measurably
-    slows the tile loop (105 -> 92 G on the 16.7M-int bench stream)
-    while the output re-read there is cheap."""
+    A sum-emitting variant (second (8,128)-per-tile output feeding the
+    chain salt) was built and REMOVED: the extra output stream slows
+    the tile loop 116 -> 82-84 G on the packed bench stream, and the
+    chain now feeds its salt from a small contiguous slice of this
+    kernel's written output instead (see the chain body)."""
     rt = out_ref.shape[0]
     salt = salt_ref[0]
     tab = tab_ref[:]  # (rt, 128) i32: entry 2j | entry 2j+1 << 16
     jpos = jax.lax.broadcasted_iota(jnp.int32, (rt, 128), 1)
     nn = n_ref[:]
-    acc = jnp.zeros((8, 128), jnp.int32)
     for c in range(N_OUT // 128):
         idx = vidx_ref[:, c * 128 : (c + 1) * 128].astype(jnp.int32) & 255
         word = jnp.take_along_axis(tab, idx >> 1, axis=1)
         hi = jax.lax.shift_right_logical(word, 16)
         val = (jnp.where((idx & 1) == 1, hi, word) & 0xFFFF) + salt
         valid = (jpos + c * 128) < nn
-        block = jnp.where(valid, val, 0)
-        out_ref[:, c * 128 : (c + 1) * 128] = block
-        if sum_ref is not None:
-            acc = acc + block[0:8, :]
-    if sum_ref is not None:
-        sum_ref[:, :] = acc
+        out_ref[:, c * 128 : (c + 1) * 128] = jnp.where(valid, val, 0)
 
 
-def _gather32_body(salt_ref, vidx_ref, tab_ref, n_ref, out_ref, sum_ref):
+def _gather32_body(salt_ref, vidx_ref, tab_ref, n_ref, out_ref):
     """out[r, j] = (table[r, vidx[r, j]] + salt) - salt, masked by n[r].
 
     The decode hot loop as a pure VPU lane gather: Mosaic lowers
@@ -796,8 +784,7 @@ def _gather32_body(salt_ref, vidx_ref, tab_ref, n_ref, out_ref, sum_ref):
     stored as u8 (TABLE_CLS <= 256) to quarter its HBM traffic; the
     salt (u32 wrap-add, exactly cancelled) keeps timed runs distinct.
     Measured 26.8 G ints/s on the 16.7M-int bench stream vs 1.70 for
-    the one-hot MXU formulation this replaces (decode_gather_rows).
-    ``sum_ref``: see _gather16_body."""
+    the one-hot MXU formulation this replaces (decode_gather_rows)."""
     rt = out_ref.shape[0]
     salt = salt_ref[0]
     tab = tab_ref[:] + salt  # i32 wrap-add == u32 bit arithmetic
@@ -806,7 +793,6 @@ def _gather32_body(salt_ref, vidx_ref, tab_ref, n_ref, out_ref, sum_ref):
     ]
     jpos = jax.lax.broadcasted_iota(jnp.int32, (rt, 128), 1)
     nn = n_ref[:]  # (rt, 1)
-    acc = jnp.zeros((8, 128), jnp.int32)
     for c in range(N_OUT // 128):
         idx = vidx_ref[:, c * 128 : (c + 1) * 128].astype(jnp.int32) & (
             TABLE_CLS - 1
@@ -820,30 +806,15 @@ def _gather32_body(salt_ref, vidx_ref, tab_ref, n_ref, out_ref, sum_ref):
             val = jnp.where(in_k, gk, val)
         val = val - salt
         valid = (jpos + c * 128) < nn
-        block = jnp.where(valid, val, 0)
-        out_ref[:, c * 128 : (c + 1) * 128] = block
-        if sum_ref is not None:
-            acc = acc + block[0:8, :]
-    if sum_ref is not None:
-        sum_ref[:, :] = acc
+        out_ref[:, c * 128 : (c + 1) * 128] = jnp.where(valid, val, 0)
 
 
 def _pallas_gather16_kernel(salt_ref, vidx_ref, tab_ref, n_ref, out_ref):
-    _gather16_body(salt_ref, vidx_ref, tab_ref, n_ref, out_ref, None)
-
-
-def _pallas_gather16_sum_kernel(salt_ref, vidx_ref, tab_ref, n_ref, out_ref,
-                                sum_ref):
-    _gather16_body(salt_ref, vidx_ref, tab_ref, n_ref, out_ref, sum_ref)
+    _gather16_body(salt_ref, vidx_ref, tab_ref, n_ref, out_ref)
 
 
 def _pallas_gather_kernel(salt_ref, vidx_ref, tab_ref, n_ref, out_ref):
-    _gather32_body(salt_ref, vidx_ref, tab_ref, n_ref, out_ref, None)
-
-
-def _pallas_gather_sum_kernel(salt_ref, vidx_ref, tab_ref, n_ref, out_ref,
-                              sum_ref):
-    _gather32_body(salt_ref, vidx_ref, tab_ref, n_ref, out_ref, sum_ref)
+    _gather32_body(salt_ref, vidx_ref, tab_ref, n_ref, out_ref)
 
 
 @functools.lru_cache(maxsize=None)
@@ -885,19 +856,20 @@ def _pallas_decode_fns(R: int, rt: int, interpret: bool = False):
 
 
 _CLASS_KERNELS = {
-    16: (_pallas_gather16_kernel, _pallas_gather16_sum_kernel,
-         TABLE_CLS // 2, True),
-    32: (_pallas_gather_kernel, _pallas_gather_sum_kernel, TABLE_CLS, False),
+    16: (_pallas_gather16_kernel, TABLE_CLS // 2, True),
+    32: (_pallas_gather_kernel, TABLE_CLS, False),
 }
-# mode -> (plain kernel, sum-emitting kernel, packed table lanes,
-#          kernel adds salt to output)
+# mode -> (kernel, packed table lanes, kernel adds salt to output)
 
-# Chain flavor crossover: plans whose total output exceeds this use the
-# sum-emitting kernels (the output re-read dominates chain traffic at
-# scale: measured 48 -> 72 G ints/s steady at 90.8M ints); smaller
-# plans keep the plain kernel + whole-output reduction (the second
-# output stream slows the tile loop: 105 -> 92 G on the 16.7M bench
-# stream, where the re-read is cheap).
+# Chain flavor crossover: plans whose total output exceeds this feed
+# the next salt from a small contiguous SLICE of each class's written
+# output (the whole-output re-read dominates chain traffic at scale:
+# measured ~1/3 at 90.8M ints); smaller plans keep the whole-output
+# reduction, which measures FASTER than the slice at bench size
+# (116 vs 108 G — the big fused reduction overlaps the tile loop
+# better than a tiny dependent read).  An in-kernel sum-emitting
+# flavor (second per-tile output) was built and removed: the extra
+# output stream cost 116 -> 82-84 G on the packed bench stream.
 CHAIN_SUMS_MIN_OUT_BYTES = 128 * 1024 * 1024
 
 
@@ -912,15 +884,7 @@ def _pallas_split_fns(spec, rt: int, interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def _make_call(kern, rows, lanes, with_sums):
-        out_specs = pl.BlockSpec((rt, N_OUT), lambda i: (i, 0))
-        out_shape = jax.ShapeDtypeStruct((rows, N_OUT), jnp.int32)
-        if with_sums:
-            out_specs = [out_specs, pl.BlockSpec((8, 128), lambda i: (i, 0))]
-            out_shape = [
-                out_shape,
-                jax.ShapeDtypeStruct((rows // rt * 8, 128), jnp.int32),
-            ]
+    def _make_call(kern, rows, lanes):
         return pl.pallas_call(
             kern,
             grid=(rows // rt,),
@@ -931,26 +895,19 @@ def _pallas_split_fns(spec, rt: int, interpret: bool = False):
                 pl.BlockSpec((rt, lanes), lambda i: (i, 0)),
                 pl.BlockSpec((rt, 1), lambda i: (i, 0)),
             ],
-            out_specs=out_specs,
-            out_shape=out_shape,
+            out_specs=pl.BlockSpec((rt, N_OUT), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((rows, N_OUT), jnp.int32),
         )
 
     # chain flavor by total output size (see CHAIN_SUMS_MIN_OUT_BYTES)
     total_out = sum(rows for rows, _ in spec) * N_OUT * 4
     chain_sums = total_out >= CHAIN_SUMS_MIN_OUT_BYTES
 
-    calls = []  # plain single-output calls (decode + small-plan chain)
-    sum_calls = []  # sum-emitting calls (large-plan chain), lazily None
+    calls = []
     for rows, mode in spec:
-        kern, sum_kern, lanes, salted = _CLASS_KERNELS[mode]
-        call = _make_call(kern, rows, lanes, False) if rows else None
-        scall = (
-            _make_call(sum_kern, rows, lanes, True)
-            if rows and chain_sums
-            else None
-        )
+        kern, lanes, salted = _CLASS_KERNELS[mode]
+        call = _make_call(kern, rows, lanes) if rows else None
         calls.append((call, salted))
-        sum_calls.append(scall)
 
     def _run(args, salt):
         s = jax.lax.bitcast_convert_type(salt, jnp.int32)
@@ -976,23 +933,30 @@ def _pallas_split_fns(spec, rt: int, interpret: bool = False):
     @functools.partial(jax.jit, static_argnames=("runs",))
     def chain(args, valids, *, runs: int):
         if chain_sums:
-            # Large plan: next salt from the kernels' per-tile output
-            # samples — no HBM re-read of the output arrays (measured
-            # ~1/3 of chain traffic at 90.8M-int scale, 48 -> 72 G
-            # steady).  The decode cannot be hoisted out of the scan
-            # (every kernel input depends on the carry), and the Mosaic
-            # kernels are opaque to XLA, so each run still gathers and
-            # writes every row.  The salted-class correction is
-            # unnecessary here: the salt's exact value is arbitrary.
+            # Large plan: next salt from a small contiguous SLICE of
+            # each class's written output — no whole-output re-read
+            # (measured ~1/3 of chain traffic at 90.8M-int scale) and
+            # no second kernel output stream (the (8,128)-sample
+            # sum-emitting kernels measurably slow the tile loop:
+            # 116 -> 82-84 G on the packed bench stream).  The decode
+            # cannot be hoisted out of the scan (every kernel input
+            # depends on the carry), and the Mosaic kernels are opaque
+            # to XLA, which cannot split or partially execute them, so
+            # each run still gathers and writes every row regardless of
+            # how little of the output feeds the salt.  The
+            # salted-class correction is unnecessary here: the salt's
+            # exact value is arbitrary.
             def body(salt, _):
-                s = jax.lax.bitcast_convert_type(salt, jnp.int32)
+                raw = _run(args, salt)
                 acc = jnp.uint32(0)
-                for scall, (v, t, n) in zip(sum_calls, args):
-                    if scall is None:
+                for o in raw:
+                    if o is None:
                         continue
-                    _, part = scall(s[None], v, t, n)
-                    acc = acc + jax.lax.bitcast_convert_type(
-                        jnp.sum(part, dtype=jnp.int32), jnp.uint32
+                    acc = acc + jnp.sum(
+                        jax.lax.bitcast_convert_type(
+                            o[:128], jnp.uint32
+                        ),
+                        dtype=jnp.uint32,
                     )
                 return acc + salt + jnp.uint32(1), None
 
@@ -1262,12 +1226,12 @@ class LocalDecodeEngine:
         per-dispatch runtime overhead (~ms through this stack)
         amortizes across the chain.  Small plans derive each salt from
         a u32 reduction over the previous run's ENTIRE output; plans
-        >= CHAIN_SUMS_MIN_OUT_BYTES use the sum-emitting kernels and
-        reduce per-tile output SAMPLES instead (the full re-read is
-        ~1/3 of chain traffic at scale) — there the full-write
-        guarantee rests on the Mosaic kernels being opaque to XLA,
-        which cannot split or partially execute them.  Returns the
-        final salt (fetch it to force completion)."""
+        >= CHAIN_SUMS_MIN_OUT_BYTES reduce a small contiguous SLICE of
+        each class's output instead (the full re-read is ~1/3 of chain
+        traffic at scale) — there the full-write guarantee rests on
+        the Mosaic kernels being opaque to XLA, which cannot split or
+        partially execute them.  Returns the final salt (fetch it to
+        force completion)."""
         if self.use_pallas:
             _, chain = _pallas_split_fns(
                 self._spec, self.row_tile, self._interpret
