@@ -158,12 +158,23 @@ def partition_collection_by_doc(
     }
 
 
+def _build_shard_index(args) -> str:
+    out_dir, j, kind, policy = args
+    sbase = os.path.join(out_dir, f"shard{j}")
+    idx = dint_index.build_index(
+        sbase, kind=kind, policy=policy, cache_dir=out_dir
+    )
+    idx.save(sbase + ".idx")
+    return sbase
+
+
 def build_doc_sharded(
     basename: str,
     out_dir: str,
     n_shards: int,
     kind: str = "single",
     policy: str = "pack",
+    n_workers: int = 1,
 ) -> "DocShardedIndex":
     """Partition by doc range and build one full index per shard.
 
@@ -172,15 +183,19 @@ def build_doc_sharded(
     range — the multi-host serving topology where no host ever holds
     the whole index.  Each shard trains its own dictionaries on its own
     sub-collection (each host models its local data); global BM25
-    statistics travel in the catalog.
+    statistics travel in the catalog.  ``n_workers > 1`` builds shards
+    in parallel worker processes (shards are fully independent — on a
+    real deployment each host builds its own).
     """
     catalog = partition_collection_by_doc(basename, out_dir, n_shards)
-    for j in range(n_shards):
-        sbase = os.path.join(out_dir, f"shard{j}")
-        idx = dint_index.build_index(
-            sbase, kind=kind, policy=policy, cache_dir=out_dir
-        )
-        idx.save(sbase + ".idx")
+    jobs = [(out_dir, j, kind, policy) for j in range(n_shards)]
+    if n_workers > 1:
+        ctx = mp.get_context("spawn")
+        with ctx.Pool(processes=min(n_workers, n_shards)) as pool:
+            pool.map(_build_shard_index, jobs)
+    else:
+        for job in jobs:
+            _build_shard_index(job)
     # the catalog is the completion sentinel: written only after every
     # shard index exists, so an interrupted build reruns cleanly
     np.savez(os.path.join(out_dir, "catalog"), **catalog)

@@ -67,7 +67,8 @@ def test_doc_sharded_build_and_serve_parity(coll, tmp_path):
 
     cache = str(tmp_path / "c")
     out = str(tmp_path / "shards")
-    sharded = pbuild.build_doc_sharded(coll, out, n_shards=8)
+    # 2 worker processes: shard builds are fully independent
+    sharded = pbuild.build_doc_sharded(coll, out, n_shards=8, n_workers=2)
     # reload from disk (catalog + per-shard indexes round-trip)
     sharded = pbuild.DocShardedIndex.load(out)
     assert len(sharded.shards) == 8
