@@ -140,6 +140,36 @@ def serve_ranked_doc_sharded(
     return np.asarray(v), np.asarray(ids)
 
 
+def serve_boolean_doc_sharded(
+    sharded,  # parallel.build.DocShardedIndex
+    queries: Sequence[Sequence[int]],
+) -> List[np.ndarray]:
+    """Exact boolean AND over a set of per-doc-range indexes.
+
+    Every document lives in exactly one shard, so the global AND is the
+    concatenation of per-shard local ANDs (shard-local ids rebased to
+    global) — no cross-shard communication at all, the boolean analogue
+    of doc-sharded top-k.  Returns per-query sorted global docid
+    arrays, identical to and_query on the unsharded index."""
+    from ..query import boolean
+    from ..query.term_decode import TermDecoder
+
+    decs = [TermDecoder(idx) for idx in sharded.shards]
+    all_terms = sorted({int(t) for q in queries for t in q})
+    results = [[] for _ in queries]
+    for j, dec in enumerate(decs):
+        lo = np.uint32(int(sharded.doc_lo[j]))
+        decoded = dec.decode_docids(all_terms)
+        for qi, q in enumerate(queries):
+            r = boolean.and_query(decoded, q)
+            if r.shape[0]:
+                results[qi].append(r + lo)
+    return [
+        np.concatenate(parts) if parts else np.zeros(0, np.uint32)
+        for parts in results
+    ]
+
+
 def serve_ranked_sharded(
     mesh,
     index,

@@ -103,6 +103,16 @@ def test_doc_sharded_build_and_serve_parity(coll, tmp_path):
         got = vals[qi][: want.shape[0]]
         np.testing.assert_allclose(got, want, rtol=1e-5)
 
+    # boolean AND over the shard set: concatenation of local ANDs
+    from dint_tpu.query import boolean as bool_mod
+
+    and_queries = [q for q in queries if len(q) >= 2] + [[1, 2, 3]]
+    got_and = serve.serve_boolean_doc_sharded(sharded, and_queries)
+    dec.decode_docids(sorted({t for q in and_queries for t in q}))
+    for q, g in zip(and_queries, got_and):
+        want = bool_mod.and_query(dec._doc_cache, q)
+        np.testing.assert_array_equal(np.sort(g), np.sort(want))
+
 
 def test_list_range_matches_full_slice(coll, tmp_path):
     cache = str(tmp_path)
