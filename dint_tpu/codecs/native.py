@@ -8,59 +8,47 @@ the numpy batch encoder; encode_batch transparently prefers this path.
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
-import sys
 from typing import List, Optional, Sequence
 
 import numpy as np
 
 from ..config import NUM_ENTRIES
 from ..dictionary.dictionary import DecodeView
-
-_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-_SRC = os.path.join(_REPO_ROOT, "native", "dint_encoder.cpp")
-_SO = os.path.join(_REPO_ROOT, "native", "libdintenc.so")
+from ..utils import nativebuild
 
 _lib = None
 _lib_failed = False
-
-
-def _build(tls_initial_exec: bool = True) -> bool:
-    # -ftls-model=initial-exec: the encoder's thread_local scratch is on
-    # every hot path, and the default global-dynamic model in a dlopen'd
-    # shared object routes each access through __tls_get_addr — measured
-    # 19 -> 29 M ints/s end-to-end from this one flag.  If the process
-    # has exhausted its static TLS surplus the dlopen fails cleanly;
-    # get_lib() retries without the flag.
-    args = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC"]
-    if tls_initial_exec:
-        args.append("-ftls-model=initial-exec")
-    args += [_SRC, "-o", _SO]
-    try:
-        subprocess.run(args, check=True, capture_output=True)
-        return True
-    except (subprocess.CalledProcessError, FileNotFoundError) as e:
-        print(f"native encoder build failed: {e}", file=sys.stderr)
-        return False
 
 
 def get_lib():
     global _lib, _lib_failed
     if _lib is not None or _lib_failed:
         return _lib
-    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-        if not _build():
-            _lib_failed = True
-            return None
+    src = nativebuild.source_path("dint_encoder.cpp")
+    if src is None:
+        _lib_failed = True
+        return None
+    # -ftls-model=initial-exec: the encoder's thread_local scratch is on
+    # every hot path, and the default global-dynamic model in a dlopen'd
+    # shared object routes each access through __tls_get_addr — measured
+    # 19 -> 29 M ints/s end-to-end from this one flag.  If the process
+    # has exhausted its static TLS surplus the dlopen fails cleanly and
+    # we rebuild with the default model.
+    so = nativebuild.ensure_so(
+        src, "libdintenc.so", ["-ftls-model=initial-exec"]
+    )
+    if so is None:
+        _lib_failed = True
+        return None
     try:
-        lib = ctypes.CDLL(_SO)
+        lib = ctypes.CDLL(so)
     except OSError:
         # out of static TLS space: rebuild with the default TLS model
-        if not _build(tls_initial_exec=False):
+        so = nativebuild.ensure_so(src, "libdintenc.so", force=True)
+        if so is None:
             _lib_failed = True
             return None
-        lib = ctypes.CDLL(_SO)
+        lib = ctypes.CDLL(so)
     lib.dint_encoder_create.restype = ctypes.c_void_p
     lib.dint_encoder_create.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,

@@ -10,45 +10,26 @@ pure-Python planner as the portable path.
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
-import sys
 from typing import Optional, Sequence
 
 import numpy as np
 
-_REPO_ROOT = os.path.dirname(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-)
-_SRC = os.path.join(_REPO_ROOT, "native", "dint_planner.cpp")
-_SO = os.path.join(_REPO_ROOT, "native", "libdintplan.so")
+from ..utils import nativebuild
 
 _lib = None
 _lib_failed = False
-
-
-def _build() -> bool:
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
-             "-fPIC", _SRC, "-o", _SO],
-            check=True, capture_output=True,
-        )
-        return True
-    except (subprocess.CalledProcessError, FileNotFoundError) as e:
-        print(f"native planner build failed: {e}", file=sys.stderr)
-        return False
 
 
 def get_lib():
     global _lib, _lib_failed
     if _lib is not None or _lib_failed:
         return _lib
-    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-        if not _build():
-            _lib_failed = True
-            return None
-    lib = ctypes.CDLL(_SO)
+    src = nativebuild.source_path("dint_planner.cpp")
+    so = nativebuild.ensure_so(src, "libdintplan.so") if src else None
+    if so is None:
+        _lib_failed = True
+        return None
+    lib = ctypes.CDLL(so)
     lib.dint_planner_create.restype = ctypes.c_void_p
     lib.dint_planner_create.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,

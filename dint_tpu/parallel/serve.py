@@ -154,10 +154,13 @@ def serve_boolean_doc_sharded(
     from ..query import boolean
     from ..query.term_decode import TermDecoder
 
-    decs = [TermDecoder(idx) for idx in sharded.shards]
     all_terms = sorted({int(t) for q in queries for t in q})
     results = [[] for _ in queries]
-    for j, dec in enumerate(decs):
+    for j, shard in enumerate(sharded.shards):
+        # one decoder per shard, constructed inside the loop: the
+        # shards are independent, so peak host memory is ONE shard's
+        # decoded query terms, not the union across all shards
+        dec = TermDecoder(shard)
         lo = np.uint32(int(sharded.doc_lo[j]))
         decoded = dec.decode_docids(all_terms)
         for qi, q in enumerate(queries):

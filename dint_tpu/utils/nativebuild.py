@@ -1,0 +1,115 @@
+"""Compile-on-first-use machinery shared by the native C++ runtime.
+
+Sources live in ``<checkout>/native`` — the package expects an editable
+install (``pip install -e .``, see pyproject.toml).  When the sources
+are absent (a plain wheel install), callers degrade to their pure
+Python/numpy paths with a one-line stderr notice instead of failing
+mid-build.
+
+Builds are safe under concurrent processes: the sharded builders
+(``dint_tpu/parallel/build.py``) spawn worker pools that can all hit a
+cold checkout at once, so the compiler writes to a temp file that is
+atomically renamed into place, and an exclusive ``flock`` serializes
+rebuilds — no process ever ``dlopen``s a half-written shared object.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import fcntl
+import os
+import subprocess
+import sys
+import tempfile
+from typing import Optional, Sequence
+
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_REPO_ROOT = os.path.dirname(_PKG_ROOT)
+
+
+def source_path(filename: str) -> Optional[str]:
+    """Locate a native source file, or None with a stderr notice.
+
+    ``DINT_TPU_NATIVE_DIR`` overrides the default ``<checkout>/native``
+    (useful when the package is installed non-editable but a source
+    tree is available elsewhere)."""
+    for d in (os.environ.get("DINT_TPU_NATIVE_DIR"),
+              os.path.join(_REPO_ROOT, "native")):
+        if d:
+            p = os.path.join(d, filename)
+            if os.path.exists(p):
+                return p
+    print(
+        f"dint_tpu: native source {filename} not found (expected under "
+        f"{os.path.join(_REPO_ROOT, 'native')}; set DINT_TPU_NATIVE_DIR "
+        "or install editable: pip install -e .) — using the pure-Python "
+        "fallback path",
+        file=sys.stderr,
+    )
+    return None
+
+
+def _out_dir(src: str) -> str:
+    d = os.path.dirname(src)
+    if os.access(d, os.W_OK):
+        return d
+    cache = os.path.join(
+        os.environ.get("XDG_CACHE_HOME",
+                       os.path.join(os.path.expanduser("~"), ".cache")),
+        "dint_tpu",
+    )
+    os.makedirs(cache, exist_ok=True)
+    return cache
+
+
+@contextlib.contextmanager
+def _locked(path: str):
+    fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+
+
+def ensure_so(
+    src: str,
+    so_name: str,
+    extra_args: Sequence[str] = (),
+    force: bool = False,
+) -> Optional[str]:
+    """Compile ``src`` into ``so_name`` if stale; return the .so path.
+
+    The compile is atomic (temp file + rename) and serialized across
+    processes by a lock file, so concurrent first-use builders are
+    safe.  ``force`` rebuilds even when fresh (used by the TLS-model
+    fallback retry).  Returns None if the toolchain fails."""
+    out = os.path.join(_out_dir(src), so_name)
+    if not force and _fresh(out, src):
+        return out
+    with _locked(out + ".lock"):
+        if not force and _fresh(out, src):
+            return out
+        args = ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
+                "-fPIC", *extra_args]
+        fd, tmp = tempfile.mkstemp(
+            suffix=".so.tmp", dir=os.path.dirname(out)
+        )
+        os.close(fd)
+        try:
+            subprocess.run(
+                args + [src, "-o", tmp], check=True, capture_output=True
+            )
+            os.replace(tmp, out)
+            return out
+        except (subprocess.CalledProcessError, FileNotFoundError) as e:
+            print(f"native build of {so_name} failed: {e}", file=sys.stderr)
+            return None
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+
+def _fresh(out: str, src: str) -> bool:
+    return os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src)

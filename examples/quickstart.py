@@ -74,8 +74,10 @@ def main():
          "--cache-dir", work]
     )
     print(f"vroom encode: {time.perf_counter() - t0:.1f}s")
+    from dint_tpu.dictionary.builder import dict_cache_name
+
     dict_file = os.path.join(
-        work, "dict.coll.docs.single_packed.DSF-65536-16"
+        work, dict_cache_name(base + ".docs", "single")
     )
     decode_tool.main(
         ["single_packed_dint", stream, "--dict", dict_file,

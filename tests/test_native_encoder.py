@@ -80,3 +80,33 @@ def test_threaded_encode_byte_identical(tmp_path, monkeypatch):
         monkeypatch.setenv("DS2I_THREADS", "5")
         par = native.native_encoder_for(d).encode_units(units, mode)
         assert ser == par, kind
+
+
+def _cold_build_probe(_):
+    import ctypes
+
+    from dint_tpu.utils import nativebuild
+
+    src = nativebuild.source_path("dint_encoder.cpp")
+    so = nativebuild.ensure_so(src, "libdintenc.so", ["-ftls-model=initial-exec"])
+    ctypes.CDLL(so)  # raises on a truncated/garbage object
+    return so
+
+
+def test_cold_concurrent_native_build(tmp_path):
+    """N processes racing the first-use compile must all dlopen a whole
+    .so (temp-file + rename + flock in utils/nativebuild.py); before
+    that fix a worker could CDLL a half-written file."""
+    import multiprocessing as mp
+    import os
+
+    from dint_tpu.utils import nativebuild
+
+    src = nativebuild.source_path("dint_encoder.cpp")
+    so = os.path.join(os.path.dirname(src), "libdintenc.so")
+    if os.path.exists(so):
+        os.unlink(so)
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(4) as pool:
+        paths = pool.map(_cold_build_probe, range(4))
+    assert all(p == so for p in paths)

@@ -108,9 +108,9 @@ def test_doc_sharded_build_and_serve_parity(coll, tmp_path):
 
     and_queries = [q for q in queries if len(q) >= 2] + [[1, 2, 3]]
     got_and = serve.serve_boolean_doc_sharded(sharded, and_queries)
-    dec.decode_docids(sorted({t for q in and_queries for t in q}))
+    decoded = dec.decode_docids(sorted({t for q in and_queries for t in q}))
     for q, g in zip(and_queries, got_and):
-        want = bool_mod.and_query(dec._doc_cache, q)
+        want = bool_mod.and_query(decoded, q)
         np.testing.assert_array_equal(np.sort(g), np.sort(want))
 
 
