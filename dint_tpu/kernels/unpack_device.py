@@ -213,83 +213,67 @@ def plan_qmx(arena: np.ndarray, meta) -> UnpackPlan:
     return UnpackPlan("qmx", BLOCK_SIZE, classes, partials, total)
 
 
-def _qmx_fns(w: int, n_rows_hint: int = 0):
-    """Device decode for one QMX width class: lane COLUMNS (4 or 8
-    dense 1-D u32 arrays, split on the host — an (N, lanes) matrix
-    would lane-pad lanes -> 128 on device) -> value columns via the
-    format's static per-row lane shifts (codecs/qmx.py _ROW_SHIFTS);
-    width 0 generates ones, widths 8/16/32 re-split their 4 u32 words
-    into bytes/shorts/words."""
-    import jax
+@functools.lru_cache(maxsize=None)
+def _qmx_fns(w: int):
+    """Device decode for one QMX width class: ONE broadcast kernel.
+
+    Lane words live lane-major on device — lo (4, M, 128) u32 (plus hi
+    (4, M, 128) for the 32-byte double-word widths), one class
+    instance per VPU lane.  The unpack broadcasts the class's static
+    per-row shift vector (codecs/qmx.py _ROW_SHIFTS, incl. the 12/21
+    gap bits) over a new row axis: out (4, R, M, 128) — minor dim 128,
+    no lane padding, ONE fused op per class.  (The previous
+    one-1-D-column-per-value form paid ~4 us of launch overhead per
+    value column — hundreds of kernels per run; geometry, not
+    arithmetic, was the bottleneck.)  Value j of instance i sits at
+    [j & 3, j >> 2, i // 128, i % 128]; byte-form widths 8/16/32 remap
+    their 4 payload words as (word, sub) with j = word * R + sub, and
+    width 0 generates ones."""
     import jax.numpy as jnp
 
     from ..codecs import qmx as qmx_wire
 
-    ints = qmx_wire._INTS[w] if w else 256
+    if w == 0:
+        def unpack(lo, hi, salt):
+            del hi
+            M = lo.shape[1]
+            return jnp.ones((4, 64, M, 128), jnp.uint32) + salt
 
-    def _value_cols(cols, salt):
-        if w == 0:
-            n = cols[0].shape[0]
-            return [jnp.ones(n, jnp.uint32) + salt for _ in range(256)]
-        if w in (8, 16, 32):
-            nb = w // 8
-            out = []
-            for j in range(ints):
-                word = cols[(j * nb) // 4]
-                sh = (j * nb) % 4 * 8
-                out.append(((word >> jnp.uint32(sh))
-                            & jnp.uint32((1 << w) - 1 if w < 32 else
-                                         0xFFFFFFFF)) + salt)
-            return out
-        mask = jnp.uint32((1 << w) - 1)
-        out = []
-        for j in range(ints):
-            lane = j & 3
-            sh = qmx_wire._ROW_SHIFTS[w][j // 4]
-            if sh + w <= 32:
-                v = (cols[lane] >> jnp.uint32(sh)) & mask
-            elif sh < 32:
-                v = ((cols[lane] >> jnp.uint32(sh))
-                     | (cols[lane + 4] << jnp.uint32(32 - sh))) & mask
-            else:
-                v = (cols[lane + 4] >> jnp.uint32(sh - 32)) & mask
-            out.append(v + salt)
-        return out
+        return (unpack,)
 
-    def unpack(cols, exc_dense, salt):
-        del exc_dense
-        return jnp.stack(_value_cols(cols, salt), axis=1)  # (N, ints)
+    if w in (8, 16, 32):
+        R = 4 // (w // 8)
+        svec = np.arange(R, dtype=np.uint32) * np.uint32(w)
+        mask = np.uint32((1 << w) - 1) if w < 32 else np.uint32(0xFFFFFFFF)
 
-    def unpack_flat(cols, exc_dense, salt):
-        # chain form: dense 1-D concatenation (column-major) — a
-        # materialized (N, ints) output lane-pads ints -> 128; the
-        # flat buffer writes exactly N*ints words, and value ORDER is
-        # irrelevant to the timing salt
-        del exc_dense
-        return jnp.concatenate(_value_cols(cols, salt))
+        def unpack(lo, hi, salt):
+            del hi
+            s = jnp.asarray(svec)[None, :, None, None]
+            return ((lo[:, None] >> s) & mask) + salt  # (4, R, M, 128)
 
-    decode = jax.jit(unpack)
+        return (unpack,)
 
-    @functools.partial(jax.jit, static_argnames=("runs",))
-    def chain(payload, exc_dense, *, runs: int):
-        def body(salt, _):
-            out = unpack_flat(payload, exc_dense, salt)
-            # materialize: without this barrier XLA fuses the unpack
-            # into the reduction and the timed loop never writes the
-            # decoded ints (measured ~3.5x optimistic).  The salt then
-            # reduces only a contiguous SAMPLE of the materialized
-            # buffer — the barrier already forces the full write, and
-            # a full re-read would dominate the chain's traffic.
-            out = jax.lax.optimization_barrier(out)
-            samp = out[:1024]
-            s = samp.sum(dtype=jnp.uint32)
-            cnt = jnp.uint32(samp.size)
-            return s - salt * cnt, None
+    shifts = np.asarray(qmx_wire._ROW_SHIFTS[w], np.int64)
+    mask = np.uint32((1 << w) - 1)
+    spill = (shifts < 32) & (shifts + w > 32)
+    high_only = shifts >= 32
+    s_lo = np.where(shifts < 32, shifts, 0).astype(np.uint32)
+    s_sp = np.where(spill, 32 - shifts, 0).astype(np.uint32)
+    s_hi = np.where(high_only, shifts - 32, 0).astype(np.uint32)
 
-        final, _ = jax.lax.scan(body, jnp.uint32(1), None, length=runs)
-        return final
+    def unpack(lo, hi, salt):
+        a = jnp.asarray(s_lo)[None, :, None, None]
+        v = lo[:, None] >> a
+        if spill.any() or high_only.any():
+            b_ = jnp.asarray(s_sp)[None, :, None, None]
+            c_ = jnp.asarray(s_hi)[None, :, None, None]
+            v = jnp.where(jnp.asarray(high_only)[None, :, None, None],
+                          hi[:, None] >> c_, v)
+            v = v | jnp.where(jnp.asarray(spill)[None, :, None, None],
+                              hi[:, None] << b_, jnp.uint32(0))
+        return (v & mask) + salt  # (4, R, M, 128)
 
-    return decode, chain, unpack_flat
+    return (unpack,)
 
 
 def plan_simple16(arena: np.ndarray, meta) -> "Simple16Plan":
@@ -346,34 +330,51 @@ class Simple16Plan:
 
 
 class Simple16Engine:
-    """Device decode of a simple16 plan: per mode class one fused
-    elementwise op out[:, j] = (word >> j*bits) & mask."""
+    """Device decode of a simple16 plan: per mode class ONE broadcast
+    kernel over lane-aligned words.
+
+    Geometry matters more than arithmetic here: every fused XLA op
+    costs ~4 us of launch overhead on this stack, so the earlier
+    one-1-D-column-per-field form paid sum(cnt)=73 kernel launches per
+    run (~0.3 ms) for ~80 MB of traffic.  Words reshape on the host to
+    (M, 128) — one class row per VPU lane — and the unpack is a single
+    elementwise broadcast (M, 1, 128) >> (1, cnt, 1) producing
+    (M, cnt, 128): minor dim 128 (no lane padding), one kernel per
+    mode class, nine kernels per run.  Measured on the 16.7M-int bench
+    stream: 34 -> 102 G ints/s at runs=200 (dispatch-inclusive), 332 G
+    steady-state at runs=1000."""
 
     def __init__(self, plan: Simple16Plan):
         import jax.numpy as jnp
 
         self.plan = plan
-        self._dev = [
-            (mode, cnt, bits, jnp.asarray(words.view(np.int32)))
-            for mode, cnt, bits, words, _, _ in plan.classes
-            if words.shape[0]
-        ]
+        self._dev = []
+        for mode, cnt, bits, words, _, _ in plan.classes:
+            n = words.shape[0]
+            if not n:
+                continue
+            M = (n + 127) // 128
+            w2 = np.zeros((M, 128), np.uint32)
+            w2.reshape(-1)[:n] = words
+            self._dev.append(
+                (mode, cnt, bits, n, jnp.asarray(w2.view(np.int32)))
+            )
 
     def decode_classes(self):
-        import jax
-
         outs = {}
-        for mode, cnt, bits, words in self._dev:
+        for mode, cnt, bits, n, w in self._dev:
             fn = _s16_fns(cnt, bits)[0]
-            outs[mode] = np.asarray(fn(words, np.uint32(0)))
+            out = np.asarray(fn(w, np.uint32(0)))  # (M, cnt, 128)
+            # value j of word r lives at [r//128, j, r%128]
+            outs[mode] = np.moveaxis(out, 1, 2).reshape(-1, cnt)[:n]
         return outs
 
     def timed_chain(self, runs: int) -> float:
         import jax
         import jax.numpy as jnp
 
-        spec = tuple((cnt, bits) for _, cnt, bits, _ in self._dev)
-        args = tuple(w for _, _, _, w in self._dev)
+        spec = tuple((cnt, bits) for _, cnt, bits, _, _ in self._dev)
+        args = tuple(w for _, _, _, _, w in self._dev)
 
         @functools.partial(jax.jit, static_argnames=("runs",))
         def chain_all(args, *, runs: int):
@@ -381,10 +382,10 @@ class Simple16Engine:
                 s = jnp.uint32(0)
                 cnt_total = 0
                 for (cnt, bits), w in zip(spec, args):
-                    out = _s16_unpack_flat(w, cnt, bits, salt)
+                    out = _s16_unpack(w, cnt, bits, salt)
                     # materialize + sampled reduce (see _w_fns chain)
                     out = jax.lax.optimization_barrier(out)
-                    samp = out[:1024]
+                    samp = out[:8]
                     s = s + samp.sum(dtype=jnp.uint32)
                     cnt_total += samp.size
                 return s - salt * jnp.uint32(cnt_total) + salt + jnp.uint32(1), None
@@ -411,31 +412,17 @@ class Simple16Engine:
 
 
 def _s16_unpack(words_i32, cnt: int, bits: int, salt):
-    """(N,) i32 selector words -> (N, cnt) u32 fields + salt (static
-    shifts per lane — the 28-bit payload of mode (cnt, bits))."""
+    """(M, 128) i32 selector words -> (M, cnt, 128) u32 fields + salt:
+    one broadcast shift/mask kernel for the whole mode class (the
+    28-bit payload of mode (cnt, bits))."""
     import jax
     import jax.numpy as jnp
 
     uw = jax.lax.bitcast_convert_type(words_i32, jnp.uint32)
+    shifts = (jnp.arange(cnt, dtype=jnp.uint32)
+              * jnp.uint32(bits))[None, :, None]
     mask = jnp.uint32((1 << bits) - 1)
-    cols = [((uw >> jnp.uint32(j * bits)) & mask) + salt for j in range(cnt)]
-    return jnp.stack(cols, axis=1)  # (N, cnt)
-
-
-def _s16_unpack_flat(words_i32, cnt: int, bits: int, salt):
-    """Chain variant of _s16_unpack: same fields, concatenated into a
-    dense 1-D array (column-major).  A materialized (N, cnt) output
-    lane-pads cnt -> 128 on device (cnt <= 28), multiplying the timed
-    chain's write traffic ~4.6x; the flat form writes exactly N*cnt
-    words.  Field ORDER is irrelevant to the chain (the buffer only
-    feeds the salt)."""
-    import jax
-    import jax.numpy as jnp
-
-    uw = jax.lax.bitcast_convert_type(words_i32, jnp.uint32)
-    mask = jnp.uint32((1 << bits) - 1)
-    cols = [((uw >> jnp.uint32(j * bits)) & mask) + salt for j in range(cnt)]
-    return jnp.concatenate(cols)
+    return ((uw[:, None, :] >> shifts) & mask) + salt
 
 
 @functools.lru_cache(maxsize=None)
@@ -741,7 +728,7 @@ def _phase_geometry(b: int, vpb: int):
     u32 word.  Values j and j+P share shift s(j) (P = 32/gcd(b,32)), so
     each phase's fields read from STRIDED word slices — the whole
     unpack is shifts/ors over slices, no gathers and no per-bit work
-    (the XLA form of SIMD bit unpacking)."""
+    (the numpy form of SIMD bit unpacking; used at plan time)."""
     import math
 
     P = 32 // math.gcd(b, 32) if b else 1
@@ -755,68 +742,101 @@ def _phase_geometry(b: int, vpb: int):
     return P_eff, C, stride_k, geo
 
 
+def _np_phase_unpack(words: np.ndarray, b: int, vpb: int) -> np.ndarray:
+    """Host mirror of the phase-grouped bit unpack: (N, W) u32 payload
+    words at width b -> (N, vpb) u32 values (low bits only)."""
+    N = words.shape[0]
+    if b == 0:
+        return np.zeros((N, vpb), np.uint32)
+    P_eff, C, stride_k, geo = _phase_geometry(b, vpb)
+    mask = np.uint32((1 << b) - 1) if b < 32 else np.uint32(0xFFFFFFFF)
+    out = np.zeros((N, vpb), np.uint32)
+    for p, (k0, s) in enumerate(geo):
+        end = k0 + (C - 1) * stride_k + 1 if C > 1 else k0 + 1
+        w1 = words[:, k0:end:stride_k] if C > 1 else words[:, k0 : k0 + 1]
+        v = (w1 >> np.uint32(s)) & mask
+        if s + b > 32:
+            w2 = (words[:, k0 + 1 : end + 1 : stride_k]
+                  if C > 1 else words[:, k0 + 1 : k0 + 2])
+            v = v | ((w2.astype(np.uint64) << np.uint64(32 - s)).astype(
+                np.uint32) & mask)
+        out[:, p::P_eff] = v
+    return out
+
+
+def _next_pow2(b: int) -> int:
+    bp = 1
+    while bp < b:
+        bp *= 2
+    return bp
+
+
+def _pack_pow2(values: np.ndarray, bp: int) -> np.ndarray:
+    """(N, vpb) u32 values (< 2^bp) -> (N, vpb*bp/32) u32 words,
+    little-endian bp-bit fields (value r of word k = bits r*bp..)."""
+    vpw = 32 // bp
+    N, vpb = values.shape
+    v = values.reshape(N, vpb // vpw, vpw).astype(np.uint64)
+    shifts = np.arange(vpw, dtype=np.uint64) * np.uint64(bp)
+    return (v << shifts).sum(axis=2, dtype=np.uint64).astype(np.uint32)
+
+
+def _lane_major(words: np.ndarray) -> np.ndarray:
+    """(N, W) u32 -> (W, M, 128): word k of row i at [k, i//128, i%128]
+    — one class row per VPU lane, zero-padded to the lane grid."""
+    N, W = words.shape
+    M = max(1, (N + 127) // 128)
+    out = np.zeros((W, M * 128), np.uint32)
+    out[:, :N] = words.T
+    return np.ascontiguousarray(out.reshape(W, M, 128))
+
+
 @functools.lru_cache(maxsize=None)
-def _fns(b: int, vpb: int, has_exc: bool):
+def _fns(bp: int, has_exc: bool):
+    """Device decode for one optpfor width class: ONE broadcast kernel.
+
+    The engine re-packs each class's payload bits to the next
+    power-of-two width bp at plan time (serving-image compilation —
+    the same philosophy as DINT's local-table image): every value then
+    lives whole inside one u32 word at shift (r*bp), so the unpack is
+    a single broadcast (W', 1, M, 128) >> (1, vpw, 1, 1) producing
+    (W', vpw, M, 128) — minor dim 128, one fused op per class.  (The
+    previous per-phase strided-slice form paid ~4 us of launch
+    overhead per XLA op, dozens of kernels per run.)  Value j of block
+    i sits at [j // vpw, j % vpw, i // 128, i % 128].  Exception highs
+    (pre-shifted by << b) add to the class's leading lane-grid rows:
+    exception blocks are ordered first, so their transposed dense
+    image is a prefix slice-add on the M axis."""
     import jax
     import jax.numpy as jnp
 
-    P_eff, C, stride_k, geo = _phase_geometry(b, vpb)
-    mask = jnp.uint32((1 << b) - 1) if b < 32 else jnp.uint32(0xFFFFFFFF)
+    vpw = 32 // bp
+    mask = np.uint32((1 << bp) - 1) if bp < 32 else np.uint32(0xFFFFFFFF)
 
-    def unpack(words, exc_dense, salt):
-        # words (N, W) u32 -> (N, vpb) u32 via phase-grouped strided
-        # slices: out[:, t*P+p] = (w[k_p + t*stride] >> s_p) |
-        #                         (w[k_p + t*stride + 1] << (32 - s_p))
-        N = words.shape[0]
-        parts = []
-        for p in range(P_eff):
-            k0, s = geo[p]
-            if C > 1:
-                w1 = jax.lax.slice_in_dim(
-                    words, k0, k0 + (C - 1) * stride_k + 1, stride_k, axis=1
-                )
-            else:
-                w1 = jax.lax.slice_in_dim(words, k0, k0 + 1, 1, axis=1)
-            v = (w1 >> jnp.uint32(s)) & mask
-            if s + b > 32:  # field spans into the next word
-                if C > 1:
-                    w2 = jax.lax.slice_in_dim(
-                        words, k0 + 1, k0 + 1 + (C - 1) * stride_k + 1,
-                        stride_k, axis=1,
-                    )
-                else:
-                    w2 = jax.lax.slice_in_dim(words, k0 + 1, k0 + 2, 1, axis=1)
-                v = v | ((w2 << jnp.uint32(32 - s)) & mask)
-            parts.append(v)  # (N, C)
-        out = jnp.stack(parts, axis=2).reshape(N, vpb)  # j = t*P_eff + p
+    def unpack(wT, excT, salt):
+        s = (jnp.arange(vpw, dtype=jnp.uint32)
+             * jnp.uint32(bp))[None, :, None, None]
+        out = (wT[:, None] >> s) & mask  # (W', vpw, M, 128)
         if has_exc:
-            # exception blocks sit first in the class: dense slice-add
-            E = exc_dense.shape[0]
-            out = jnp.concatenate([out[:E] + exc_dense, out[E:]], axis=0)
+            Me = excT.shape[2]
+            out = jnp.concatenate(
+                [out[:, :, :Me] + excT, out[:, :, Me:]], axis=2
+            )
         return out + salt  # value-cancelling salt (wrap-add u32)
 
-    decode = jax.jit(unpack)
-
-    @functools.partial(jax.jit, static_argnames=("runs",))
-    def chain(payload, exc_dense, *, runs: int):
-        def body(salt, _):
-            out = unpack(payload, exc_dense, salt)
-            # The barrier materializes the output (see _w_fns chain);
-            # the salt reduces a contiguous row sample of the written buffer.
-            out = jax.lax.optimization_barrier(out)
-            samp = out[:8]
-            s = samp.sum(dtype=jnp.uint32)
-            cnt = jnp.uint32(samp.size)
-            return s - salt * cnt, None  # cancels the added salt exactly
-
-        final, _ = jax.lax.scan(body, jnp.uint32(1), None, length=runs)
-        return final
-
-    return decode, chain, unpack
+    return (unpack,)
 
 
 class UnpackEngine:
-    """Runs one UnpackPlan on device (class-major outputs)."""
+    """Runs one UnpackPlan on device (class-major outputs).
+
+    At load the plan's payload compiles into a lane-major device image
+    — one class row per VPU lane — so every width class decodes as ONE
+    broadcast kernel (see _fns/_qmx_fns).  optpfor classes re-pack
+    their payload bits to the next power-of-two width on the host
+    (image compilation, like DINT's serving plan; `device_bytes`
+    reports the image size next to the plan's wire-faithful
+    plan_bytes)."""
 
     def __init__(self, plan: UnpackPlan):
         import jax.numpy as jnp
@@ -824,20 +844,22 @@ class UnpackEngine:
         self.plan = plan
         self._dev = []
         self._b0_out = {}  # class idx -> host output (zeros + exceptions)
+        self.device_bytes = 0
         qmx = plan.codec == "qmx"
+        vpb = plan.values_per_block
         for ci, c in enumerate(plan.classes):
+            n = c.payload.shape[0]
             if c.b == 0 and qmx:
                 # width-0 QMX instances decode to ones ON DEVICE (the
-                # unpack fn generates them); no payload words needed
+                # unpack fn generates them); only the lane-grid height
+                # is needed
+                M = max(1, (n + 127) // 128)
                 self._dev.append(
-                    ((jnp.zeros(c.payload.shape[0], jnp.uint32),),
-                     jnp.zeros((0, 1), jnp.uint32), False)
+                    ("qmx", 0, jnp.zeros((1, M, 1), jnp.uint32), None)
                 )
                 continue
             if c.b == 0:
-                out = np.zeros(
-                    (c.payload.shape[0], plan.values_per_block), np.uint32
-                )
+                out = np.zeros((n, vpb), np.uint32)
                 if c.exc_dense is not None and c.exc_dense.shape[0]:
                     out[: c.exc_dense.shape[0]] += c.exc_dense
                 self._b0_out[ci] = out
@@ -849,41 +871,69 @@ class UnpackEngine:
             padc = (-pay8.shape[1]) % 4
             if padc:
                 pay8 = np.concatenate(
-                    [pay8, np.zeros((pay8.shape[0], padc), np.uint8)], axis=1
+                    [pay8, np.zeros((n, padc), np.uint8)], axis=1
                 )
             words = np.ascontiguousarray(pay8).view("<u4")
             if qmx:
-                # lane columns as dense 1-D arrays (an (N, 4/8) matrix
-                # would lane-pad to 128 on device — see _qmx_fns)
-                words = tuple(
-                    jnp.asarray(np.ascontiguousarray(words[:, k]))
-                    for k in range(words.shape[1])
-                )
+                # lo/hi lane words, lane-major: (4, M, 128) each
+                lo = jnp.asarray(_lane_major(words[:, :4]))
+                hi = (jnp.asarray(_lane_major(words[:, 4:8]))
+                      if words.shape[1] > 4 else None)
+                self._dev.append(("qmx", int(c.b), lo, hi))
+                self.device_bytes += lo.nbytes + (hi.nbytes if hi is not None
+                                                  else 0)
+                continue
+            # optpfor: unpack the class's bits on the host and re-pack
+            # at the next power-of-two width (values keep their low
+            # bits; exception highs add separately, unchanged)
+            bp = _next_pow2(int(c.b))
+            values = _np_phase_unpack(words, int(c.b), vpb)
+            wT = jnp.asarray(_lane_major(_pack_pow2(values, bp)))
+            if has_exc:
+                E = c.exc_dense.shape[0]
+                Me = (E + 127) // 128
+                pad = np.zeros((Me * 128, vpb), np.uint32)
+                pad[:E] = c.exc_dense
+                vpw = 32 // bp
+                excT = jnp.asarray(np.ascontiguousarray(
+                    pad.reshape(Me, 128, vpb // vpw, vpw).transpose(2, 3, 0, 1)
+                ))
             else:
-                words = jnp.asarray(words)
-            exc = (
-                c.exc_dense
-                if has_exc
-                else np.zeros((0, self.plan.values_per_block), np.uint32)
-            )
-            self._dev.append((words, jnp.asarray(exc), has_exc))
+                vpw = 32 // bp
+                excT = jnp.zeros((vpb // vpw, vpw, 0, 128), jnp.uint32)
+            self._dev.append(("pfor", bp, wT, (excT, has_exc)))
+            self.device_bytes += wT.nbytes + excT.nbytes
 
-    def decode_classes(self, salt: int = 0) -> List[np.ndarray]:
+    @staticmethod
+    def _reorder(kind: str, b: int, out: np.ndarray, n: int) -> np.ndarray:
+        """(.., .., M, 128) class output -> (N, ints) in value order."""
+        if kind == "pfor" or b in (8, 16, 32):
+            # value j at [j // R2, j % R2, i // 128, i % 128]
+            a = np.transpose(out, (2, 3, 0, 1))
+        else:
+            # striped: value j at [j & 3, j >> 2, ...]
+            a = np.transpose(out, (2, 3, 1, 0))
+        return a.reshape(a.shape[0] * a.shape[1], -1)[:n]
+
+    def decode_classes(self) -> List[np.ndarray]:
+        import jax
         import jax.numpy as jnp
 
         outs = []
-        qmx = self.plan.codec == "qmx"
         for ci, (c, dev) in enumerate(zip(self.plan.classes, self._dev)):
             if dev is None:  # b == 0: zeros + exception highs (hosted)
                 outs.append(self._b0_out[ci])
                 continue
-            pay, exc, has_exc = dev
-            decode = (_qmx_fns(c.b) if qmx
-                      else _fns(c.b, self.plan.values_per_block, has_exc))[0]
-            outs.append(
-                np.asarray(decode(pay, exc, jnp.uint32(salt)))
-                - np.uint32(salt)
-            )
+            kind, b, a0, a1 = dev
+            n = c.payload.shape[0]
+            if kind == "qmx":
+                fn = jax.jit(_qmx_fns(b)[0])
+                out = np.asarray(fn(a0, a1, jnp.uint32(0)))
+            else:
+                excT, has_exc = a1
+                fn = jax.jit(_fns(b, has_exc)[0])
+                out = np.asarray(fn(a0, excT, jnp.uint32(0)))
+            outs.append(self._reorder(kind, b, out, n))
         return outs
 
     def timed_chain(self, runs: int) -> float:
@@ -894,15 +944,19 @@ class UnpackEngine:
         import jax
         import jax.numpy as jnp
 
-        specs = []  # (b, has_exc) static parts, aligned with arg tuples
+        specs = []  # (kind, b, has_exc) static parts, aligned with args
         args = []
-        for c, dev in zip(self.plan.classes, self._dev):
+        for dev in self._dev:
             if dev is None:
                 continue
-            pay, exc, has_exc = dev
-            specs.append((int(c.b), bool(has_exc)))
-            args.append((pay, exc))
-        vpb = self.plan.values_per_block
+            kind, b, a0, a1 = dev
+            if kind == "qmx":
+                specs.append((kind, b, False))
+                args.append((a0, a1))
+            else:
+                excT, has_exc = a1
+                specs.append((kind, b, has_exc))
+                args.append((a0, excT))
         specs_t = tuple(specs)
 
         # partial tails and b=0-class outputs are hosted plan values;
@@ -915,21 +969,18 @@ class UnpackEngine:
             )
         )
 
-        qmx = self.plan.codec == "qmx"
-
         @functools.partial(jax.jit, static_argnames=("runs",))
         def chain_all(args, pvals, *, runs: int):
             def body(salt, _):
                 s = jnp.uint32(0)
                 cnt = 0
-                for (b, has_exc), (pay, exc) in zip(specs_t, args):
-                    unpack = (_qmx_fns(b) if qmx
-                              else _fns(b, vpb, has_exc))[2]
-                    out = unpack(pay, exc, salt)
-                    # materialize + sampled reduce (see _w_fns chain);
-                    # qmx chain outputs are flat 1-D, optpfor (N, vpb)
+                for (kind, b, has_exc), (a0, a1) in zip(specs_t, args):
+                    unpack = (_qmx_fns(b) if kind == "qmx"
+                              else _fns(b, has_exc))[0]
+                    out = unpack(a0, a1, salt)
+                    # materialize + sampled reduce (see _w_fns chain)
                     out = jax.lax.optimization_barrier(out)
-                    samp = out[:1024] if out.ndim == 1 else out[:8]
+                    samp = out[:1, :1, :8]
                     s = s + samp.sum(dtype=jnp.uint32)
                     cnt += samp.size
                 pv = jax.lax.optimization_barrier(pvals + salt)

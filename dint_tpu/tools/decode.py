@@ -309,7 +309,10 @@ def decode_zoo_device(type_name: str, encoded_file: str, runs: int,
         "ints_x_sec": str(int(1e9 / max(ns_x_int, 1e-12))),
         "runs": str(runs),
         "engine": "device",
-        "plan_bytes": str(plan.plan_bytes()),
+        # the device image when the engine compiles one (optpfor re-packs
+        # to power-of-two widths), else the wire-faithful class arrays
+        "plan_bytes": str(getattr(eng, "device_bytes", 0)
+                          or plan.plan_bytes()),
     }
     if check_collection:
         got = eng.decode_all_ordered()
