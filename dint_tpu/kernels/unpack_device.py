@@ -13,9 +13,10 @@ gather-free and dense:
 * at DECODE time each class runs one fused XLA op: bytes -> bits
   (broadcast shift), reshape to (N, values, b), weighted lane sum —
   pure VPU work with static shapes, no dynamic gathers;
-* optpfor exceptions apply as one small scatter-add per class
-  (positions/highs are plan state, value counts are tiny — they are
-  exceptions);
+* optpfor exceptions fold into the host-unpacked values at image
+  compile time; blocks re-group by the smallest no-straddle ladder
+  width holding the folded values, so the hot path carries no
+  exception side-stream at all;
 * partial tail blocks (interpolative) decode on the host each run.
 
 Outputs are class-major (like the DINT serving image is row-major);
@@ -47,8 +48,9 @@ class WidthClass:
     out_base: np.ndarray  # (N,) i64 global output offset of each block
     size: np.ndarray  # (N,) i64 ints in each block (== values_per_block)
     # optpfor exceptions: blocks carrying exceptions are ordered FIRST
-    # in the class, so their high parts apply as one dense slice-add
-    # (exc_dense (E, vpb) u32, values pre-shifted by << b) — no scatter
+    # in the class, aligned with exc_dense rows (exc_dense (E, vpb)
+    # u32, values pre-shifted by << b); the engine folds them into the
+    # host-unpacked values at image-compile time — no exception work
     # on the hot path.
     exc_dense: np.ndarray = None
 
@@ -764,20 +766,33 @@ def _np_phase_unpack(words: np.ndarray, b: int, vpb: int) -> np.ndarray:
     return out
 
 
-def _next_pow2(b: int) -> int:
-    bp = 1
-    while bp < b:
-        bp *= 2
-    return bp
+# serving-image width ladder: the distinct no-straddle container widths
+# (vpw = 32 // w values per u32 word, values never cross a word) — the
+# smallest ladder width >= a block's needed bit width is its class
+_LADDER = (1, 2, 3, 4, 5, 6, 8, 10, 16, 32)
 
 
-def _pack_pow2(values: np.ndarray, bp: int) -> np.ndarray:
-    """(N, vpb) u32 values (< 2^bp) -> (N, vpb*bp/32) u32 words,
-    little-endian bp-bit fields (value r of word k = bits r*bp..)."""
-    vpw = 32 // bp
+def _ladder_width(w_need: int) -> int:
+    for w in _LADDER:
+        if w >= w_need:
+            return w
+    return 32
+
+
+def _pack_w(values: np.ndarray, w: int) -> np.ndarray:
+    """(N, vpb) u32 values (< 2^w) -> (N, ceil(vpb/vpw)) u32 words with
+    vpw = 32//w little-endian w-bit fields per word (no value straddles
+    a word; value j of a row sits in word j//vpw at shift (j%vpw)*w).
+    The value axis zero-pads up to a whole word."""
+    vpw = 32 // w
     N, vpb = values.shape
-    v = values.reshape(N, vpb // vpw, vpw).astype(np.uint64)
-    shifts = np.arange(vpw, dtype=np.uint64) * np.uint64(bp)
+    W = -(-vpb // vpw)
+    if W * vpw != vpb:
+        values = np.concatenate(
+            [values, np.zeros((N, W * vpw - vpb), np.uint32)], axis=1
+        )
+    v = values.reshape(N, W, vpw).astype(np.uint64)
+    shifts = np.arange(vpw, dtype=np.uint64) * np.uint64(w)
     return (v << shifts).sum(axis=2, dtype=np.uint64).astype(np.uint32)
 
 
@@ -792,36 +807,31 @@ def _lane_major(words: np.ndarray) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _fns(bp: int, has_exc: bool):
+def _fns(w: int):
     """Device decode for one optpfor width class: ONE broadcast kernel.
 
-    The engine re-packs each class's payload bits to the next
-    power-of-two width bp at plan time (serving-image compilation —
-    the same philosophy as DINT's local-table image): every value then
-    lives whole inside one u32 word at shift (r*bp), so the unpack is
-    a single broadcast (W', 1, M, 128) >> (1, vpw, 1, 1) producing
-    (W', vpw, M, 128) — minor dim 128, one fused op per class.  (The
-    previous per-phase strided-slice form paid ~4 us of launch
-    overhead per XLA op, dozens of kernels per run.)  Value j of block
-    i sits at [j // vpw, j % vpw, i // 128, i % 128].  Exception highs
-    (pre-shifted by << b) add to the class's leading lane-grid rows:
-    exception blocks are ordered first, so their transposed dense
-    image is a prefix slice-add on the M axis."""
-    import jax
+    The engine folds exception highs into the host-unpacked values and
+    re-packs each block at its actual required ladder width w at load
+    time (serving-image compilation — the same philosophy as DINT's
+    local-table image): every value then lives whole inside one u32
+    word at shift (r*w), so the unpack is a single broadcast
+    (W', 1, M, 128) >> (1, vpw, 1, 1) producing (W', vpw, M, 128) —
+    minor dim 128, one fused op per class, no exception side-stream.
+    (The previous per-phase strided-slice form paid ~4 us of launch
+    overhead per XLA op; the earlier pow2 re-pack plus dense exception
+    add cost up to 4 extra HBM bytes per int on exception-bearing
+    blocks.)  Value j of block i sits at
+    [j // vpw, j % vpw, i // 128, i % 128]."""
     import jax.numpy as jnp
 
-    vpw = 32 // bp
-    mask = np.uint32((1 << bp) - 1) if bp < 32 else np.uint32(0xFFFFFFFF)
+    vpw = 32 // w
+    mask = np.uint32((1 << w) - 1) if w < 32 else np.uint32(0xFFFFFFFF)
 
-    def unpack(wT, excT, salt):
+    def unpack(wT, hi, salt):
+        del hi
         s = (jnp.arange(vpw, dtype=jnp.uint32)
-             * jnp.uint32(bp))[None, :, None, None]
+             * jnp.uint32(w))[None, :, None, None]
         out = (wT[:, None] >> s) & mask  # (W', vpw, M, 128)
-        if has_exc:
-            Me = excT.shape[2]
-            out = jnp.concatenate(
-                [out[:, :, :Me] + excT, out[:, :, Me:]], axis=2
-            )
         return out + salt  # value-cancelling salt (wrap-add u32)
 
     return (unpack,)
@@ -832,49 +842,44 @@ class UnpackEngine:
 
     At load the plan's payload compiles into a lane-major device image
     — one class row per VPU lane — so every width class decodes as ONE
-    broadcast kernel (see _fns/_qmx_fns).  optpfor classes re-pack
-    their payload bits to the next power-of-two width on the host
+    broadcast kernel (see _fns/_qmx_fns).  optpfor blocks host-unpack,
+    fold their exception highs into the values, and re-group by the
+    smallest no-straddle ladder width that holds the folded values
     (image compilation, like DINT's serving plan; `device_bytes`
     reports the image size next to the plan's wire-faithful
-    plan_bytes)."""
+    plan_bytes).  Device classes therefore do not map 1:1 onto plan
+    classes; `self._meta` carries each device class's (out_base, size)
+    block mapping."""
 
     def __init__(self, plan: UnpackPlan):
         import jax.numpy as jnp
 
         self.plan = plan
-        self._dev = []
-        self._b0_out = {}  # class idx -> host output (zeros + exceptions)
+        self._dev = []   # (kind, w, a0, a1) per device class
+        self._meta = []  # (out_base, size) per device class
         self.device_bytes = 0
         qmx = plan.codec == "qmx"
         vpb = plan.values_per_block
-        for ci, c in enumerate(plan.classes):
-            n = c.payload.shape[0]
-            if c.b == 0 and qmx:
-                # width-0 QMX instances decode to ones ON DEVICE (the
-                # unpack fn generates them); only the lane-grid height
-                # is needed
-                M = max(1, (n + 127) // 128)
-                self._dev.append(
-                    ("qmx", 0, jnp.zeros((1, M, 1), jnp.uint32), None)
-                )
-                continue
-            if c.b == 0:
-                out = np.zeros((n, vpb), np.uint32)
-                if c.exc_dense is not None and c.exc_dense.shape[0]:
-                    out[: c.exc_dense.shape[0]] += c.exc_dense
-                self._b0_out[ci] = out
-                self._dev.append(None)
-                continue
-            has_exc = c.exc_dense is not None and c.exc_dense.shape[0] > 0
-            # payload bytes -> little-endian u32 words (pad to 4)
-            pay8 = c.payload
-            padc = (-pay8.shape[1]) % 4
-            if padc:
-                pay8 = np.concatenate(
-                    [pay8, np.zeros((n, padc), np.uint8)], axis=1
-                )
-            words = np.ascontiguousarray(pay8).view("<u4")
-            if qmx:
+        if qmx:
+            for c in plan.classes:
+                n = c.payload.shape[0]
+                self._meta.append((c.out_base, c.size))
+                if c.b == 0:
+                    # width-0 QMX instances decode to ones ON DEVICE
+                    # (the unpack fn generates them); only the
+                    # lane-grid height is needed
+                    M = max(1, (n + 127) // 128)
+                    self._dev.append(
+                        ("qmx", 0, jnp.zeros((1, M, 1), jnp.uint32), None)
+                    )
+                    continue
+                pay8 = c.payload
+                padc = (-pay8.shape[1]) % 4
+                if padc:
+                    pay8 = np.concatenate(
+                        [pay8, np.zeros((n, padc), np.uint8)], axis=1
+                    )
+                words = np.ascontiguousarray(pay8).view("<u4")
                 # lo/hi lane words, lane-major: (4, M, 128) each
                 lo = jnp.asarray(_lane_major(words[:, :4]))
                 hi = (jnp.asarray(_lane_major(words[:, 4:8]))
@@ -882,27 +887,46 @@ class UnpackEngine:
                 self._dev.append(("qmx", int(c.b), lo, hi))
                 self.device_bytes += lo.nbytes + (hi.nbytes if hi is not None
                                                   else 0)
-                continue
-            # optpfor: unpack the class's bits on the host and re-pack
-            # at the next power-of-two width (values keep their low
-            # bits; exception highs add separately, unchanged)
-            bp = _next_pow2(int(c.b))
-            values = _np_phase_unpack(words, int(c.b), vpb)
-            wT = jnp.asarray(_lane_major(_pack_pow2(values, bp)))
-            if has_exc:
-                E = c.exc_dense.shape[0]
-                Me = (E + 127) // 128
-                pad = np.zeros((Me * 128, vpb), np.uint32)
-                pad[:E] = c.exc_dense
-                vpw = 32 // bp
-                excT = jnp.asarray(np.ascontiguousarray(
-                    pad.reshape(Me, 128, vpb // vpw, vpw).transpose(2, 3, 0, 1)
-                ))
+            return
+        # optpfor: host-unpack every block, fold exception highs into
+        # the values (exception blocks are ordered first in each plan
+        # class, aligned with exc_dense rows), then re-classify by the
+        # smallest ladder width that holds the folded values
+        per_w: Dict[int, list] = {}
+        for c in plan.classes:
+            n = c.payload.shape[0]
+            if c.b == 0:
+                values = np.zeros((n, vpb), np.uint32)
             else:
-                vpw = 32 // bp
-                excT = jnp.zeros((vpb // vpw, vpw, 0, 128), jnp.uint32)
-            self._dev.append(("pfor", bp, wT, (excT, has_exc)))
-            self.device_bytes += wT.nbytes + excT.nbytes
+                pay8 = c.payload
+                padc = (-pay8.shape[1]) % 4
+                if padc:
+                    pay8 = np.concatenate(
+                        [pay8, np.zeros((n, padc), np.uint8)], axis=1
+                    )
+                words = np.ascontiguousarray(pay8).view("<u4")
+                values = _np_phase_unpack(words, int(c.b), vpb)
+            if c.exc_dense is not None and c.exc_dense.shape[0]:
+                values[: c.exc_dense.shape[0]] += c.exc_dense
+            # needed bit width per block (exact for ints <= 2^32 in f64)
+            w_need = np.ceil(
+                np.log2(values.max(axis=1).astype(np.float64) + 1.0)
+            ).astype(np.int64)
+            w_need = np.maximum(w_need, 1)
+            for r in range(n):
+                per_w.setdefault(_ladder_width(int(w_need[r])), []).append(
+                    (values[r], int(c.out_base[r]), int(c.size[r]))
+                )
+        for w in sorted(per_w):
+            items = per_w[w]
+            vals = np.stack([x[0] for x in items])
+            wT = jnp.asarray(_lane_major(_pack_w(vals, w)))
+            self._dev.append(("pfor", w, wT, None))
+            self._meta.append((
+                np.asarray([x[1] for x in items], np.int64),
+                np.asarray([x[2] for x in items], np.int64),
+            ))
+            self.device_bytes += wT.nbytes
 
     @staticmethod
     def _reorder(kind: str, b: int, out: np.ndarray, n: int) -> np.ndarray:
@@ -920,19 +944,11 @@ class UnpackEngine:
         import jax.numpy as jnp
 
         outs = []
-        for ci, (c, dev) in enumerate(zip(self.plan.classes, self._dev)):
-            if dev is None:  # b == 0: zeros + exception highs (hosted)
-                outs.append(self._b0_out[ci])
-                continue
+        for (out_base, size), dev in zip(self._meta, self._dev):
             kind, b, a0, a1 = dev
-            n = c.payload.shape[0]
-            if kind == "qmx":
-                fn = jax.jit(_qmx_fns(b)[0])
-                out = np.asarray(fn(a0, a1, jnp.uint32(0)))
-            else:
-                excT, has_exc = a1
-                fn = jax.jit(_fns(b, has_exc)[0])
-                out = np.asarray(fn(a0, excT, jnp.uint32(0)))
+            n = out_base.shape[0]
+            fn = jax.jit((_qmx_fns(b) if kind == "qmx" else _fns(b))[0])
+            out = np.asarray(fn(a0, a1, jnp.uint32(0)))
             outs.append(self._reorder(kind, b, out, n))
         return outs
 
@@ -944,27 +960,20 @@ class UnpackEngine:
         import jax
         import jax.numpy as jnp
 
-        specs = []  # (kind, b, has_exc) static parts, aligned with args
+        specs = []  # (kind, b) static parts, aligned with args
         args = []
         for dev in self._dev:
-            if dev is None:
-                continue
             kind, b, a0, a1 = dev
-            if kind == "qmx":
-                specs.append((kind, b, False))
-                args.append((a0, a1))
-            else:
-                excT, has_exc = a1
-                specs.append((kind, b, has_exc))
-                args.append((a0, excT))
+            specs.append((kind, b))
+            args.append((a0, a1 if a1 is not None
+                         else jnp.zeros((0,), jnp.uint32)))
         specs_t = tuple(specs)
 
-        # partial tails and b=0-class outputs are hosted plan values;
-        # per run they materialize on device like every other value
+        # partial tails are hosted plan values; per run they
+        # materialize on device like every other value
         pvals = jnp.asarray(
             np.concatenate(
                 [v for _, v in self.plan.partials]
-                + [o.reshape(-1) for o in self._b0_out.values()]
                 or [np.zeros(0, np.uint32)]
             )
         )
@@ -974,9 +983,9 @@ class UnpackEngine:
             def body(salt, _):
                 s = jnp.uint32(0)
                 cnt = 0
-                for (kind, b, has_exc), (a0, a1) in zip(specs_t, args):
+                for (kind, b), (a0, a1) in zip(specs_t, args):
                     unpack = (_qmx_fns(b) if kind == "qmx"
-                              else _fns(b, has_exc))[0]
+                              else _fns(b))[0]
                     out = unpack(a0, a1, salt)
                     # materialize + sampled reduce (see _w_fns chain)
                     out = jax.lax.optimization_barrier(out)
@@ -1000,10 +1009,10 @@ class UnpackEngine:
         """Full stream decode assembled back to stream order (host
         reorder; used by --check)."""
         out = np.zeros(self.plan.total_ints, np.uint32)
-        for c, vals in zip(self.plan.classes, self.decode_classes()):
-            for r in range(c.out_base.shape[0]):
-                o = int(c.out_base[r])
-                k = int(c.size[r])
+        for (out_base, size), vals in zip(self._meta, self.decode_classes()):
+            for r in range(out_base.shape[0]):
+                o = int(out_base[r])
+                k = int(size[r])
                 out[o : o + k] = vals[r, :k]
         for off, vals in self.plan.partials:
             out[off : off + vals.shape[0]] = vals

@@ -270,8 +270,9 @@ def decode_stream(
 def decode_zoo_device(type_name: str, encoded_file: str, runs: int,
                       check_collection=None):
     """Device bit-unpack decode for the fixed-width zoo codecs
-    (kernels/unpack_device.py): width classes unpack as dense XLA ops,
-    exceptions scatter in, partial tails replay on the host."""
+    (kernels/unpack_device.py): width classes unpack as dense XLA ops
+    (optpfor exceptions fold into the image at load), partial tails
+    replay on the host."""
     from ..kernels import unpack_device
 
     arena, meta = stream_mod.load_stream(encoded_file)
@@ -309,8 +310,9 @@ def decode_zoo_device(type_name: str, encoded_file: str, runs: int,
         "ints_x_sec": str(int(1e9 / max(ns_x_int, 1e-12))),
         "runs": str(runs),
         "engine": "device",
-        # the device image when the engine compiles one (optpfor re-packs
-        # to power-of-two widths), else the wire-faithful class arrays
+        # the device image when the engine compiles one (optpfor folds
+        # exceptions and re-packs at no-straddle ladder widths), else
+        # the wire-faithful class arrays
         "plan_bytes": str(getattr(eng, "device_bytes", 0)
                           or plan.plan_bytes()),
     }
