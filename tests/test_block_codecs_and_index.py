@@ -271,6 +271,32 @@ def test_vectorized_decoders_match_scalar_oracles():
                 assert end == wend, (name, n, mag, end, wend)
 
 
+def test_ladder_pack_roundtrip():
+    """_pack_w no-straddle packing at every ladder width (incl. the
+    non-divisor widths 3/5/6/10 whose last word is partial) inverts
+    through the device unpack shift/mask layout: value j of a row sits
+    in word j//vpw at shift (j%vpw)*w."""
+    import numpy as np
+
+    from dint_tpu.kernels import unpack_device as U
+
+    rng = np.random.default_rng(11)
+    for w in U._LADDER:
+        vpw = 32 // w
+        hi = np.uint64(1) << np.uint64(w)
+        vals = rng.integers(0, int(hi), (5, 256)).astype(np.uint32)
+        words = U._pack_w(vals, w)
+        assert words.shape[1] == -(-256 // vpw)
+        mask = np.uint32((1 << w) - 1) if w < 32 else np.uint32(0xFFFFFFFF)
+        j = np.arange(256)
+        got = (words[:, j // vpw] >> ((j % vpw) * w).astype(np.uint32)) & mask
+        np.testing.assert_array_equal(got, vals, err_msg=f"w={w}")
+    # ladder assignment: smallest ladder width >= the needed width
+    for need, want in ((1, 1), (3, 3), (4, 4), (7, 8), (9, 10),
+                       (11, 16), (16, 16), (17, 32), (32, 32)):
+        assert U._ladder_width(need) == want, (need, want)
+
+
 def test_device_unpack_engine_exact(tmp_path):
     """The width-class device unpack engine (kernels/unpack_device.py)
     reproduces the host decode bit-for-bit for optpfor and qmx vroom
