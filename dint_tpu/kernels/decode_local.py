@@ -809,6 +809,24 @@ def _gather32_body(salt_ref, vidx_ref, tab_ref, n_ref, out_ref):
         out_ref[:, c * 128 : (c + 1) * 128] = jnp.where(valid, val, 0)
 
 
+def _zero_body(salt_ref, n_ref, out_ref):
+    """Zero width class: rows whose local table is ENTIRELY zero
+    (zero-run-only units — 23% of the bench plan's rows) decode to
+    all-zero outputs whatever their tokens say, so the kernel writes
+    salt on valid lanes (val == 0; the caller cancels the salt) and
+    reads NO table and NO vidx — the class is write-only.  On the
+    bench plan this removes ~12 MB of the ~60 MB of per-run image
+    reads."""
+    rt = out_ref.shape[0]
+    salt = salt_ref[0]
+    jpos = jax.lax.broadcasted_iota(jnp.int32, (rt, N_OUT), 1)
+    out_ref[...] = jnp.where(jpos < n_ref[:], salt, 0)
+
+
+def _pallas_zero_kernel(salt_ref, n_ref, out_ref):
+    _zero_body(salt_ref, n_ref, out_ref)
+
+
 def _pallas_gather16_kernel(salt_ref, vidx_ref, tab_ref, n_ref, out_ref):
     _gather16_body(salt_ref, vidx_ref, tab_ref, n_ref, out_ref)
 
@@ -856,6 +874,7 @@ def _pallas_decode_fns(R: int, rt: int, interpret: bool = False):
 
 
 _CLASS_KERNELS = {
+    0: (_pallas_zero_kernel, 0, True),
     16: (_pallas_gather16_kernel, TABLE_CLS // 2, True),
     32: (_pallas_gather_kernel, TABLE_CLS, False),
 }
@@ -877,24 +896,27 @@ CHAIN_SUMS_MIN_OUT_BYTES = 128 * 1024 * 1024
 def _pallas_split_fns(spec, rt: int, interpret: bool = False):
     """(decode, chain) for a plan split into table width classes.
 
-    ``spec`` is a tuple of (padded_rows, mode) with mode in {8,16,32};
+    ``spec`` is a tuple of (padded_rows, mode) with mode in {0,16,32};
     zero-row classes are skipped.  decode takes one (vidx, table, n)
-    triple per class + salt and returns the exact per-class outputs;
-    chain runs every class per scan step in ONE dispatch."""
+    triple per class + salt (mode-0 classes pass empty vidx/table) and
+    returns the exact per-class outputs; chain runs every class per
+    scan step in ONE dispatch."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     def _make_call(kern, rows, lanes):
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        if lanes:  # gather classes read (vidx, table); mode 0 reads neither
+            in_specs += [
+                pl.BlockSpec((rt, N_OUT), lambda i: (i, 0)),
+                pl.BlockSpec((rt, lanes), lambda i: (i, 0)),
+            ]
+        in_specs.append(pl.BlockSpec((rt, 1), lambda i: (i, 0)))
         return pl.pallas_call(
             kern,
             grid=(rows // rt,),
             interpret=interpret,
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((rt, N_OUT), lambda i: (i, 0)),
-                pl.BlockSpec((rt, lanes), lambda i: (i, 0)),
-                pl.BlockSpec((rt, 1), lambda i: (i, 0)),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((rt, N_OUT), lambda i: (i, 0)),
             out_shape=jax.ShapeDtypeStruct((rows, N_OUT), jnp.int32),
         )
@@ -907,13 +929,18 @@ def _pallas_split_fns(spec, rt: int, interpret: bool = False):
     for rows, mode in spec:
         kern, lanes, salted = _CLASS_KERNELS[mode]
         call = _make_call(kern, rows, lanes) if rows else None
-        calls.append((call, salted))
+        calls.append((call, salted, mode))
 
     def _run(args, salt):
         s = jax.lax.bitcast_convert_type(salt, jnp.int32)
         outs = []
-        for (call, salted), (v, t, n) in zip(calls, args):
-            outs.append(call(s[None], v, t, n) if call else None)
+        for (call, salted, mode), (v, t, n) in zip(calls, args):
+            if call is None:
+                outs.append(None)
+            elif mode == 0:
+                outs.append(call(s[None], n))
+            else:
+                outs.append(call(s[None], v, t, n))
         return outs
 
     @jax.jit
@@ -921,7 +948,7 @@ def _pallas_split_fns(spec, rt: int, interpret: bool = False):
         raw = _run(args, salt)
         outs = []
         jpos = jnp.arange(N_OUT, dtype=jnp.int32)[None, :]
-        for o, (call, salted), (v, t, n) in zip(raw, calls, args):
+        for o, (call, salted, mode), (v, t, n) in zip(raw, calls, args):
             if o is None:
                 continue
             u = jax.lax.bitcast_convert_type(o, jnp.uint32)
@@ -967,7 +994,7 @@ def _pallas_split_fns(spec, rt: int, interpret: bool = False):
             def body(salt, _):
                 raw = _run(args, salt)
                 s = jnp.uint32(0)
-                for o, (call, salted), valid in zip(raw, calls, valids):
+                for o, (call, salted, mode), valid in zip(raw, calls, valids):
                     if o is None:
                         continue
                     s = s + jnp.sum(
@@ -1058,10 +1085,14 @@ class LocalDecodeEngine:
             # traffic win: Mosaic's dynamic gather requires operand
             # lane width == index lane width (128), so the 64-lane
             # table would have to be stored 128 lanes wide anyway.
-            sel16 = tabmax < (1 << 16)
-            sel32 = ~sel16
+            # all-zero tables decode to all-zero outputs whatever the
+            # tokens say: those rows form a write-only zero class that
+            # reads neither vidx nor table
+            sel0 = tabmax == 0
+            sel16 = (tabmax < (1 << 16)) & ~sel0
+            sel32 = tabmax >= (1 << 16)
             classes = []  # (mode, orig row ids, padded rows)
-            for mode, sel in ((16, sel16), (32, sel32)):
+            for mode, sel in ((0, sel0), (16, sel16), (32, sel32)):
                 rows = np.flatnonzero(sel).astype(np.int64)
                 padded = -(-rows.shape[0] // row_tile) * row_tile if rows.shape[0] else 0
                 classes.append((mode, rows, padded))
@@ -1081,35 +1112,45 @@ class LocalDecodeEngine:
             for mode, rows, padded in classes:
                 Rc = rows.shape[0]
                 cls_bases.append(base)
-                v = (
-                    pad_to(vidx_np[rows], padded)
-                    if Rc
-                    else np.zeros((0, N_OUT), np.int32)
-                )
-                tr = (
-                    plan.table[rows]
-                    if Rc
-                    else np.zeros((0, TABLE_CLS), np.uint32)
-                )
-                if mode == 16:
-                    t = (tr[:, 0::2] | (tr[:, 1::2] << np.uint32(16))).astype(
-                        np.uint32
-                    )
-                else:
-                    t = tr
-                t = pad_to(t, padded)
                 nn = (
                     pad_to(plan.out_n[rows], padded)
                     if Rc
                     else np.zeros(0, np.int32)
                 )
-                dev.append(
-                    (
-                        jnp.asarray(v.astype(np.uint8).view(np.int8)),
-                        jnp.asarray(t.view(np.int32)),
-                        jnp.asarray(nn.astype(np.int32)[:, None]),
+                if mode == 0:
+                    # write-only class: no vidx, no table on device
+                    dev.append(
+                        (
+                            jnp.zeros((0,), jnp.int8),
+                            jnp.zeros((0,), jnp.int32),
+                            jnp.asarray(nn.astype(np.int32)[:, None]),
+                        )
                     )
-                )
+                else:
+                    v = (
+                        pad_to(vidx_np[rows], padded)
+                        if Rc
+                        else np.zeros((0, N_OUT), np.int32)
+                    )
+                    tr = (
+                        plan.table[rows]
+                        if Rc
+                        else np.zeros((0, TABLE_CLS), np.uint32)
+                    )
+                    if mode == 16:
+                        t = (
+                            tr[:, 0::2] | (tr[:, 1::2] << np.uint32(16))
+                        ).astype(np.uint32)
+                    else:
+                        t = tr
+                    t = pad_to(t, padded)
+                    dev.append(
+                        (
+                            jnp.asarray(v.astype(np.uint8).view(np.int8)),
+                            jnp.asarray(t.view(np.int32)),
+                            jnp.asarray(nn.astype(np.int32)[:, None]),
+                        )
+                    )
                 valids.append(jnp.uint32(int(nn.astype(np.int64).sum())))
                 self.eng_unit_id[base : base + Rc] = plan.unit_id[rows]
                 self.eng_out_pos[base : base + Rc] = plan.out_pos[rows]

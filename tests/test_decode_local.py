@@ -268,6 +268,10 @@ def test_split_width_class_engine_interpret(tmp_path, monkeypatch):
         if i % 3 == 0:  # large values force 4-byte exceptions ->
             g[rng.integers(0, n, 3)] = rng.integers(1 << 17, 1 << 25, 3)
         gap_lists.append(g)  # i32-class rows (table words >= 2^16)
+    # all-zero lists (pure zero runs) -> all-zero local tables -> the
+    # write-only zero class
+    gap_lists.append(np.zeros(700, np.uint32))
+    gap_lists.append(np.zeros(512, np.uint32))
     per_size = collectors.collect_single(gap_lists)
     ctx = block_stats._filter_sort(per_size, sum(map(len, gap_lists)))
     stats = block_stats.BlockStats(sum(map(len, gap_lists)), [ctx])
@@ -293,8 +297,8 @@ def test_split_width_class_engine_interpret(tmp_path, monkeypatch):
     eng = decode_local.LocalDecodeEngine(plan, row_tile=32)
     assert eng.use_pallas
     cls_rows = {m: r.shape[0] for m, r, _ in eng._classes}
-    assert cls_rows[32] > 0 and cls_rows[16] > 0, (
-        "plan must contain packed and i32 width classes", cls_rows)
+    assert cls_rows[32] > 0 and cls_rows[16] > 0 and cls_rows[0] > 0, (
+        "plan must contain zero, packed and i32 width classes", cls_rows)
     units = eng.gather_units(
         eng.decode_all(), len(bufs), [len(g) for g in gap_lists]
     )
