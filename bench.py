@@ -58,13 +58,6 @@ if __name__ == "__main__" and os.environ.get("DINT_BENCH_CHILD") != "1":
         sys.exit(p.wait(timeout=_WATCHDOG_SECS))
     except subprocess.TimeoutExpired:
         _killpg()
-    except BaseException:
-        # Ctrl-C / SIGTERM on the parent: the child runs in its own
-        # session, so the terminal's SIGINT never reaches it — kill the
-        # whole child group before re-raising or it would keep holding
-        # the device (one TPU process at a time).
-        _killpg()
-        raise
         print(
             json.dumps(
                 {
@@ -79,6 +72,13 @@ if __name__ == "__main__" and os.environ.get("DINT_BENCH_CHILD") != "1":
             flush=True,
         )
         sys.exit(3)
+    except BaseException:
+        # Ctrl-C / SIGTERM on the parent: the child runs in its own
+        # session, so the terminal's SIGINT never reaches it — kill the
+        # whole child group before re-raising or it would keep holding
+        # the device (one TPU process at a time).
+        _killpg()
+        raise
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
