@@ -55,7 +55,7 @@ if __name__ == "__main__" and os.environ.get("DINT_BENCH_CHILD") != "1":
         p.wait()
 
     try:
-        sys.exit(p.wait(timeout=_WATCHDOG_SECS))
+        rc = p.wait(timeout=_WATCHDOG_SECS)
     except subprocess.TimeoutExpired:
         _killpg()
         print(
@@ -79,6 +79,10 @@ if __name__ == "__main__" and os.environ.get("DINT_BENCH_CHILD") != "1":
         # the device (one TPU process at a time).
         _killpg()
         raise
+    # success path outside the try: sys.exit must not trip the
+    # BaseException sweep above (ADVICE r2) — the child is already
+    # reaped by p.wait.
+    sys.exit(rc)
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)

@@ -21,7 +21,7 @@ from typing import List
 
 import numpy as np
 
-from ..utils import bitio
+from ..utils import bitio, bitnative
 from ..utils.bitio import BitBuilder, BitReader, ceil_log2
 
 
@@ -200,6 +200,12 @@ class compact_elias_fano:
     def decode_all(words: np.ndarray, offset: int, universe: int, n: int,
                    p: GlobalParameters) -> np.ndarray:
         of = ef_offsets(offset, universe, n, p)
+        out = bitnative.ef_decode_fused(
+            words, of.higher_bits_offset, of.higher_bits_length,
+            of.lower_bits_offset, of.lower_bits, n,
+        )
+        if out is not None:
+            return out
         rel = bitio.ones_positions(
             words, of.higher_bits_offset, of.higher_bits_offset + of.higher_bits_length
         )
@@ -269,6 +275,9 @@ class compact_ranked_bitvector:
     @classmethod
     def decode_all(cls, words, offset, universe, n, p) -> np.ndarray:
         bits_off = cls._offsets(offset, universe, n, p)[6]
+        out = bitnative.select_all(words, bits_off, bits_off + universe, n)
+        if out is not None:
+            return out
         rel = bitio.ones_positions(words, bits_off, bits_off + universe)
         assert rel.shape[0] >= n
         return rel[:n].astype(np.uint64)
@@ -554,6 +563,13 @@ class _partitioned_base:
 
     def decode_all(self, words, offset: int, universe: int, n: int,
                    p: GlobalParameters) -> np.ndarray:
+        if self.base is indexed_sequence or self.base is strict_sequence:
+            out = bitnative.pef_decode_all(
+                words, offset, universe, n, p, self.uniform,
+                self.base is strict_sequence,
+            )
+            if out is not None:
+                return out
         r = BitReader(words, offset)
         partitions = read_gamma(r) + 1
         if partitions == 1:

@@ -5,10 +5,12 @@ At stream-load time the planner compiles the encoded stream into a
 device decode is out[r, j] = table[r, vidx[r, j]].  The device kernel
 is a Pallas VPU lane gather (jnp.take_along_axis lowers to Mosaic's
 native dynamic gather along the 128-lane axis) — bandwidth-bound, no
-MXU involvement: 26.8 G ints/s on the 16.7M-int bench stream.  The
-earlier one-hot-matmul formulation (decode_gather_rows, 1.70 G ints/s)
-is kept below for ablation and as the portable XLA expression; plain
-XLA gathers serve the CPU/test path (_decode_flat_xla).
+MXU involvement: 133+ G ints/s on the 16.7M-int bench stream with
+rows split into zero / packed-u16 / i32 table width classes and
+multi-unit row packing (pack_plan_units).  The earlier one-hot-matmul
+formulation (decode_gather_rows, 1.70 G ints/s) is kept below for
+ablation and as the portable XLA expression; plain XLA gathers serve
+the CPU/test path (_decode_flat_xla).
 
 At stream-load time the planner walks each encoded unit once (host,
 amortized across decode runs — the moral analogue of the reference's

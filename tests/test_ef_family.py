@@ -460,3 +460,87 @@ def test_wand_on_ef_indexes_with_skipping(tmp_path, kind):
     total = len(big) + len(rare)
     assert c.postings_scored < total * 0.02, (c.postings_scored, total)
     assert c.moves < total * 0.05, (c.moves, total)
+
+
+# ---------------------------------------------------------------------------
+# native word-parallel decode (native/ef_decode.cpp) vs the numpy oracle
+# ---------------------------------------------------------------------------
+
+
+def _numpy_only(fn, *args, **kw):
+    """Run fn with the native EF library disabled (numpy oracle path)."""
+    from dint_tpu.utils import bitnative
+
+    saved = bitnative._lib, bitnative._lib_failed
+    bitnative._lib, bitnative._lib_failed = None, True
+    try:
+        return fn(*args, **kw)
+    finally:
+        bitnative._lib, bitnative._lib_failed = saved
+
+
+def test_native_ef_decode_matches_numpy_oracle():
+    from dint_tpu.utils import bitnative
+
+    if bitnative.get_lib() is None:
+        pytest.skip("native EF library unavailable")
+    rng = np.random.default_rng(77)
+    cases = [
+        (10_000, 100), (10_000, 5_000), (10_000, 9_999),
+        (1 << 33, 3_000),  # >32-bit universe (wide low bits)
+        (300, 1), (300, 2), (4096, 4096 - 1),
+    ]
+    for universe, n in cases:
+        vals = np.sort(
+            rng.choice(universe, size=n, replace=False).astype(np.uint64))
+        bb = BitBuilder()
+        ef.compact_elias_fano.write(bb, vals, universe, n, ef.PARAMS)
+        w = bb.words()
+        got = ef.compact_elias_fano.decode_all(w, 0, universe, n, ef.PARAMS)
+        want = _numpy_only(
+            ef.compact_elias_fano.decode_all, w, 0, universe, n, ef.PARAMS)
+        assert np.array_equal(got, want), (universe, n)
+        assert np.array_equal(got, vals)
+        # ranked bitvector at the same density
+        bb = BitBuilder()
+        ef.compact_ranked_bitvector.write(bb, vals, universe, n, ef.PARAMS)
+        w = bb.words()
+        got = ef.compact_ranked_bitvector.decode_all(
+            w, 0, universe, n, ef.PARAMS)
+        assert np.array_equal(got, vals), ("rb", universe, n)
+
+
+def test_native_pef_decode_matches_numpy_oracle():
+    from dint_tpu.utils import bitnative
+
+    if bitnative.get_lib() is None:
+        pytest.skip("native EF library unavailable")
+    rng = np.random.default_rng(78)
+    for uniform in (False, True):
+        for universe, n in [(40_000, 6_000), (2_000_000, 40_000),
+                            (600, 599), (1 << 34, 2_000)]:
+            docs = np.sort(
+                rng.choice(universe, size=n, replace=False).astype(np.uint64))
+            seq = (ef.uniform_partitioned_sequence(ef.indexed_sequence)
+                   if uniform else ef.partitioned_sequence(ef.indexed_sequence))
+            bb = BitBuilder()
+            seq.write(bb, docs, universe, n, ef.PARAMS)
+            w = bb.words()
+            got = seq.decode_all(w, 0, universe, n, ef.PARAMS)
+            want = _numpy_only(seq.decode_all, w, 0, universe, n, ef.PARAMS)
+            assert np.array_equal(got, want), (uniform, universe, n)
+            assert np.array_equal(got, docs)
+        # strict base (the freq-list shape): cumulative sums
+        freqs = rng.integers(1, 50, size=5_000).astype(np.uint64)
+        csum = np.cumsum(freqs)
+        universe = int(csum[-1]) + 1
+        seq = (ef.uniform_partitioned_sequence(ef.strict_sequence)
+               if uniform else ef.partitioned_sequence(ef.strict_sequence))
+        bb = BitBuilder()
+        seq.write(bb, csum, universe, csum.shape[0], ef.PARAMS)
+        w = bb.words()
+        got = seq.decode_all(w, 0, universe, csum.shape[0], ef.PARAMS)
+        want = _numpy_only(
+            seq.decode_all, w, 0, universe, csum.shape[0], ef.PARAMS)
+        assert np.array_equal(got, want), ("strict", uniform)
+        assert np.array_equal(got, csum)
