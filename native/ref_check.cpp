@@ -16,6 +16,12 @@
 //   ref_check multi   <dict_file> <units_file> <out_file>
 //   ref_check dsingle <dict_file> <units_file> <enc_file>   (decode check)
 //   ref_check dmulti  <dict_file> <units_file> <enc_file>   (decode check)
+//   ref_check tsingle|tmulti|trect <dict_file> <units_file> <reps>
+//       timed encode A/B mode: per rep, a FRESH builder is loaded and
+//       prepared (mirroring a fresh NativeEncoder on our side), then
+//       the full unit stream is encoded once; prints per-rep prepare
+//       and encode seconds + ints/s to stdout as JSON lines.  Driven
+//       interleaved with our encoder by scripts/ab_encode.py.
 // units_file: u64 n_units, u64 offs[n_units+1], u32 gaps[offs[n_units]]
 // out_file:   u64 n_units, u64 lens[n_units], u8 bytes[...]
 // dsingle/dmulti: decode enc_file (out_file format) with the REFERENCE
@@ -25,6 +31,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <ctime>
 #include <string>
 #include <vector>
 
@@ -275,6 +282,79 @@ int main(int argc, char** argv) {
             fprintf(stderr, "ctx%u: b16=%d b8=%d\n", c,
                     int(b.lookup(c, w.data(), w.size(), 16)),
                     int(b.lookup(c, w.data(), w.size(), 8)));
+        return 0;
+    }
+    if (argc == 5 && argv[1][0] == 't') {
+        // timed encode: tsingle | tmulti | trect  dict units reps
+        const std::string tmode = argv[1];
+        auto units = slurp(argv[3]);
+        const int reps = atoi(argv[4]);
+        uint64_t n_units;
+        std::memcpy(&n_units, units.data(), 8);
+        const uint64_t* offs = (const uint64_t*)(units.data() + 8);
+        const uint32_t* gaps =
+            (const uint32_t*)(units.data() + 8 + 8 * (n_units + 1));
+        const uint64_t total_ints = offs[n_units];
+        for (int rep = 0; rep < reps; ++rep) {
+            double t_prep, t_enc;
+            uint64_t total_bytes = 0;
+            std::vector<uint8_t> out;
+            out.reserve(1 << 20);
+            struct timespec a, b, c;
+            clock_gettime(CLOCK_MONOTONIC, &a);
+            if (tmode == "tsingle" || tmode == "trect") {
+                // single_opt_dint over packed/rectangular builders
+                // (vroom_env/dint_codecs.hpp single_opt_dint::encode)
+                if (tmode == "tsingle") {
+                    ds2i::single_dictionary_packed_type::builder bld;
+                    bld.load_from_file(argv[2]);
+                    bld.prepare_for_encoding();
+                    clock_gettime(CLOCK_MONOTONIC, &b);
+                    for (uint64_t u = 0; u < n_units; ++u) {
+                        out.clear();
+                        ds2i::single_opt_dint::encode(
+                            bld, gaps + offs[u], offs[u + 1] - offs[u], out,
+                            16);
+                        total_bytes += out.size();
+                    }
+                } else {
+                    ds2i::single_dictionary_rectangular_type::builder bld;
+                    bld.load_from_file(argv[2]);
+                    bld.prepare_for_encoding();
+                    clock_gettime(CLOCK_MONOTONIC, &b);
+                    for (uint64_t u = 0; u < n_units; ++u) {
+                        out.clear();
+                        ds2i::single_opt_dint::encode(
+                            bld, gaps + offs[u], offs[u + 1] - offs[u], out,
+                            16);
+                        total_bytes += out.size();
+                    }
+                }
+            } else {
+                ds2i::multi_dictionary_packed_type::builder bld;
+                bld.load_from_file(argv[2]);
+                bld.prepare_for_encoding();
+                clock_gettime(CLOCK_MONOTONIC, &b);
+                for (uint64_t u = 0; u < n_units; ++u) {
+                    out.clear();
+                    ds2i::multi_opt_dint::encode(
+                        bld, gaps + offs[u], 0u,
+                        uint32_t(offs[u + 1] - offs[u]), out);
+                    total_bytes += out.size();
+                }
+            }
+            clock_gettime(CLOCK_MONOTONIC, &c);
+            t_prep = (b.tv_sec - a.tv_sec) + 1e-9 * (b.tv_nsec - a.tv_nsec);
+            t_enc = (c.tv_sec - b.tv_sec) + 1e-9 * (c.tv_nsec - b.tv_nsec);
+            printf("{\"mode\": \"%s\", \"rep\": %d, \"prep_s\": %.6f, "
+                   "\"encode_s\": %.6f, \"ints\": %llu, \"bytes\": %llu, "
+                   "\"mints_per_s\": %.3f}\n",
+                   tmode.c_str(), rep, t_prep, t_enc,
+                   (unsigned long long)total_ints,
+                   (unsigned long long)total_bytes,
+                   total_ints / t_enc / 1e6);
+            fflush(stdout);
+        }
         return 0;
     }
     if (argc != 5) {
