@@ -65,6 +65,27 @@ class _HighBits:
             w = self._word(wi)
         return -1
 
+    def pred1(self, rel: int) -> int:
+        """Relative position of the last one at relative position <= rel
+        (bit_vector::predecessor1 semantics); -1 if none."""
+        rel = int(rel)
+        if rel < 0:
+            return -1
+        if rel >= self.length:
+            rel = self.length - 1
+        a = self.start + rel
+        wi = a >> 6
+        keep = (a & 63) + 1
+        w = self._word(wi) & ((1 << keep) - 1)
+        while True:
+            if w:
+                p = (wi << 6) + w.bit_length() - 1
+                return p - self.start if p >= self.start else -1
+            if wi == self.start >> 6:
+                return -1
+            wi -= 1
+            w = self._word(wi)
+
     def select0_from(self, rel: int, k: int) -> int:
         """Relative position of the k-th zero (0-based among zeros at
         relative positions >= rel); -1 if none in the region."""
@@ -141,6 +162,15 @@ class EFEnumerator:
         self._value = self.universe
         return self._value
 
+    def _locate(self, k: int) -> int:
+        """Relative high position of the k-th one via the 1-pointer
+        directory; no enumerator state is touched."""
+        log1 = self.of.log_sampling1
+        si = k >> log1
+        if si > 0:
+            return self.hb.select1_from(self._ptr1(si), k - (si << log1))
+        return self.hb.select1_from(0, k)
+
     def _set(self, pos: int, q: int):
         self._pos = pos
         self._q = q
@@ -196,6 +226,29 @@ class EFEnumerator:
             return self._set(k, q)
         return self.move(k)
 
+    def prev_value(self) -> int:
+        """Value of the element before the current position — 0 at
+        position 0, the last element once exhausted
+        (compact_elias_fano.hpp:234-254)."""
+        if self._pos <= 0:
+            return 0
+        if self._pos < self.n and self._q >= 0:
+            prev_high = self.hb.pred1(self._q - 1)
+        else:
+            prev_high = self.hb.pred1(self.of.higher_bits_length - 1)
+        prev_pos = self._pos - 1
+        return ((prev_high - prev_pos - 1) << self.of.lower_bits) | self._low(
+            prev_pos
+        )
+
+    def next_reader(self, position: int) -> "EFNextReader":
+        """Streaming reader yielding elements position, position+1, ...
+        without disturbing this enumerator (the moral equivalent of the
+        reference's next_reader, compact_elias_fano.hpp:359-388 — there
+        it commits the high cursor back on destruction; here the
+        enumerator state is simply left untouched)."""
+        return EFNextReader(self, position)
+
     def next_geq(self, lb: int) -> int:
         """First element >= lb (queries.hpp leapfrog contract)."""
         if lb > self.universe:
@@ -243,6 +296,38 @@ class EFEnumerator:
             q = self.hb.select1_from(q + 1, 0)
             if q < 0:
                 return self._exhaust()
+
+
+class EFNextReader:
+    """Streaming forward reader over an EFEnumerator's sequence from a
+    given position: each call returns the next value.  One select per
+    call over the high bits plus a sequential low-bits cursor — the
+    reference's next_reader loop shape (compact_elias_fano.hpp:359-388).
+    The owning enumerator's state is never modified."""
+
+    def __init__(self, e: "EFEnumerator", position: int):
+        self.e = e
+        self.pos = position
+        of = e.of
+        self.lower_bits = of.lower_bits
+        self.low_cursor = of.lower_bits_offset + position * of.lower_bits
+        self._q = e._locate(position) if 0 <= position < e.n else -1
+
+    def __call__(self) -> int:
+        e = self.e
+        if self.pos >= e.n or self._q < 0:
+            return e.universe
+        high = self._q - self.pos - 1
+        lo = (
+            bitio.read_bits_scalar(e.words, self.low_cursor, self.lower_bits)
+            if self.lower_bits
+            else 0
+        )
+        v = (high << self.lower_bits) | lo
+        self.pos += 1
+        self.low_cursor += self.lower_bits
+        self._q = e.hb.select1_from(self._q + 1, 0) if self.pos < e.n else -1
+        return v
 
 
 class RBEnumerator:
@@ -337,6 +422,14 @@ class RBEnumerator:
         self._value = v
         return v
 
+    def prev_value(self) -> int:
+        """compact_ranked_bitvector.hpp:208-222 semantics."""
+        if self._pos <= 0:
+            return 0
+        if self._pos < self.n:
+            return self.bits.pred1(self._value - 1)
+        return self.bits.pred1(self.universe - 1)
+
 
 class AllOnesEnumerator:
     def __init__(self, words, offset, universe, n, p=None):
@@ -365,6 +458,10 @@ class AllOnesEnumerator:
         if 0 <= self._pos < self.n and self._pos >= lb:
             return self._pos
         return self.move(max(lb, 0))
+
+    def prev_value(self):
+        """all_ones_sequence.hpp:64-70 semantics."""
+        return self._pos - 1 if self._pos > 0 else 0
 
 
 def indexed_enumerator(words, offset: int, universe: int, n: int, p=None):
@@ -395,6 +492,19 @@ class StrictEFEnumerator:
         if k >= self.n:
             return self.universe
         return v + k
+
+    def position(self) -> int:
+        return self.inner.position()
+
+    def next(self) -> int:
+        return self.move(self.inner.position() + 1)
+
+    def prev_value(self) -> int:
+        """strict_elias_fano.hpp:69-76 semantics."""
+        pos = self.inner.position()
+        if pos <= 0:
+            return 0
+        return self.inner.prev_value() + pos - 1
 
 
 class StrictSeqEnumerator:
@@ -427,6 +537,22 @@ class StrictSeqEnumerator:
         if k >= self.n:
             return self.universe
         return v + k if self.shift else v
+
+    def position(self) -> int:
+        return self.inner.position()
+
+    def next(self) -> int:
+        return self.move(self.inner.position() + 1)
+
+    def prev_value(self) -> int:
+        """strict_sequence enumerators delegate; the strict-EF arm adds
+        back the +index shift (strict_elias_fano.hpp:69-76)."""
+        pos = self.inner.position()
+        if pos <= 0:
+            return 0
+        if self.shift:
+            return self.inner.prev_value() + pos - 1
+        return self.inner.prev_value()
 
 
 # backwards-compatible alias (tests use the tagged variant)
@@ -553,6 +679,26 @@ class PartitionedEnumerator:
 
     def next(self) -> int:
         return self.move(self._pos + 1)
+
+    def prev_value(self) -> int:
+        """partitioned_sequence.hpp:224-231: at a partition's first
+        element the previous value is the previous partition's upper
+        bound (cur_base - 1), 0 at the sequence head; otherwise the
+        base enumerator's prev_value shifted by the partition base."""
+        if self._pos <= 0:
+            return 0
+        if self._pos >= self.n:
+            k = self.partitions - 1
+            e = self._open(k)
+            m = self.part_starts[k + 1] - self.part_starts[k]
+            if e.position() < m:
+                e.move(m)  # exhaust so prev_value reports its last element
+        else:
+            k = self._cur_part
+            e = self._open(k)
+        if self._pos == self.part_starts[k]:
+            return self.bases[k] - 1 if k else 0
+        return self.bases[k] + e.prev_value()
 
     def next_geq(self, lb: int) -> int:
         if 0 <= self._pos < self.n and self._value >= lb:

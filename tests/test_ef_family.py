@@ -463,6 +463,161 @@ def test_wand_on_ef_indexes_with_skipping(tmp_path, kind):
 
 
 # ---------------------------------------------------------------------------
+# prev_value / next_reader: the reference's property probes
+# (test_generic_sequence.hpp:28-88) applied to every enumerator kind
+# ---------------------------------------------------------------------------
+
+
+def _prev_value_sweep(make_enum, vals, universe, n):
+    """The reference's test_move_next prev_value probes: random-access
+    sweep, full next() walk, and the post-exhaustion check."""
+    # random access + prev_value at every probed i
+    e = make_enum()
+    rng = np.random.default_rng(5)
+    idxs = np.concatenate([[0, n - 1], rng.integers(0, n, 25)])
+    for i in np.sort(idxs):
+        i = int(i)
+        assert e.move(i) == vals[i], i
+        want_prev = 0 if i == 0 else int(vals[i - 1])
+        assert e.prev_value() == want_prev, (i, e.prev_value(), want_prev)
+    e.move(n)
+    assert e.prev_value() == vals[-1]
+    # full forward walk via next()
+    e = make_enum()
+    v = e.move(0)
+    for i in range(n):
+        assert v == vals[i], i
+        want_prev = 0 if i == 0 else int(vals[i - 1])
+        assert e.prev_value() == want_prev, (i, e.prev_value(), want_prev)
+        v = e.next()
+    assert v == universe
+    assert e.prev_value() == vals[-1]
+
+
+@pytest.mark.parametrize("density", [0.01, 0.3, 0.95])
+def test_prev_value_ef_and_rb(density):
+    from dint_tpu.codecs import ef_enum
+    from dint_tpu.utils.bitio import BitBuilder
+
+    rng = np.random.default_rng(21)
+    n = 900
+    universe = max(int(n / density), n + 1)
+    vals = _random_monotone(rng, universe, n, strict=True)
+    bb = BitBuilder()
+    ef.compact_elias_fano.write(bb, vals, universe, n, ef.PARAMS)
+    w = bb.words()
+    _prev_value_sweep(
+        lambda: ef_enum.EFEnumerator(w, 0, universe, n), vals, universe, n)
+    bb = BitBuilder()
+    ef.compact_ranked_bitvector.write(bb, vals, universe, n, ef.PARAMS)
+    w = bb.words()
+    _prev_value_sweep(
+        lambda: ef_enum.RBEnumerator(w, 0, universe, n), vals, universe, n)
+    # prev_value after a cold next_geq (no prior move)
+    e = ef_enum.EFEnumerator(bb.words(), 0, universe, n)
+
+
+def test_prev_value_indexed_strict_allones():
+    from dint_tpu.codecs import ef_enum
+    from dint_tpu.utils.bitio import BitBuilder
+
+    rng = np.random.default_rng(22)
+    # indexed dispatch (ef / rb / all-ones arms)
+    for density in (0.05, 0.6, 1.0):
+        n = 500
+        universe = max(int(n / density), n)
+        vals = (np.arange(n, dtype=np.uint64) if density == 1.0
+                else _random_monotone(rng, universe, n, strict=True))
+        bb = BitBuilder()
+        ef.indexed_sequence.write(bb, vals, universe, n, ef.PARAMS)
+        w = bb.words()
+        _prev_value_sweep(
+            lambda: ef_enum.indexed_enumerator(w, 0, universe, n),
+            vals, universe, n)
+    # strict sequence (the freqs shape; strict-EF arm adds the +index)
+    for trial in range(3):
+        n = int(rng.integers(20, 800))
+        universe = n + int(rng.integers(1, 30000))
+        vals = _random_monotone(rng, universe, n, strict=True)
+        bb = BitBuilder()
+        ef.strict_sequence.write(bb, vals, universe, n, ef.PARAMS)
+        w = bb.words()
+        _prev_value_sweep(
+            lambda: ef_enum.StrictEnumerator(w, 0, universe, n),
+            vals, universe, n)
+
+
+@pytest.mark.parametrize("uniform", [False, True])
+def test_prev_value_partitioned(uniform):
+    from dint_tpu.codecs import ef_enum
+    from dint_tpu.utils.bitio import BitBuilder
+
+    rng = np.random.default_rng(23)
+    # clustered docs so the optimal-partition DP actually splits
+    parts = []
+    base_v = 0
+    for _ in range(12):
+        base_v += int(rng.integers(5_000, 40_000))
+        run = int(rng.integers(100, 400))
+        parts.append(base_v + np.sort(rng.choice(run * 2, run, replace=False)))
+        base_v = int(parts[-1][-1])
+    vals = np.concatenate(parts).astype(np.uint64)
+    n = int(vals.shape[0])
+    universe = int(vals[-1]) + int(rng.integers(1, 1000))
+    seq = (ef.uniform_partitioned_sequence(ef.indexed_sequence)
+           if uniform else ef.partitioned_sequence(ef.indexed_sequence))
+    bb = BitBuilder()
+    seq.write(bb, vals, universe, n, ef.PARAMS)
+    w = bb.words()
+
+    def make():
+        return ef_enum.PartitionedEnumerator(
+            w, 0, universe, n, base="indexed", uniform=uniform)
+
+    _prev_value_sweep(make, vals, universe, n)
+    e = make()
+    assert e.partitions > 1  # the boundary cases below need >1 partition
+    # prev_value straight after next_geq, including partition boundaries
+    for lb in list(rng.integers(0, universe + 1, 20)) + [0, int(vals[-1]) + 1]:
+        e = make()
+        got = e.next_geq(int(lb))
+        tail = vals[vals >= lb]
+        if len(tail):
+            assert got == tail[0]
+            k = int(np.searchsorted(vals, lb))
+            want_prev = 0 if k == 0 else int(vals[k - 1])
+        else:
+            assert got == universe
+            want_prev = int(vals[-1])
+        assert e.prev_value() == want_prev, (lb, e.prev_value(), want_prev)
+
+
+def test_ef_next_reader_streams():
+    from dint_tpu.codecs import ef_enum
+    from dint_tpu.utils.bitio import BitBuilder
+
+    rng = np.random.default_rng(24)
+    for density in (0.02, 0.5):
+        n = 1200
+        universe = max(int(n / density), n + 1)
+        vals = _random_monotone(rng, universe, n, strict=True)
+        bb = BitBuilder()
+        ef.compact_elias_fano.write(bb, vals, universe, n, ef.PARAMS)
+        w = bb.words()
+        e = ef_enum.EFEnumerator(w, 0, universe, n)
+        e.move(7)
+        saved = (e.position(), e.value())
+        for start in (0, 1, 7, n // 2, n - 1, n):
+            r = e.next_reader(start)
+            got = [r() for _ in range(n - start + 2)]
+            want = list(vals[start:]) + [universe, universe]
+            assert got == [int(x) for x in want], (density, start)
+        # the owning enumerator was never disturbed
+        assert (e.position(), e.value()) == saved
+        assert e.next() == vals[8]
+
+
+# ---------------------------------------------------------------------------
 # native word-parallel decode (native/ef_decode.cpp) vs the numpy oracle
 # ---------------------------------------------------------------------------
 
