@@ -159,14 +159,14 @@ def skew(tmp_path_factory):
         base, kind="single", cache_dir=str(tmp_path_factory.mktemp("skewc"))
     )
     wd = ranked.build_wand_data(base)
-    return idx, wd, ds, fs
+    return idx, wd, ds, fs, base
 
 
 def test_wand_actually_prunes(skew):
     """FAILS if wand degenerates to exhaustive: on rare+huge it must
     score a tiny fraction of the postings and decode a tiny fraction
     of the blocks (queries.hpp:241-253 pivoting)."""
-    idx, wd, ds, _ = skew
+    idx, wd, ds, _, _ = skew
     dec = term_decode.TermDecoder(idx)
     total_postings = sum(len(d) for d in ds)
     want = None
@@ -185,7 +185,7 @@ def test_wand_actually_prunes(skew):
 
 
 def test_and_lazy_skips_blocks(skew):
-    idx, _, ds, fs = skew
+    idx, _, ds, fs, _ = skew
     cache = lazy_decode.BlockCache(idx)
     got = boolean.and_query_lazy(cache, [0, 2])
     want = np.intersect1d(ds[0], ds[2])
@@ -254,3 +254,29 @@ def test_wand_on_block_codec_indexes(tmp_path, codec):
         assert np.allclose(got_w, want, rtol=1e-4), (codec, q)
         assert np.allclose(got_m, want, rtol=1e-4), (codec, q)
     assert dec.lazy_cache.docs_blocks_decoded > 0
+
+
+@pytest.mark.parametrize("codec", ["optpfor", "qmx"])
+def test_wand_actually_prunes_block_index(skew, codec, tmp_path):
+    """The DINT anti-degeneration gate applied to the ZooBlockCache
+    family: on the rare+huge skew shape, a WAND/maxscore fallback to
+    exhaustive scoring fails the counter bounds (VERDICT r2 weak #5)."""
+    from dint_tpu.index import block_index
+
+    _, wd, ds, _, base = skew
+    idx = block_index.build_block_index(base, codec)
+    dec = block_index.BlockTermDecoder(idx)
+    total_postings = sum(len(d) for d in ds)
+    want = None
+    for algo in (ranked.wand, ranked.maxscore):
+        dec._lazy_cache = None
+        got = algo(idx, dec, wd, [0, 2], k=10)
+        c = dec.lazy_cache
+        assert c.postings_scored < total_postings * 0.01, (
+            codec, algo.__name__, c.postings_scored, total_postings)
+        assert c.docs_blocks_decoded < idx.num_blocks * 0.25, (
+            codec, algo.__name__, c.docs_blocks_decoded, idx.num_blocks)
+        if want is None:
+            want = got
+        else:
+            assert np.allclose(got, want, rtol=1e-4)
