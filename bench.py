@@ -130,7 +130,26 @@ def build_artifacts():
     return stream, dict_file
 
 
-def spot_check(stream, dict_file, sample=50):
+def build_multi_artifacts():
+    """The bpi-champion config (multi_packed_dint, reference
+    README.md:114) — benched alongside the headline so BENCH artifacts
+    record both (VERDICT r2 item 3)."""
+    base = os.path.join(CACHE, "bench_collection")
+    stream = os.path.join(CACHE, f"bench.multi_packed_dint.v{FORMAT_VERSION}.bin")
+    dict_file = os.path.join(
+        CACHE, "dict.bench_collection.docs.multi_packed.DSF-65536-16"
+    )
+    if not os.path.exists(stream):
+        print("bench: encoding multi stream (one-time)...", file=sys.stderr)
+        from dint_tpu.tools import encode
+
+        encode.encode_collection(
+            "multi_packed_dint", base + ".docs", stream, cache_dir=CACHE
+        )
+    return stream, dict_file
+
+
+def spot_check(stream, dict_file, sample=50, type_name="single_rect_dint"):
     """Decode once through the timed engine and verify a sample of
     lists int-for-int against the source collection — the headline
     number is only reported over a kernel proven exact this run."""
@@ -143,7 +162,7 @@ def spot_check(stream, dict_file, sample=50):
     from dint_tpu.io import collection
 
     arena, meta = stream_mod.load_stream(stream)
-    d = dtool.load_dictionary("single_rect_dint", dict_file)
+    d = dtool.load_dictionary(type_name, dict_file)
     dec = dtool.StreamDecoder(
         arena, meta, d.decode_view(), False,
         plan_cache=stream + f".plan.v{decode_local.PLAN_VERSION}.npz",
@@ -170,17 +189,31 @@ def main():
             "single_rect_dint", stream, dict_file, runs=RUNS
         )
         spot_check(stream, dict_file)
+        # bpi-champion config, same engine (recorded, not the driver
+        # metric): failures here must not zero the headline.
+        multi_rate = None
+        try:
+            mstream, mdict = build_multi_artifacts()
+            mrec = decode.decode_stream(
+                "multi_packed_dint", mstream, mdict, runs=RUNS
+            )
+            spot_check(mstream, mdict, type_name="multi_packed_dint")
+            multi_rate = float(mrec["ints_x_sec"])
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: multi_packed leg failed: {e!r}", file=sys.stderr)
     ints_per_sec = float(rec["ints_x_sec"])
-    print(
-        json.dumps(
-            {
-                "metric": "vroom_decode_ints_per_sec_per_chip",
-                "value": ints_per_sec,
-                "unit": "ints/s",
-                "vs_baseline": ints_per_sec / REFERENCE_CPU_INTS_PER_SEC,
-            }
+    out = {
+        "metric": "vroom_decode_ints_per_sec_per_chip",
+        "value": ints_per_sec,
+        "unit": "ints/s",
+        "vs_baseline": ints_per_sec / REFERENCE_CPU_INTS_PER_SEC,
+    }
+    if multi_rate is not None:
+        out["multi_packed_ints_per_sec"] = multi_rate
+        out["multi_packed_vs_baseline"] = (
+            multi_rate / REFERENCE_CPU_INTS_PER_SEC
         )
-    )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -28,6 +28,7 @@ import numpy as np
 from ..config import BLOCK_SIZE
 from . import interpolative, vbyte
 from . import qmx as qmx_wire
+from . import zoonative
 
 UNKNOWN = interpolative.UNKNOWN_SUM
 
@@ -138,6 +139,9 @@ def vbyte_encode(values, sum_of_values) -> bytes:
 
 
 def vbyte_decode(buf, pos, n, sum_of_values):
+    r = zoonative.decode("zoo_vbyte", buf, pos, n)
+    if r is not None:
+        return r
     return vbyte.decode(buf, pos, n)
 
 
@@ -188,6 +192,13 @@ def _maskedvbyte_decode_scalar(buf, pos, n, sum_of_values):
 
 
 def maskedvbyte_decode(buf, pos, n, sum_of_values):
+    r = zoonative.decode("zoo_maskedvbyte", buf, pos, n)
+    if r is not None:
+        return r
+    return _maskedvbyte_decode_numpy(buf, pos, n, sum_of_values)
+
+
+def _maskedvbyte_decode_numpy(buf, pos, n, sum_of_values):
     """Vectorized, chain-free: the format is self-delimiting — a value
     ends exactly at a byte whose continuation bit is clear, so the
     first n terminator positions ARE the value boundaries (one
@@ -239,6 +250,13 @@ def streamvbyte_encode(values, sum_of_values) -> bytes:
 
 
 def streamvbyte_decode(buf, pos, n, sum_of_values):
+    r = zoonative.decode("zoo_streamvbyte", buf, pos, n)
+    if r is not None:
+        return r
+    return _streamvbyte_decode_numpy(buf, pos, n, sum_of_values)
+
+
+def _streamvbyte_decode_numpy(buf, pos, n, sum_of_values):
     nct = (n + 3) // 4
     ctrl = np.frombuffer(bytes(buf[pos : pos + nct]), dtype=np.uint8)
     codes = np.zeros(n, dtype=np.int64)
@@ -312,6 +330,13 @@ def _vgb_tables():
 
 
 def varintgb_decode(buf, pos, n, sum_of_values):
+    r = zoonative.decode("zoo_varintgb", buf, pos, n)
+    if r is not None:
+        return r
+    return _varintgb_decode_numpy(buf, pos, n, sum_of_values)
+
+
+def _varintgb_decode_numpy(buf, pos, n, sum_of_values):
     """Vectorized: key-byte positions via the chain walk (advance is a
     pure table of the key byte), then per-slot masked byte gathers."""
     if n == 0:
@@ -404,6 +429,14 @@ _POPCNT8 = np.unpackbits(
 
 
 def varint_g8iu_decode(buf, pos, n, sum_of_values):
+    if n >= BLOCK_SIZE:
+        r = zoonative.decode("zoo_varintg8iu", buf, pos, n)
+        if r is not None:
+            return r
+    return _varint_g8iu_decode_numpy(buf, pos, n, sum_of_values)
+
+
+def _varint_g8iu_decode_numpy(buf, pos, n, sum_of_values):
     """Vectorized: fixed 9-byte groups (descriptor + 8 data bytes), so
     group positions are a stride — per-byte value assignment and
     in-value byte offsets come from the descriptor bits alone (the
@@ -495,6 +528,13 @@ _S16_BITS = np.asarray([b for _, b in _S16_MODES], np.int64)
 
 
 def simple16_decode(buf, pos, n, sum_of_values):
+    r = zoonative.decode("zoo_simple16", buf, pos, n)
+    if r is not None:
+        return r
+    return _simple16_decode_numpy(buf, pos, n, sum_of_values)
+
+
+def _simple16_decode_numpy(buf, pos, n, sum_of_values):
     """Vectorized: words sit at a fixed 4-byte stride, so all selectors
     read at once; words group by mode and each mode's fields unpack
     with pure shifts (<=28 lanes per word, vectorized across words)."""
@@ -596,10 +636,17 @@ def optpfor_encode(values, sum_of_values) -> bytes:
 
 
 def optpfor_decode(buf, pos, n, sum_of_values):
-    """Vectorized main array: one _bitunpack of n b-bit fields; the few
-    exceptions patch in with a scalar vbyte walk (they are exceptions)."""
     if n < BLOCK_SIZE:
         return interpolative.decode_block(buf, pos, n, sum_of_values)
+    r = zoonative.decode("zoo_optpfor_block", buf, pos, n)
+    if r is not None:
+        return r
+    return _optpfor_decode_numpy(buf, pos, n, sum_of_values)
+
+
+def _optpfor_decode_numpy(buf, pos, n, sum_of_values):
+    """Vectorized main array: one _bitunpack of n b-bit fields; the few
+    exceptions patch in with a scalar vbyte walk (they are exceptions)."""
     b = int(buf[pos])
     ne = int.from_bytes(bytes(buf[pos + 1 : pos + 3]), "little")
     p = pos + 3

@@ -285,6 +285,13 @@ def encode_block(values: np.ndarray, sum_of_values: int) -> bytes:
     out = bytearray()
     if sum_of_values == UNKNOWN_SUM:
         sum_of_values = int(psums[-1])
+        if sum_of_values >= UNKNOWN_SUM:
+            # the reference stores the sum as a u32 vbyte
+            # (block_codecs.hpp interpolative_block) — same contract
+            # here, but fail loudly instead of silently truncating
+            raise ValueError(
+                f"interpolative block sum {sum_of_values} exceeds u32"
+            )
         out += vbyte.encode_single(sum_of_values)
     out += encode_prefix_sums(psums[: n - 1], 0, int(sum_of_values))
     return bytes(out)

@@ -285,6 +285,18 @@ def _unpack_striped(words: np.ndarray, w: int, count: int) -> np.ndarray:
 
 
 def decode_payload(payload, n: int) -> np.ndarray:
+    """Decode a full QMX payload (qmx.hpp codec::decode semantics) —
+    native selector walk (zoo_decode.cpp zoo_qmx) with the numpy
+    two-phase decode below as the cross-checked fallback."""
+    from . import zoonative
+
+    out = zoonative.qmx_decode(payload, n)
+    if out is not None:
+        return out
+    return _decode_payload_numpy(payload, n)
+
+
+def _decode_payload_numpy(payload, n: int) -> np.ndarray:
     """Decode a full QMX payload (qmx.hpp codec::decode semantics).
 
     Two phases: a cheap scalar walk over the (reversed, trailing)

@@ -62,6 +62,20 @@ def decode_list_zoo(codec: str, arena, start: int, n: int) -> np.ndarray:
         )
     dec = blocks_mod.CODECS[codec][1]
     chunk = BLOCK_SIZE if codec in FIXED_BLOCK else OPT_CHUNK
+    # native whole-list fast path: one call loops the chunks in C++
+    # (partial FIXED_BLOCK tails divert to interpolative, so the
+    # native call covers only the full chunks there)
+    from ..codecs import zoonative
+
+    n_native = (n // chunk) * chunk if codec in FIXED_BLOCK else n
+    if n_native:
+        r = zoonative.decode_chunked(codec, arena, start, n_native, chunk)
+        if r is not None:
+            head, pos = r
+            if n_native == n:
+                return head
+            tail, _ = dec(arena, pos, n - n_native, blocks_mod.UNKNOWN)
+            return np.concatenate([head, tail])
     out = np.empty(n, dtype=np.uint32)
     pos = start
     for p in range(0, n, chunk):

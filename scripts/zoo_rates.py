@@ -1,0 +1,94 @@
+"""Measure whole-list zoo decode rates and write .bench/zoo.json.
+
+One machine-readable artifact for the per-codec host rates (and device
+rates when a TPU is attached), so rounds diff numbers instead of prose
+(VERDICT r2 item 7).  Host decode goes through the production
+vroom_zoo.decode_list_zoo path (native C++ when available — pass
+--no-native to measure the numpy fallbacks).
+
+Usage: python scripts/zoo_rates.py [--n 1000000] [--no-native] [--device]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import dint_tpu  # noqa: F401  (installs the malloc/THP fixes)
+
+CODECS = ["vbyte", "varintgb", "streamvbyte", "maskedvbyte", "varintg8iu",
+          "simple16", "optpfor", "qmx"]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--no-native", action="store_true")
+    ap.add_argument("--device", action="store_true",
+                    help="also record device engine rates (needs a TPU)")
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".bench", "zoo.json"))
+    args = ap.parse_args()
+    if args.no_native:
+        os.environ["DINT_TPU_NATIVE_ZOO"] = "0"
+
+    from dint_tpu.codecs import zoonative
+    from dint_tpu.index import vroom_zoo
+
+    rng = np.random.default_rng(4)
+    n = args.n
+    gaps = rng.integers(0, 1 << 12, size=n).astype(np.uint32)
+    gaps[rng.integers(0, n, n // 2000)] = rng.integers(
+        1 << 18, 1 << 23, n // 2000).astype(np.uint32)
+
+    rec = {
+        "n": n,
+        "native": zoonative.get_lib() is not None,
+        "host_mints_per_s": {},
+        "bytes_per_int": {},
+    }
+    for codec in CODECS:
+        payload, _ = vroom_zoo.encode_list_zoo(codec, gaps)
+        arena = np.frombuffer(payload, dtype=np.uint8)
+        out = vroom_zoo.decode_list_zoo(codec, arena, 0, n)
+        assert np.array_equal(out, gaps), codec
+        best = float("inf")
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            vroom_zoo.decode_list_zoo(codec, arena, 0, n)
+            best = min(best, time.perf_counter() - t0)
+        rec["host_mints_per_s"][codec] = round(n / best / 1e6, 1)
+        rec["bytes_per_int"][codec] = round(len(payload) / n, 3)
+        print(f"{codec:13s} {n / best / 1e6:8.1f} M ints/s "
+              f"({len(payload) / n:.2f} B/int)", file=sys.stderr)
+
+    if args.device:
+        import jax
+
+        assert jax.default_backend() == "tpu", jax.default_backend()
+        # device rates are produced by scripts/kernel_ablate.py /
+        # tools/decode.py --engine device; record the pointer here
+        rec["device_note"] = (
+            "device rates: tools/decode.py --engine device per stream")
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    existing = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            existing = json.load(f)
+    key = "host_numpy" if args.no_native else "host_native"
+    existing[key] = rec
+    with open(args.out, "w") as f:
+        json.dump(existing, f, indent=1)
+    print(json.dumps({key: rec}))
+
+
+if __name__ == "__main__":
+    main()

@@ -262,6 +262,11 @@ def test_vectorized_decoders_match_scalar_oracles():
                 name = enc.__name__
                 if name == "simple16_encode" and mag > 27:
                     continue
+                if name == "varint_g8iu_encode" and n < 256 and mag > 23:
+                    # partial g8iu blocks divert to interpolative, which
+                    # inherits the reference's u32 block-sum contract
+                    # (encode_block now raises loudly on overflow)
+                    continue
                 buf = enc(v, B.UNKNOWN)
                 # prefix + suffix garbage ensures pos handling is honest
                 arr = np.frombuffer(b"\xaa" * 3 + buf + b"\xbb" * 7, np.uint8)
