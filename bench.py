@@ -164,7 +164,7 @@ def spot_check(stream, dict_file, sample=50, type_name="single_rect_dint"):
     arena, meta = stream_mod.load_stream(stream)
     d = dtool.load_dictionary(type_name, dict_file)
     dec = dtool.StreamDecoder(
-        arena, meta, d.decode_view(), False,
+        arena, meta, d.decode_view(), type_name == "multi_packed_dint",
         plan_cache=stream + f".plan.v{decode_local.PLAN_VERSION}.npz",
     )
     lists = dec.gather_lists()
