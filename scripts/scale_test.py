@@ -27,9 +27,22 @@ import numpy as np  # noqa: E402
 CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale")
 
 
+def _vmhwm_gb() -> float:
+    """Peak RSS of this process so far (VmHWM), in GiB."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmHWM"):
+                    return int(line.split()[1]) / (1 << 20)
+    except OSError:
+        pass
+    return 0.0
+
+
 def log_stage(name, t0):
     dt = time.perf_counter() - t0
-    print(f"[scale] {name}: {dt:.1f}s", flush=True)
+    print(f"[scale] {name}: {dt:.1f}s (peak rss {_vmhwm_gb():.1f} GiB)",
+          flush=True)
     return time.perf_counter()
 
 
@@ -223,19 +236,38 @@ def doc_sharded_stage(args):
     topology: no host ever holds the whole index.  Reuses the
     serve-sharded child re-exec recipe for the CPU mesh."""
     base = os.path.join(CACHE, "scale_collection")
-    needed = [
-        base + ".docs",
-        base + ".freqs",
-        os.path.join(CACHE, "scale.wand.npz"),
-        os.path.join(CACHE, "scale.queries"),
-    ]
-    missing = [f for f in needed if not os.path.exists(f)]
-    if missing:
+    if not (os.path.exists(base + ".docs") and os.path.exists(base + ".freqs")):
         raise SystemExit(
-            "--build-doc-sharded needs the scale collection and the "
-            f"--serve artifacts; missing: {missing}.  Run `python "
-            "scripts/scale_test.py --serve` first."
+            "--build-doc-sharded needs the scale collection; run "
+            "`python scripts/scale_test.py` (matching --ints/--cache-dir) "
+            "first."
         )
+    # self-prep the serving artifacts when absent (a --serve run also
+    # creates them, but the 10^9 rehearsal goes straight to doc-sharded)
+    tprep = time.perf_counter()
+    from dint_tpu.io import collection as coll_mod
+    from dint_tpu.query import ranked as ranked_mod
+
+    if not os.path.exists(base + ".sizes"):
+        view = coll_mod.open_freq_collection(base)
+        sizes = np.zeros(view.num_docs, np.int64)
+        for docs, freqs in view:
+            np.add.at(sizes, docs.astype(np.int64), freqs.astype(np.int64))
+        coll_mod.write_sizes_file(base, np.maximum(sizes, 1).astype(np.uint32))
+        tprep = log_stage("doc-sharded: synthesize .sizes", tprep)
+    wand_file = os.path.join(CACHE, "scale.wand")
+    if not os.path.exists(wand_file + ".npz"):
+        ranked_mod.build_wand_data(base).save(wand_file)
+        tprep = log_stage("doc-sharded: create_wand_data", tprep)
+    qlog = os.path.join(CACHE, "scale.queries")
+    if not os.path.exists(qlog):
+        nl = len(coll_mod.open_freq_collection(base))
+        rng = np.random.default_rng(23)
+        with open(qlog, "w") as f:
+            for _ in range(args.queries):
+                k = int(rng.integers(1, 5))
+                f.write(" ".join(str(int(x)) for x in
+                                 rng.integers(0, nl, k)) + "\n")
 
     if reexec_in_cpu_mesh_child(args.shards):
         return
@@ -304,7 +336,35 @@ def doc_sharded_stage(args):
         assert got.shape == want.shape and np.allclose(got, want, rtol=1e-4), (
             qi, q, got, want,
         )
-    log_stage("doc-sharded: host ranked_or oracle parity", t)
+    t = log_stage("doc-sharded: host ranked_or oracle parity", t)
+    # decode spot-check: random terms reconstructed from the shard set
+    # (shard-local docids + doc_lo offsets) must equal the collection
+    view = coll_mod.open_freq_collection(base)
+    lens = np.asarray(idx.list_n, np.int64)
+    rng = np.random.default_rng(7)
+    picks = rng.choice(np.flatnonzero(lens > 0),
+                       size=min(25, int((lens > 0).sum())), replace=False)
+    shard_decs = [TermDecoder(sh) for sh in sharded.shards]
+    for t_id in picks:
+        t_id = int(t_id)
+        parts = [
+            sd.decode_docids([t_id])[t_id].astype(np.int64)
+            + int(sharded.doc_lo[j])
+            for j, sd in enumerate(shard_decs)
+        ]
+        got = np.concatenate([p for p in parts if p.size])
+        want = np.asarray(view.docs.sequence(t_id + 1), np.int64)
+        np.testing.assert_array_equal(got, want, err_msg=f"term {t_id}")
+        fparts = [
+            sd.decode_freqs([t_id])[t_id]
+            for j, sd in enumerate(shard_decs)
+        ]
+        gotf = np.concatenate([p for p in fparts if p.size])
+        np.testing.assert_array_equal(
+            gotf, np.asarray(view.freqs.sequence(t_id)), err_msg=f"term {t_id}"
+        )
+    log_stage(f"doc-sharded: decode spot-check {picks.size} terms "
+              "(docs+freqs exact)", t)
     print(
         f"[scale] doc-sharded ok: {len(qs)} queries, top-10 exact parity; "
         f"no shard holds more than "
@@ -325,7 +385,15 @@ def main():
     ap.add_argument("--sharded-queries", type=int, default=32)
     ap.add_argument("--queries", type=int, default=512)
     ap.add_argument("--runs", type=int, default=5)
+    ap.add_argument("--cache-dir", default=None,
+                    help="override the .scale cache (e.g. .scale1e9 for "
+                         "the 10^9 rehearsal: --ints 1e9 --cache-dir "
+                         ".scale1e9, then --build-doc-sharded with the "
+                         "same flags)")
     args = ap.parse_args()
+    if args.cache_dir:
+        global CACHE
+        CACHE = os.path.abspath(args.cache_dir)
 
     # sharded-serve child (and parent, once artifacts exist): jump
     # straight to the stage — re-running the synth/count/encode checks
