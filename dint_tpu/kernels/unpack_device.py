@@ -215,6 +215,63 @@ def plan_qmx(arena: np.ndarray, meta) -> UnpackPlan:
     return UnpackPlan("qmx", BLOCK_SIZE, classes, partials, total)
 
 
+def plan_ladder(codec: str, arena: np.ndarray, meta) -> UnpackPlan:
+    """Codec-independent serving image: the optpfor folded path
+    generalized to any zoo codec.
+
+    The wire format's job ends at load — the planner host-decodes the
+    stream ONCE (the native whole-list decoders, codecs/zoonative.py,
+    0.5-1.1 G ints/s), chunks the flat value stream into 256-value
+    blocks, and groups blocks by the smallest no-straddle ladder width
+    holding each block's values.  The device then decodes the same
+    canonical image regardless of wire codec: one broadcast shift/mask
+    kernel per width class (_fns), ~0.4-0.7 device-B/int on gap
+    streams.  This is DINT's serving-image philosophy (the reference's
+    mmap-and-decode-in-place has no TPU analogue; compile at load,
+    stream at speed-of-light) applied to the whole zoo; `device_bytes`
+    on the engine reports the image size honestly next to the wire
+    stream size.  The wire-structure engines (plan_qmx/plan_simple16/
+    plan_byteclass) remain for A/B and for deployments that cannot
+    afford the load-time decode."""
+    from ..index import vroom_zoo
+
+    parts = []
+    for i in range(meta.num_lists):
+        n = int(meta.n[i])
+        parts.append(
+            vroom_zoo.decode_list_zoo(
+                codec, arena, int(meta.payload_off[i]), n
+            ).astype(np.uint32, copy=False)
+        )
+    flat = (np.concatenate(parts) if parts else np.zeros(0, np.uint32))
+    total = int(flat.shape[0])
+    vpb = BLOCK_SIZE
+    nb = total // vpb
+    blocks = flat[: nb * vpb].reshape(nb, vpb)
+    tail = flat[nb * vpb:]
+    partials = [(nb * vpb, tail.copy())] if tail.size else []
+    classes: List[WidthClass] = []
+    if nb:
+        mx = blocks.max(axis=1)
+        w_need = np.ceil(
+            np.log2(mx.astype(np.float64) + 1.0)
+        ).astype(np.int64)
+        w_need = np.maximum(w_need, 1)
+        lw = np.asarray([_ladder_width(int(w)) for w in w_need])
+        for w in sorted(set(lw.tolist())):
+            rows = np.flatnonzero(lw == w)
+            # payload carries the VALUES (u32) for ladder plans; the
+            # engine packs them at width w into the device image
+            classes.append(
+                WidthClass(
+                    int(w), blocks[rows],
+                    rows.astype(np.int64) * vpb,
+                    np.full(rows.size, vpb, np.int64),
+                )
+            )
+    return UnpackPlan("ladder", vpb, classes, partials, total)
+
+
 @functools.lru_cache(maxsize=None)
 def _qmx_fns(w: int):
     """Device decode for one QMX width class: ONE broadcast kernel.
@@ -860,6 +917,17 @@ class UnpackEngine:
         self.device_bytes = 0
         qmx = plan.codec == "qmx"
         vpb = plan.values_per_block
+        if plan.codec == "ladder":
+            # plan classes carry host-decoded VALUES already grouped by
+            # ladder width: pack each class at its width and ship
+            for c in plan.classes:
+                wT = jnp.asarray(
+                    _lane_major(_pack_w(c.payload.astype(np.uint32), c.b))
+                )
+                self._dev.append(("pfor", int(c.b), wT, None))
+                self._meta.append((c.out_base, c.size))
+                self.device_bytes += wT.nbytes
+            return
         if qmx:
             for c in plan.classes:
                 n = c.payload.shape[0]

@@ -277,7 +277,18 @@ def decode_zoo_device(type_name: str, encoded_file: str, runs: int,
 
     arena, meta = stream_mod.load_stream(encoded_file)
     common.log("planning width classes...")
-    if type_name in (
+    import os
+
+    wire = os.environ.get("DINT_TPU_WIRE_UNPACK") == "1"
+    if not wire:
+        # the generalized ladder image (plan_ladder): host-decode once
+        # at load, re-pack at no-straddle ladder widths — the optpfor
+        # folded path applied to the whole zoo (167-194 G ints/s vs
+        # 35-110 for the wire-structure engines below, which remain
+        # for A/B under DINT_TPU_WIRE_UNPACK=1)
+        plan = unpack_device.plan_ladder(type_name, arena, meta)
+        eng = unpack_device.UnpackEngine(plan)
+    elif type_name in (
         "vbyte", "maskedvbyte", "streamvbyte", "varintgb", "varintg8iu"
     ):
         plan = unpack_device.plan_byteclass(type_name, arena, meta)

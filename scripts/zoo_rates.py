@@ -31,7 +31,9 @@ def main():
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--no-native", action="store_true")
     ap.add_argument("--device", action="store_true",
-                    help="also record device engine rates (needs a TPU)")
+                    help="also record device engine rates (needs a TPU "
+                         "and .bench/bench.<codec>.bin streams)")
+    ap.add_argument("--device-runs", type=int, default=400)
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".bench", "zoo.json"))
@@ -69,14 +71,38 @@ def main():
         print(f"{codec:13s} {n / best / 1e6:8.1f} M ints/s "
               f"({len(payload) / n:.2f} B/int)", file=sys.stderr)
 
+    dev_rec = None
     if args.device:
         import jax
 
         assert jax.default_backend() == "tpu", jax.default_backend()
-        # device rates are produced by scripts/kernel_ablate.py /
-        # tools/decode.py --engine device; record the pointer here
-        rec["device_note"] = (
-            "device rates: tools/decode.py --engine device per stream")
+        from dint_tpu.tools import decode as dtool
+        from dint_tpu.utils import jaxcfg
+
+        jaxcfg.enable_compile_cache()
+        bench_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".bench")
+        coll = os.path.join(bench_dir, "bench_collection.docs")
+        dev_rec = {"runs": args.device_runs, "engine": "ladder",
+                   "gints_per_s": {}, "image_B_per_int": {}}
+        for codec in CODECS:
+            stream = os.path.join(bench_dir, f"bench.{codec}.bin")
+            if not os.path.exists(stream):
+                print(f"{codec:13s} (no bench stream, skipped)",
+                      file=sys.stderr)
+                continue
+            r = dtool.decode_zoo_device(
+                codec, stream, args.device_runs,
+                coll if os.path.exists(coll) else None,
+            )
+            g = float(r["ints_x_sec"]) / 1e9
+            bpi = int(r["plan_bytes"]) / float(r["num_integers"])
+            dev_rec["gints_per_s"][codec] = round(g, 1)
+            dev_rec["image_B_per_int"][codec] = round(bpi, 3)
+            print(f"{codec:13s} device {g:8.1f} G ints/s "
+                  f"({bpi:.2f} image B/int, check="
+                  f"{r.get('check', 'skipped')})", file=sys.stderr)
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     existing = {}
@@ -85,6 +111,8 @@ def main():
             existing = json.load(f)
     key = "host_numpy" if args.no_native else "host_native"
     existing[key] = rec
+    if dev_rec is not None:
+        existing["device_ladder"] = dev_rec
     with open(args.out, "w") as f:
         json.dump(existing, f, indent=1)
     print(json.dumps({key: rec}))

@@ -399,6 +399,44 @@ def test_simple16_device_engine_exact(tmp_path):
     assert eng.timed_chain(2) >= 0
 
 
+@pytest.mark.parametrize("codec", ["qmx", "simple16", "optpfor", "vbyte"])
+def test_ladder_device_engine_exact(tmp_path, codec):
+    """The generalized ladder image (plan_ladder: host-decode once at
+    load, chunk into 256-value blocks, re-pack at no-straddle ladder
+    widths) reproduces the host decode bit-for-bit for any zoo codec,
+    including tails shorter than a block and single-value lists."""
+    import numpy as np
+
+    from dint_tpu.index import stream as stream_mod
+    from dint_tpu.index import vroom_zoo
+    from dint_tpu.kernels import unpack_device
+
+    rng = np.random.default_rng(47)
+    lists = []
+    for n in (1, 40, 256, 300, 1000, 777, 3):
+        # tails ride the wire codec's own partial path; optpfor's
+        # interpolative tails carry a u32 block-sum contract, so keep
+        # tail magnitudes modest and put the big values in a tail-free
+        # list below
+        mag = int(rng.integers(1, 22))
+        lists.append(rng.integers(0, 1 << mag, n).astype(np.uint32))
+    lists.append(rng.integers(0, 1 << 27, 512).astype(np.uint32))  # w=32
+    lists.append(np.zeros(512, np.uint32))  # all-zero blocks (w=1 class)
+    payloads = [vroom_zoo.encode_list_zoo(codec, g)[0] for g in lists]
+    path = str(tmp_path / f"s.{codec}")
+    stream_mod.write_stream(
+        path, payloads, [len(g) for g in lists],
+        [int(g.astype(np.int64).sum()) for g in lists],
+    )
+    arena, meta = stream_mod.load_stream(path)
+    plan = unpack_device.plan_ladder(codec, arena, meta)
+    eng = unpack_device.UnpackEngine(plan)
+    got = eng.decode_all_ordered()
+    np.testing.assert_array_equal(got, np.concatenate(lists), err_msg=codec)
+    assert eng.device_bytes > 0
+    assert eng.timed_chain(2) >= 0
+
+
 @pytest.mark.parametrize("codec", ["vbyte", "maskedvbyte", "streamvbyte", "varintgb", "varintg8iu"])
 def test_byteclass_device_engine_exact(tmp_path, codec):
     """Byte-length-class device decode: values excised into dense
