@@ -257,6 +257,13 @@ class compact_ranked_bitvector:
         if ptrs1:
             idx = np.arange(1, ptrs1 + 1, dtype=np.int64)
             ii = idx << p.rb_log_sampling1
+            # the reference's write loop runs i < n, so a pointer slot
+            # landing exactly at i == n (n an exact multiple of
+            # 2^log_sampling1) is allocated but never written (stays
+            # zero) — compact_ranked_bitvector.hpp:101-106 quirk, same
+            # family as the rank1-sample one below
+            keep = ii < n
+            idx, ii = idx[keep], ii[keep]
             pos = np.uint64(p1off) + (idx - 1).astype(np.uint64) * np.uint64(psize)
             bb.set_bits_batch(pos, v[ii], psize)
         if r1samples:
@@ -512,6 +519,16 @@ class _partitioned_base:
         if self.uniform:
             ps = 1 << p.log_partition_size
             return list(range(ps, n, ps)) + [n]
+        strict = self.base is strict_sequence
+        if strict or self.base is indexed_sequence:
+            # native DP (same arithmetic/closed-form costs; parity-
+            # gated in tests) — the python loop below is the oracle
+            part = bitnative.opt_partition(
+                values, universe, p, CONF.eps1, CONF.eps2, CONF.fix_cost,
+                strict,
+            )
+            if part is not None:
+                return part
         cost = lambda u, m: self.base.bitsize(p, u, m) + CONF.fix_cost
         return optimal_partition(values, universe, cost, CONF.eps1, CONF.eps2)
 

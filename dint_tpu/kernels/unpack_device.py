@@ -53,6 +53,12 @@ class WidthClass:
     # host-unpacked values at image-compile time — no exception work
     # on the hot path.
     exc_dense: np.ndarray = None
+    # ladder plans only (keyword-only in spirit — keep LAST so the
+    # positional constructions above stay stable): per-block u32
+    # subtracted at plan time and broadcast-added back on device
+    # (monotone streams — PEF docids — pack at the width of the
+    # block's SPAN, not its absolute values)
+    val_base: np.ndarray = None
 
 
 @dataclass
@@ -235,14 +241,26 @@ def plan_ladder(codec: str, arena: np.ndarray, meta) -> UnpackPlan:
     afford the load-time decode."""
     from ..index import vroom_zoo
 
+    pef = codec == "pef"
     parts = []
     for i in range(meta.num_lists):
         n = int(meta.n[i])
-        parts.append(
-            vroom_zoo.decode_list_zoo(
-                codec, arena, int(meta.payload_off[i]), n
-            ).astype(np.uint32, copy=False)
-        )
+        if pef:
+            # PEF lists decode to absolute DOCIDS (monotone); the
+            # per-block base subtraction below packs them at the width
+            # of each block's span instead of the universe
+            parts.append(
+                vroom_zoo.decode_list_pef(
+                    arena, int(meta.payload_off[i]),
+                    int(meta.payload_len[i]), n, int(meta.universe[i]),
+                ).astype(np.uint32, copy=False)
+            )
+        else:
+            parts.append(
+                vroom_zoo.decode_list_zoo(
+                    codec, arena, int(meta.payload_off[i]), n
+                ).astype(np.uint32, copy=False)
+            )
     flat = (np.concatenate(parts) if parts else np.zeros(0, np.uint32))
     total = int(flat.shape[0])
     vpb = BLOCK_SIZE
@@ -252,7 +270,10 @@ def plan_ladder(codec: str, arena: np.ndarray, meta) -> UnpackPlan:
     partials = [(nb * vpb, tail.copy())] if tail.size else []
     classes: List[WidthClass] = []
     if nb:
-        mx = blocks.max(axis=1)
+        base = (blocks.min(axis=1) if pef
+                else np.zeros(nb, np.uint32)).astype(np.uint32)
+        rel = blocks - base[:, None] if pef else blocks
+        mx = rel.max(axis=1)
         w_need = np.ceil(
             np.log2(mx.astype(np.float64) + 1.0)
         ).astype(np.int64)
@@ -264,9 +285,10 @@ def plan_ladder(codec: str, arena: np.ndarray, meta) -> UnpackPlan:
             # engine packs them at width w into the device image
             classes.append(
                 WidthClass(
-                    int(w), blocks[rows],
+                    int(w), rel[rows],
                     rows.astype(np.int64) * vpb,
                     np.full(rows.size, vpb, np.int64),
+                    val_base=(base[rows] if pef else None),
                 )
             )
     return UnpackPlan("ladder", vpb, classes, partials, total)
@@ -894,6 +916,33 @@ def _fns(w: int):
     return (unpack,)
 
 
+@functools.lru_cache(maxsize=None)
+def _fns_base(w: int):
+    """Ladder unpack + per-block base broadcast-add (PEF docid image:
+    blocks pack RELATIVE values at their span width; the block minimum
+    rides as one u32 per lane and adds back here)."""
+    import jax.numpy as jnp
+
+    vpw = 32 // w
+    mask = np.uint32((1 << w) - 1) if w < 32 else np.uint32(0xFFFFFFFF)
+
+    def unpack(wT, bT, salt):
+        s = (jnp.arange(vpw, dtype=jnp.uint32)
+             * jnp.uint32(w))[None, :, None, None]
+        out = (wT[:, None] >> s) & mask  # (W', vpw, M, 128)
+        return out + bT[None, None] + salt
+
+    return (unpack,)
+
+
+def _kind_fns(kind: str, b: int):
+    if kind == "qmx":
+        return _qmx_fns(b)
+    if kind == "pforb":
+        return _fns_base(b)
+    return _fns(b)
+
+
 class UnpackEngine:
     """Runs one UnpackPlan on device (class-major outputs).
 
@@ -919,12 +968,21 @@ class UnpackEngine:
         vpb = plan.values_per_block
         if plan.codec == "ladder":
             # plan classes carry host-decoded VALUES already grouped by
-            # ladder width: pack each class at its width and ship
+            # ladder width: pack each class at its width and ship.
+            # val_base (PEF docids) rides as a second lane-major array
+            # broadcast-added back inside the kernel.
             for c in plan.classes:
                 wT = jnp.asarray(
                     _lane_major(_pack_w(c.payload.astype(np.uint32), c.b))
                 )
-                self._dev.append(("pfor", int(c.b), wT, None))
+                if c.val_base is not None:
+                    bT = jnp.asarray(
+                        _lane_major(c.val_base[:, None].astype(np.uint32))
+                    )[0]  # (M, 128)
+                    self._dev.append(("pforb", int(c.b), wT, bT))
+                    self.device_bytes += bT.nbytes
+                else:
+                    self._dev.append(("pfor", int(c.b), wT, None))
                 self._meta.append((c.out_base, c.size))
                 self.device_bytes += wT.nbytes
             return
@@ -999,7 +1057,7 @@ class UnpackEngine:
     @staticmethod
     def _reorder(kind: str, b: int, out: np.ndarray, n: int) -> np.ndarray:
         """(.., .., M, 128) class output -> (N, ints) in value order."""
-        if kind == "pfor" or b in (8, 16, 32):
+        if kind in ("pfor", "pforb") or b in (8, 16, 32):
             # value j at [j // R2, j % R2, i // 128, i % 128]
             a = np.transpose(out, (2, 3, 0, 1))
         else:
@@ -1015,7 +1073,7 @@ class UnpackEngine:
         for (out_base, size), dev in zip(self._meta, self._dev):
             kind, b, a0, a1 = dev
             n = out_base.shape[0]
-            fn = jax.jit((_qmx_fns(b) if kind == "qmx" else _fns(b))[0])
+            fn = jax.jit(_kind_fns(kind, b)[0])
             out = np.asarray(fn(a0, a1, jnp.uint32(0)))
             outs.append(self._reorder(kind, b, out, n))
         return outs
@@ -1052,8 +1110,7 @@ class UnpackEngine:
                 s = jnp.uint32(0)
                 cnt = 0
                 for (kind, b), (a0, a1) in zip(specs_t, args):
-                    unpack = (_qmx_fns(b) if kind == "qmx"
-                              else _fns(b))[0]
+                    unpack = _kind_fns(kind, b)[0]
                     out = unpack(a0, a1, salt)
                     # materialize + sampled reduce (see _w_fns chain)
                     out = jax.lax.optimization_barrier(out)

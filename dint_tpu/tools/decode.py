@@ -280,7 +280,7 @@ def decode_zoo_device(type_name: str, encoded_file: str, runs: int,
     import os
 
     wire = os.environ.get("DINT_TPU_WIRE_UNPACK") == "1"
-    if not wire:
+    if not wire or type_name == "pef":  # pef has no wire-structure engine
         # the generalized ladder image (plan_ladder): host-decode once
         # at load, re-pack at no-straddle ladder widths — the optpfor
         # folded path applied to the whole zoo (167-194 G ints/s vs
@@ -330,6 +330,10 @@ def decode_zoo_device(type_name: str, encoded_file: str, runs: int,
     if check_collection:
         got = eng.decode_all_ordered()
         expect, _ = common.gap_lists_of(check_collection)
+        if type_name == "pef":
+            from ..utils import gaps as gap_mod
+
+            expect = [gap_mod.gaps_to_docs(g) for g in expect]
         pos = 0
         for i, e in enumerate(expect):
             if not np.array_equal(got[pos : pos + e.shape[0]], e):
@@ -443,6 +447,7 @@ def main(argv=None):
         device_capable = args.type in (
             "optpfor", "qmx", "simple16",
             "vbyte", "maskedvbyte", "streamvbyte", "varintgb", "varintg8iu",
+            "pef",  # ladder image with per-block docid bases
         )
         engine = args.engine
         if engine is None and device_capable:

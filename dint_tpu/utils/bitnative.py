@@ -59,6 +59,13 @@ def get_lib():
         ctypes.c_int64, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
         ctypes.c_uint32, ctypes.c_int, ctypes.c_uint32, ctypes.c_int, u64p,
     ]
+    lib.opt_partition.restype = ctypes.c_int64
+    lib.opt_partition.argtypes = [
+        u64p, ctypes.c_int64, ctypes.c_uint64,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_int,
+        ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+    ]
     _lib = lib
     return _lib
 
@@ -134,3 +141,26 @@ def pef_decode_all(words: np.ndarray, offset: int, universe: int, n: int,
     if rc != 0:
         return None
     return out
+
+
+def opt_partition(values: np.ndarray, universe: int, p, eps1: float,
+                  eps2: float, fix_cost: float,
+                  strict: bool):
+    """Native PEF partitioning DP (optimal_partition.hpp:69-121 over the
+    indexed/strict sequence bitsize costs); None -> python fallback.
+    Returns the ascending partition endpoint list (last == n)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = int(v.shape[0])
+    out = np.empty(n + 1, dtype=np.int64)
+    cnt = lib.opt_partition(
+        _wp(v), n, universe, eps1, eps2, fix_cost, 1 if strict else 0,
+        p.ef_log_sampling0, p.ef_log_sampling1,
+        p.rb_log_rank1_sampling, p.rb_log_sampling1,
+        n + 1, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if cnt < 0:
+        return None
+    return out[:cnt].tolist()

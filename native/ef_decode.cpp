@@ -480,3 +480,131 @@ int pef_decode_all(const uint64_t* words, uint64_t nwords, uint64_t offset,
 }
 
 } // extern "C"
+
+// ---------------------------------------------------------------------------
+// optimal_partition: the PEF partitioning DP (optimal_partition.hpp:69-121),
+// the encode-side hot loop of the partitioned-sequence family.  The Python
+// form (dint_tpu/codecs/ef.py optimal_partition) is a faithful scalar loop
+// at ~25K ints/s; this is the identical DP (same double arithmetic, same
+// comparison order, same window sweep) over closed-form bitsize costs for
+// indexed_sequence (strict=0) and strict_sequence (strict=1).
+// Returns the number of partition endpoints written to `out` (ascending,
+// last == n), or -1 if out_cap is too small.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+inline double ef_bitsize_d(uint64_t universe, uint64_t n,
+                           uint32_t ls0, uint32_t ls1) {
+    // mirrors ef_offsets (dint_tpu/codecs/ef.py:112-130)
+    uint32_t lower_bits = 0;
+    if (universe > n) {
+        const uint64_t q = universe / n;
+        lower_bits = 63 - (uint32_t)__builtin_clzll(q);  // floor_log2(q), q>=1
+    }
+    const uint64_t higher_bits_length = n + (universe >> lower_bits) + 2;
+    const uint64_t pointer_size = ceil_log2_u64(higher_bits_length);
+    const uint64_t pointers0 = (higher_bits_length - n) >> ls0;
+    const uint64_t pointers1 = n >> ls1;
+    return (double)((pointers0 + pointers1) * pointer_size +
+                    higher_bits_length + n * (uint64_t)lower_bits);
+}
+
+inline double rb_bitsize_d(uint64_t universe, uint64_t n,
+                           uint32_t lr1, uint32_t ls1) {
+    const uint64_t r1size = ceil_log2_u64(n + 1);
+    const uint64_t psize = ceil_log2_u64(universe);
+    const uint64_t r1samples = universe >> lr1;
+    const uint64_t ptrs1 = n >> ls1;
+    return (double)(r1samples * r1size + ptrs1 * psize + universe);
+}
+
+struct PartCost {
+    int strict;
+    uint32_t ef_ls0, ef_ls1, rb_lr1, rb_ls1;
+    double fix_cost;
+
+    double operator()(uint64_t universe, uint64_t m) const {
+        // indexed_sequence / strict_sequence bitsize + fix_cost
+        // (ef.py _choose; strict params disable zero sampling: ls0=63)
+        double best = (universe == m) ? 0.0 : 9.2233720368547758e18;
+        double ef, rb;
+        if (strict) {
+            // strict EF codes (universe - m + 1, m) under strict params
+            ef = ef_bitsize_d(universe - m + 1, m, 63, ef_ls1) + 1.0;
+            rb = rb_bitsize_d(universe, m, 63, rb_ls1) + 1.0;
+        } else {
+            ef = ef_bitsize_d(universe, m, ef_ls0, ef_ls1) + 1.0;
+            rb = rb_bitsize_d(universe, m, rb_lr1, rb_ls1) + 1.0;
+        }
+        if (ef < best) best = ef;
+        if (rb < best) best = rb;
+        return best + fix_cost;
+    }
+};
+
+} // namespace
+
+extern "C" {
+
+int64_t opt_partition(const uint64_t* values, int64_t size, uint64_t universe,
+                      double eps1, double eps2, double fix_cost, int strict,
+                      uint32_t ef_ls0, uint32_t ef_ls1, uint32_t rb_lr1,
+                      uint32_t rb_ls1, int64_t out_cap, int64_t* out) {
+    const PartCost cost{strict, ef_ls0, ef_ls1, rb_lr1, rb_ls1, fix_cost};
+    const double single_block_cost = cost(universe, (uint64_t)size);
+    std::vector<double> min_cost((size_t)size + 1, single_block_cost);
+    min_cost[0] = 0.0;
+    const double cost_lb = cost(1, 1);
+
+    struct Window {
+        int64_t start, end;
+        uint64_t min_p, max_p;
+        double bound;
+    };
+    std::vector<Window> windows;
+    {
+        double cost_bound = cost_lb;
+        for (;;) {
+            if (!(eps1 == 0.0 || cost_bound < cost_lb / eps1)) break;
+            windows.push_back(Window{0, 0, size ? values[0] : 0, 0, cost_bound});
+            if (cost_bound >= single_block_cost) break;
+            cost_bound = cost_bound * (1.0 + eps2);
+        }
+    }
+    std::vector<int64_t> path((size_t)size + 1, 0);
+    for (int64_t i = 0; i < size; ++i) {
+        int64_t last_end = i + 1;
+        for (auto& w : windows) {
+            while (w.end < last_end) {
+                w.max_p = values[w.end];
+                ++w.end;
+            }
+            for (;;) {
+                const double window_cost =
+                    cost(w.max_p - w.min_p + 1, (uint64_t)(w.end - w.start));
+                if (min_cost[(size_t)i] + window_cost <
+                    min_cost[(size_t)w.end]) {
+                    min_cost[(size_t)w.end] = min_cost[(size_t)i] + window_cost;
+                    path[(size_t)w.end] = i;
+                }
+                last_end = w.end;
+                if (w.end == size) break;
+                if (window_cost >= w.bound) break;
+                w.max_p = values[w.end];
+                ++w.end;
+            }
+            w.min_p = values[w.start] + 1;
+            ++w.start;
+        }
+    }
+    int64_t cnt = 0;
+    for (int64_t cur = size; cur != 0; cur = path[(size_t)cur]) ++cnt;
+    if (cnt > out_cap) return -1;
+    int64_t k = cnt;
+    for (int64_t cur = size; cur != 0; cur = path[(size_t)cur])
+        out[--k] = cur;
+    return cnt;
+}
+
+} // extern "C"

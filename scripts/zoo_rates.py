@@ -86,7 +86,7 @@ def main():
         coll = os.path.join(bench_dir, "bench_collection.docs")
         dev_rec = {"runs": args.device_runs, "engine": "ladder",
                    "gints_per_s": {}, "image_B_per_int": {}}
-        for codec in CODECS:
+        for codec in CODECS + ["pef"]:  # pef: device-only (ladder)
             stream = os.path.join(bench_dir, f"bench.{codec}.bin")
             if not os.path.exists(stream):
                 print(f"{codec:13s} (no bench stream, skipped)",

@@ -437,6 +437,49 @@ def test_ladder_device_engine_exact(tmp_path, codec):
     assert eng.timed_chain(2) >= 0
 
 
+def test_pef_ladder_device_engine_exact(tmp_path):
+    """PEF streams decode through the ladder image too: blocks pack
+    RELATIVE docids at the width of each block's span, with the block
+    minimum broadcast-added back on device (codecs are monotone docid
+    sequences here, not gaps — the per-block base is what keeps the
+    image narrow)."""
+    import numpy as np
+
+    from dint_tpu.index import stream as stream_mod
+    from dint_tpu.index import vroom_zoo
+    from dint_tpu.kernels import unpack_device
+
+    rng = np.random.default_rng(53)
+    lists = []
+    for n in (1, 40, 256, 999, 3000):
+        docs = np.sort(
+            rng.choice(5_000_000, size=n, replace=False)
+        ).astype(np.uint32)
+        lists.append(docs)
+    # a dense cluster: tiny span, exercises the narrow ladder widths
+    lists.append((1_000_000 + np.arange(512, dtype=np.uint32) * 2))
+    payloads, universes = [], []
+    for d in lists:
+        body, _bits = vroom_zoo.encode_list_pef(d)
+        payloads.append(body)
+        universes.append(int(d[-1]) + 1)
+    path = str(tmp_path / "s.pef")
+    stream_mod.write_stream(
+        path, payloads, [len(d) for d in lists], universes,
+        [[len(p)] for p in payloads],
+    )
+    arena, meta = stream_mod.load_stream(path)
+    plan = unpack_device.plan_ladder("pef", arena, meta)
+    eng = unpack_device.UnpackEngine(plan)
+    got = eng.decode_all_ordered()
+    np.testing.assert_array_equal(got, np.concatenate(lists))
+    assert any(c.val_base is not None for c in plan.classes)
+    # the dense cluster must land in a narrow class, not the
+    # universe-width one
+    assert min(c.b for c in plan.classes) <= 16
+    assert eng.timed_chain(2) >= 0
+
+
 @pytest.mark.parametrize("codec", ["vbyte", "maskedvbyte", "streamvbyte", "varintgb", "varintg8iu"])
 def test_byteclass_device_engine_exact(tmp_path, codec):
     """Byte-length-class device decode: values excised into dense

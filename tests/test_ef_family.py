@@ -244,6 +244,74 @@ def test_ef_write_exact_sampling_multiples():
     np.testing.assert_array_equal(got, vals)
 
 
+def test_rb_write_exact_sampling_multiple():
+    """Ranked bitvector with n an exact multiple of 2^rb_log_sampling1:
+    the reference's write loop runs i < n, so the pointer slot whose
+    index equals n is allocated but never written
+    (compact_ranked_bitvector.hpp:101-106).  The batch writer used to
+    index v[n] and crash (found by the PEF ladder test's dense-cluster
+    list)."""
+    rng = np.random.default_rng(99)
+    p = ef.PARAMS
+    n = 1 << p.rb_log_sampling1  # exact multiple -> 1 unwritten slot
+    universe = n * 2
+    vals = np.sort(rng.choice(universe, size=n, replace=False)).astype(np.uint64)
+    bb = BitBuilder()
+    ef.compact_ranked_bitvector.write(bb, vals, universe, n, p)
+    got = ef.compact_ranked_bitvector.decode_all(
+        bb.words(), 0, universe, n, p
+    )
+    np.testing.assert_array_equal(got, vals)
+    # enumerator still walks it
+    from dint_tpu.codecs import ef_enum
+
+    e = ef_enum.RBEnumerator(bb.words(), 0, universe, n, p)
+    for k in (0, 1, n // 2, n - 1):
+        assert e.move(k) == vals[k], k
+
+
+def test_native_opt_partition_matches_python_dp():
+    """The native PEF partitioning DP (native/ef_decode.cpp
+    opt_partition) must produce EXACTLY the python oracle's endpoints
+    (same double arithmetic, same window sweep) for both base-cost
+    kinds, so streams stay byte-identical whichever path runs."""
+    from dint_tpu.utils import bitnative
+
+    if bitnative.get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(31)
+    p = ef.PARAMS
+    for kind, base in (("indexed", ef.indexed_sequence),
+                       ("strict", ef.strict_sequence)):
+        for trial in range(12):
+            n = int(rng.integers(1, 6000))
+            universe = n + int(rng.integers(1, 500000))
+            vals = np.sort(
+                rng.choice(universe, size=n, replace=False)
+            ).astype(np.uint64)
+            if kind == "strict":
+                universe = int(vals[-1]) + 1
+            cost = lambda u, m: base.bitsize(p, u, m) + ef.CONF.fix_cost
+            want = ef.optimal_partition(
+                vals, universe, cost, ef.CONF.eps1, ef.CONF.eps2
+            )
+            got = bitnative.opt_partition(
+                vals, universe, p, ef.CONF.eps1, ef.CONF.eps2,
+                ef.CONF.fix_cost, kind == "strict",
+            )
+            assert got == want, (kind, trial, n, got[:5], want[:5])
+    # dense cluster (all-ones partitions) and tiny-n edges
+    for n in (1, 2, 511, 512):
+        vals = (100 + np.arange(n)).astype(np.uint64)
+        universe = int(vals[-1]) + 1
+        cost = lambda u, m: ef.indexed_sequence.bitsize(p, u, m) + ef.CONF.fix_cost
+        want = ef.optimal_partition(vals, universe, cost,
+                                    ef.CONF.eps1, ef.CONF.eps2)
+        got = bitnative.opt_partition(vals, universe, p, ef.CONF.eps1,
+                                      ef.CONF.eps2, ef.CONF.fix_cost, False)
+        assert got == want, n
+
+
 def test_ef_zero_pointer_slots_match_reference_loop():
     """0-pointer slot contents must equal the reference writer's
     set_ptr0s output byte-for-byte: the stored value is the position of
