@@ -373,6 +373,73 @@ def doc_sharded_stage(args):
     )
 
 
+def pef_index_stage(args):
+    """The PEF index family at scale (BASELINE config: PEF eps-opt is
+    the reference README's fourth row): build an opt/uniform
+    freq_index over the scale collection with the native partitioning
+    DP, report size stats, verify decode exactness on a sample, and
+    run WAND with oracle parity over the skipping enumerators."""
+    from dint_tpu.index import freq_index
+    from dint_tpu.query import boolean, ranked
+
+    base = os.path.join(CACHE, "scale_collection")
+    if not os.path.exists(base + ".docs"):
+        raise SystemExit("needs the scale collection; run the build "
+                         "stages first (matching --ints/--cache-dir)")
+    t = time.perf_counter()
+    idx_file = os.path.join(CACHE, f"scale.{args.pef_kind}.idx")
+    if not os.path.exists(idx_file + ".npz"):
+        idx = freq_index.build_freq_index(base, args.pef_kind)
+        t = log_stage(f"pef-index: build_freq_index({args.pef_kind})", t)
+        idx.save(idx_file)
+        t = log_stage("pef-index: save", t)
+    idx = freq_index.FreqIndexEF.load(idx_file)
+    t = log_stage("pef-index: load", t)
+    st = idx.size_stats()
+    print(f"[scale] pef-index size: {st}")
+
+    # decode exactness on a sample of lists (full verify at 10^9 would
+    # re-read the whole collection; the sample covers every list shape)
+    from dint_tpu.io import collection as coll_mod
+
+    view = coll_mod.open_freq_collection(base)
+    lens = np.asarray(idx.list_n, np.int64)
+    rng = np.random.default_rng(17)
+    picks = rng.choice(np.flatnonzero(lens > 0),
+                       size=min(50, int((lens > 0).sum())), replace=False)
+    for t_id in picks:
+        t_id = int(t_id)
+        np.testing.assert_array_equal(
+            idx.list_docids(t_id),
+            np.asarray(view.docs.sequence(t_id + 1), np.uint64),
+            err_msg=f"term {t_id} docs")
+        np.testing.assert_array_equal(
+            idx.list_freqs(t_id),
+            np.asarray(view.freqs.sequence(t_id), np.uint64),
+            err_msg=f"term {t_id} freqs")
+    t = log_stage(f"pef-index: decode spot-check {picks.size} terms "
+                  "(docs+freqs exact)", t)
+
+    # ranked queries over the skipping enumerators, oracle parity
+    wand_file = os.path.join(CACHE, "scale.wand")
+    qlog = os.path.join(CACHE, "scale.queries")
+    if os.path.exists(wand_file + ".npz") and os.path.exists(qlog):
+        wdata = ranked.WandData.load(wand_file)
+        qs = boolean.parse_query_log(qlog)[:16]
+        dec = freq_index.EFTermDecoder(idx)
+        for q in qs:
+            want = ranked.ranked_or(idx, dec, wdata, q, k=10)
+            got = ranked.wand(idx, dec, wdata, q, k=10)
+            assert got.shape == want.shape and np.allclose(
+                got, want, rtol=1e-4), q
+        c = dec.lazy_cache
+        log_stage(
+            f"pef-index: wand == ranked_or on {len(qs)} queries "
+            f"(enumerator moves {c.moves}, postings scored "
+            f"{c.postings_scored})", t)
+    print("[scale] pef-index OK")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ints", type=float, default=1e8)
@@ -381,6 +448,9 @@ def main():
     ap.add_argument("--serve", action="store_true")
     ap.add_argument("--serve-sharded", action="store_true")
     ap.add_argument("--build-doc-sharded", action="store_true")
+    ap.add_argument("--build-pef-index", action="store_true")
+    ap.add_argument("--pef-kind", default="opt",
+                    choices=["ef", "single", "uniform", "opt"])
     ap.add_argument("--shards", type=int, default=8)
     ap.add_argument("--sharded-queries", type=int, default=32)
     ap.add_argument("--queries", type=int, default=512)
@@ -400,6 +470,9 @@ def main():
     # here would pass over ~10^8 postings again for nothing
     if args.serve_sharded:
         serve_sharded_stage(args)
+        return
+    if args.build_pef_index:
+        pef_index_stage(args)
         return
     if args.build_doc_sharded:
         doc_sharded_stage(args)
