@@ -262,6 +262,16 @@ def plan_ladder(codec: str, arena: np.ndarray, meta) -> UnpackPlan:
                 ).astype(np.uint32, copy=False)
             )
     flat = (np.concatenate(parts) if parts else np.zeros(0, np.uint32))
+    return ladder_plan_from_values(flat, base_relative=pef)
+
+
+def ladder_plan_from_values(flat: np.ndarray,
+                            base_relative: bool = False) -> UnpackPlan:
+    """Build the canonical ladder UnpackPlan from an already-decoded
+    flat value stream (stream order).  base_relative=True subtracts
+    each block's minimum and ships it as val_base (monotone docid
+    streams); False packs absolute values (gap streams)."""
+    flat = np.ascontiguousarray(flat, dtype=np.uint32)
     total = int(flat.shape[0])
     vpb = BLOCK_SIZE
     nb = total // vpb
@@ -270,9 +280,9 @@ def plan_ladder(codec: str, arena: np.ndarray, meta) -> UnpackPlan:
     partials = [(nb * vpb, tail.copy())] if tail.size else []
     classes: List[WidthClass] = []
     if nb:
-        base = (blocks.min(axis=1) if pef
+        base = (blocks.min(axis=1) if base_relative
                 else np.zeros(nb, np.uint32)).astype(np.uint32)
-        rel = blocks - base[:, None] if pef else blocks
+        rel = blocks - base[:, None] if base_relative else blocks
         mx = rel.max(axis=1)
         w_need = np.ceil(
             np.log2(mx.astype(np.float64) + 1.0)
@@ -288,7 +298,7 @@ def plan_ladder(codec: str, arena: np.ndarray, meta) -> UnpackPlan:
                     int(w), rel[rows],
                     rows.astype(np.int64) * vpb,
                     np.full(rows.size, vpb, np.int64),
-                    val_base=(base[rows] if pef else None),
+                    val_base=(base[rows] if base_relative else None),
                 )
             )
     return UnpackPlan("ladder", vpb, classes, partials, total)

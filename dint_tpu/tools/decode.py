@@ -207,6 +207,55 @@ class StreamDecoder:
         return lists
 
 
+class LadderStreamDecoder:
+    """engine='ladder' for DINT streams: the canonical ladder serving
+    image applied to the DINT wire format.
+
+    The dictionary does its work at encode/storage time and at plan
+    time: units host-decode ONCE at load (the parity-tested
+    decode_units_fast_batch path), the flat value stream re-packs into
+    256-value blocks at no-straddle ladder widths, and the device
+    decode is the same broadcast shift/mask engine the zoo rides —
+    ~0.58 image B/int vs the gather image's ~8.5 (per-row local tables
+    are 98.6% unique, so the table indirection never amortizes its own
+    traffic; see docs/STATUS.md).  engine='local' (the Pallas gather
+    over the dictionary image) remains the default DINT-semantics
+    engine and the A/B partner."""
+
+    def __init__(self, arena, meta, view, multi: bool):
+        from ..kernels import unpack_device
+        from ..query.lazy_decode import decode_units_fast_batch
+
+        self.meta = meta
+        lay = units_from_meta(arena, meta, multi)
+        vals, _ = decode_units_fast_batch(
+            arena, lay.starts, lay.starts + lay.byte_lens, lay.n,
+            view, lay.ctx, lay.b_bits,
+        )
+        # units -> stream (list-major) order
+        lists = [np.zeros(int(n), dtype=np.uint32) for n in meta.n]
+        for uid, v in enumerate(vals):
+            li = lay.list_id[uid]
+            p = int(lay.pos_in_list[uid])
+            lists[li][p : p + v.shape[0]] = v
+        flat = (np.concatenate(lists) if lists
+                else np.zeros(0, np.uint32))
+        self._list_lens = np.asarray(meta.n, np.int64)
+        plan = unpack_device.ladder_plan_from_values(flat)
+        self.engine = unpack_device.UnpackEngine(plan)
+        self._plan = plan
+        self.plan_bytes = self.engine.device_bytes
+
+    def timed_runs(self, runs: int):
+        elapsed = self.engine.timed_chain(runs)
+        return elapsed, self._plan.total_ints
+
+    def gather_lists(self):
+        flat = self.engine.decode_all_ordered()
+        cuts = np.cumsum(self._list_lens)[:-1]
+        return np.split(flat, cuts)
+
+
 def load_dictionary(type_name: str, dict_file: Optional[str], collection_hint=None):
     kind, policy = common.DINT_KINDS[type_name]
     if dict_file:
@@ -237,7 +286,10 @@ def decode_stream(
     dict_mib = (view.table.nbytes + view.offsets.nbytes) / (1 << 20)
     common.log(f"Dictionary memory: {dict_mib:.3f} [MiB]")
     plan_cache = encoded_file + f".plan.v{decode_local.PLAN_VERSION}.npz"
-    dec = StreamDecoder(arena, meta, view, multi, engine, plan_cache)
+    if engine == "ladder":
+        dec = LadderStreamDecoder(arena, meta, view, multi)
+    else:
+        dec = StreamDecoder(arena, meta, view, multi, engine, plan_cache)
     common.log(f"decoding (engine={engine})...")
     elapsed, total_ints = dec.timed_runs(runs)
     per_run = elapsed / runs
@@ -280,7 +332,8 @@ def decode_zoo_device(type_name: str, encoded_file: str, runs: int,
     import os
 
     wire = os.environ.get("DINT_TPU_WIRE_UNPACK") == "1"
-    if not wire or type_name == "pef":  # pef has no wire-structure engine
+    # pef/u32/interpolative have no wire-structure device engine
+    if not wire or type_name in ("pef", "u32", "interpolative"):
         # the generalized ladder image (plan_ladder): host-decode once
         # at load, re-pack at no-straddle ladder widths — the optpfor
         # folded path applied to the whole zoo (167-194 G ints/s vs
@@ -436,17 +489,19 @@ def main(argv=None):
     ap.add_argument("--runs", type=int, default=10)
     ap.add_argument("--check-collection")
     ap.add_argument(
-        "--engine", choices=["local", "raw", "device", "host"],
+        "--engine", choices=["local", "raw", "ladder", "device", "host"],
         default=None,
-        help="DINT types: local (default) | raw.  Zoo codecs: device "
-        "(width-class XLA bit unpack; the default on a TPU backend) or "
-        "host (numpy)",
+        help="DINT types: local (default; the dictionary-gather serving "
+        "image) | ladder (canonical ladder image, ~0.58 vs ~8.5 device "
+        "B/int — fastest at scale) | raw.  Zoo codecs: device (ladder "
+        "image; the default on a TPU backend) or host (numpy)",
     )
     args = ap.parse_args(argv)
     if args.type in common.VROOM_ZOO:
         device_capable = args.type in (
             "optpfor", "qmx", "simple16",
             "vbyte", "maskedvbyte", "streamvbyte", "varintgb", "varintg8iu",
+            "u32", "interpolative",  # via the ladder image
             "pef",  # ladder image with per-block docid bases
         )
         engine = args.engine

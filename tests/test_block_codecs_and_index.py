@@ -399,7 +399,8 @@ def test_simple16_device_engine_exact(tmp_path):
     assert eng.timed_chain(2) >= 0
 
 
-@pytest.mark.parametrize("codec", ["qmx", "simple16", "optpfor", "vbyte"])
+@pytest.mark.parametrize("codec", ["qmx", "simple16", "optpfor", "vbyte",
+                                   "u32", "interpolative"])
 def test_ladder_device_engine_exact(tmp_path, codec):
     """The generalized ladder image (plan_ladder: host-decode once at
     load, chunk into 256-value blocks, re-pack at no-straddle ladder
@@ -420,7 +421,10 @@ def test_ladder_device_engine_exact(tmp_path, codec):
         # list below
         mag = int(rng.integers(1, 22))
         lists.append(rng.integers(0, 1 << mag, n).astype(np.uint32))
-    lists.append(rng.integers(0, 1 << 27, 512).astype(np.uint32))  # w=32
+    # w=32 ladder class; interpolative inherits the reference's u32
+    # block-sum contract, so its big list stays under 2^22 per value
+    big_mag = 22 if codec == "interpolative" else 27
+    lists.append(rng.integers(0, 1 << big_mag, 512).astype(np.uint32))
     lists.append(np.zeros(512, np.uint32))  # all-zero blocks (w=1 class)
     payloads = [vroom_zoo.encode_list_zoo(codec, g)[0] for g in lists]
     path = str(tmp_path / f"s.{codec}")

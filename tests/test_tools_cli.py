@@ -55,6 +55,30 @@ def test_vroom_tools(workdir):
         check_encoded_data.main(["streamvbyte", "z.bin", base + ".docs"])
 
 
+@pytest.mark.parametrize("type_name", ["single_packed_dint",
+                                       "multi_packed_dint"])
+def test_dint_ladder_engine_exact(workdir, type_name):
+    """engine='ladder' for DINT streams (the canonical ladder image
+    built from the host-decoded units) reproduces the collection
+    int-for-int for both single and multi wire formats."""
+    tmp, base, qf = workdir
+    from dint_tpu.tools import decode, encode
+
+    with _cd(tmp):
+        out = f"lad.{type_name}.bin"
+        encode.main([type_name, base + ".docs", "--out", out])
+        kind = "multi_packed" if type_name.startswith("multi") else \
+            "single_packed"
+        dict_file = (f"dict.{os.path.basename(base)}.docs."
+                     f"{kind}.DSF-65536-16")
+        rec = decode.decode_stream(
+            type_name, out, dict_file, runs=2,
+            check_collection=base + ".docs", engine="ladder",
+        )
+        assert rec["check"] == "ok"
+        assert int(rec["plan_bytes"]) > 0
+
+
 def test_index_tools(workdir):
     tmp, base, qf = workdir
     from dint_tpu.tools import (
