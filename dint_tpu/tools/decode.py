@@ -232,13 +232,11 @@ class LadderStreamDecoder:
             arena, lay.starts, lay.starts + lay.byte_lens, lay.n,
             view, lay.ctx, lay.b_bits,
         )
-        # units -> stream (list-major) order
-        lists = [np.zeros(int(n), dtype=np.uint32) for n in meta.n]
-        for uid, v in enumerate(vals):
-            li = lay.list_id[uid]
-            p = int(lay.pos_in_list[uid])
-            lists[li][p : p + v.shape[0]] = v
-        flat = (np.concatenate(lists) if lists
+        # units_from_meta emits units list-major and in-list sequential
+        # (list_id = repeat(arange(L)), pos_in_list = rank * chunk), so
+        # unit order IS stream order — concatenate directly (a per-unit
+        # scatter loop costs minutes at 10^9 scale: ~3.5M units)
+        flat = (np.concatenate(vals) if vals
                 else np.zeros(0, np.uint32))
         self._list_lens = np.asarray(meta.n, np.int64)
         plan = unpack_device.ladder_plan_from_values(flat)

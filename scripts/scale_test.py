@@ -526,6 +526,18 @@ def main():
     )
     t = log_stage("decode (timed)", t)
 
+    # the canonical ladder image over the same stream (the at-scale
+    # serving winner: ~0.58 vs ~8.5 device B/int — see bench.py), full
+    # collection check (every list, every int)
+    lrec = dtool.decode_stream(
+        "single_rect_dint", stream, dict_file, runs=args.runs,
+        check_collection=base + ".docs", engine="ladder",
+    )
+    assert lrec.get("check") == "ok"
+    t = log_stage(
+        f"ladder decode (timed, full check): {lrec['ints_x_sec']} ints/s, "
+        f"image {int(lrec['plan_bytes'])/(1<<20):.0f} MiB", t)
+
     # spot-check: 50 random lists, decoded vs the input collection
     from dint_tpu.index import stream as stream_mod
     from dint_tpu.utils import gaps as gap_mod

@@ -86,12 +86,23 @@ def main():
         coll = os.path.join(bench_dir, "bench_collection.docs")
         dev_rec = {"runs": args.device_runs, "engine": "ladder",
                    "gints_per_s": {}, "image_B_per_int": {}}
-        for codec in CODECS + ["pef"]:  # pef: device-only (ladder)
+        # pef/u32/interpolative: device via the ladder image only —
+        # with it, ALL ELEVEN vroom list types have recorded device
+        # rates (their host paths are measured elsewhere: pef in
+        # .bench/ab tables, u32 is raw memory, interpolative is the
+        # deliberate host-side exception for lazy block decode)
+        for codec in CODECS + ["u32", "interpolative", "pef"]:
             stream = os.path.join(bench_dir, f"bench.{codec}.bin")
             if not os.path.exists(stream):
-                print(f"{codec:13s} (no bench stream, skipped)",
+                if not os.path.exists(coll):
+                    print(f"{codec:13s} (no bench stream, skipped)",
+                          file=sys.stderr)
+                    continue
+                print(f"{codec:13s} encoding bench stream (one-time)...",
                       file=sys.stderr)
-                continue
+                from dint_tpu.tools import encode as etool
+
+                etool.encode_zoo(codec, coll, stream)
             r = dtool.decode_zoo_device(
                 codec, stream, args.device_runs,
                 coll if os.path.exists(coll) else None,
