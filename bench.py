@@ -214,16 +214,26 @@ def main():
                           / float(lrec["num_integers"]))
         except Exception as e:  # noqa: BLE001
             print(f"bench: ladder leg failed: {e!r}", file=sys.stderr)
-        # bpi-champion config, same gather engine (recorded, not the
-        # driver metric): failures here must not zero the headline.
-        multi_rate = None
+        # bpi-champion config (recorded, not the driver metric):
+        # failures here must not zero the headline.  Both engines run —
+        # the gather image (DINT-semantics A/B partner) and the ladder
+        # image (the serving default, full collection check) — and the
+        # reported multi rate is the fastest one proven exact.
+        multi_rate = multi_gather_rate = None
         try:
             mstream, mdict = build_multi_artifacts()
             mrec = decode.decode_stream(
                 "multi_packed_dint", mstream, mdict, runs=RUNS
             )
             spot_check(mstream, mdict, type_name="multi_packed_dint")
-            multi_rate = float(mrec["ints_x_sec"])
+            multi_gather_rate = float(mrec["ints_x_sec"])
+            multi_rate = multi_gather_rate
+            mlrec = decode.decode_stream(
+                "multi_packed_dint", mstream, mdict, runs=RUNS,
+                check_collection=base + ".docs", engine="ladder",
+            )
+            assert mlrec.get("check") == "ok"
+            multi_rate = max(multi_rate, float(mlrec["ints_x_sec"]))
         except Exception as e:  # noqa: BLE001
             print(f"bench: multi_packed leg failed: {e!r}", file=sys.stderr)
     local_rate = float(rec["ints_x_sec"])
@@ -243,6 +253,7 @@ def main():
         out["multi_packed_vs_baseline"] = (
             multi_rate / REFERENCE_CPU_INTS_PER_SEC
         )
+        out["multi_packed_gather_ints_per_sec"] = multi_gather_rate
     print(json.dumps(out))
 
 
