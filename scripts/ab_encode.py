@@ -15,7 +15,8 @@ is reported separately).
 
 Usage: python scripts/ab_encode.py [--reps 5] [--modes single rect multi]
 Requires .bench/ artifacts (run bench.py once), g++, /root/reference.
-Writes .bench/ab_encode.json and prints one JSON line per mode.
+Writes bench_artifacts/ab_encode.json (tracked) and prints one JSON
+line per mode.
 """
 
 import argparse
@@ -163,7 +164,10 @@ def main():
         }
         results[mode] = rec
         print(json.dumps(rec))
-    out = os.path.join(args.bench_dir, "ab_encode.json")
+    # committed artifact (bench_artifacts/ is tracked; .bench/ is an
+    # ephemeral cache) so rounds diff numbers instead of prose
+    out = os.path.join(REPO, "bench_artifacts", "ab_encode.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print(f"wrote {out}", file=sys.stderr)

@@ -1,8 +1,8 @@
-"""Measure whole-list zoo decode rates and write .bench/zoo.json.
+"""Measure whole-list zoo decode rates and write bench_artifacts/zoo.json.
 
 One machine-readable artifact for the per-codec host rates (and device
-rates when a TPU is attached), so rounds diff numbers instead of prose
-(VERDICT r2 item 7).  Host decode goes through the production
+rates when a TPU is attached), committed to the repo so rounds diff
+numbers instead of prose (VERDICT r2 item 7).  Host decode goes through the production
 vroom_zoo.decode_list_zoo path (native C++ when available — pass
 --no-native to measure the numpy fallbacks).
 
@@ -36,7 +36,7 @@ def main():
     ap.add_argument("--device-runs", type=int, default=400)
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".bench", "zoo.json"))
+        "bench_artifacts", "zoo.json"))
     args = ap.parse_args()
     if args.no_native:
         os.environ["DINT_TPU_NATIVE_ZOO"] = "0"
