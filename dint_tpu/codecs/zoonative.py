@@ -66,19 +66,31 @@ def get_lib():
     return _lib
 
 
+def _as_base(buf) -> Optional[Tuple[int, int]]:
+    """(base_pointer, total_bytes) for a zero-copy addressable buffer,
+    or None (callers fall back to the numpy decoders).  The pointer
+    aliases memory owned by `buf`, which every caller keeps alive for
+    the duration of the native call."""
+    if isinstance(buf, np.ndarray):
+        if buf.dtype != np.uint8 or not buf.flags.c_contiguous:
+            return None
+        return buf.ctypes.data, buf.shape[0]
+    if isinstance(buf, (bytes, bytearray, memoryview)):
+        a = np.frombuffer(buf, dtype=np.uint8)
+        return a.ctypes.data, a.shape[0]
+    return None
+
+
 def qmx_decode(payload, n: int) -> Optional[np.ndarray]:
     """Decode a full QMX payload; None → numpy fallback."""
     lib = get_lib()
     if lib is None or n <= 0:
         return None
-    if isinstance(payload, np.ndarray):
-        if payload.dtype != np.uint8 or not payload.flags.c_contiguous:
-            return None
-        base, total = payload.ctypes.data, payload.shape[0]
-    elif isinstance(payload, (bytes, bytearray, memoryview)):
-        a = np.frombuffer(payload, dtype=np.uint8)
-        base, total = a.ctypes.data, a.shape[0]
-    else:
+    bt = _as_base(payload)
+    if bt is None:
+        return None
+    base, total = bt
+    if total <= 0:
         return None
     out = np.empty(n, dtype=np.uint32)
     used = lib.zoo_qmx(base, total, n, out.ctypes.data_as(ctypes.c_void_p))
@@ -109,17 +121,10 @@ def decode_chunked(codec: str, buf, start: int, n: int, chunk: int
     cid = _ZOO_MANY_IDS.get(codec)
     if lib is None or cid is None or n <= 0:
         return None
-    if isinstance(buf, np.ndarray):
-        if buf.dtype != np.uint8 or not buf.flags.c_contiguous:
-            return None
-        base = buf.ctypes.data
-        total = buf.shape[0]
-    elif isinstance(buf, (bytes, bytearray, memoryview)):
-        a = np.frombuffer(buf, dtype=np.uint8)
-        base = a.ctypes.data
-        total = a.shape[0]
-    else:
+    bt = _as_base(buf)
+    if bt is None:
         return None
+    base, total = bt
     avail = total - start
     if avail <= 0:
         return None
@@ -140,17 +145,10 @@ def decode(func_name: str, buf, pos: int, n: int
     lib = get_lib()
     if lib is None or n <= 0:
         return None
-    if isinstance(buf, np.ndarray):
-        if buf.dtype != np.uint8 or not buf.flags.c_contiguous:
-            return None
-        base = buf.ctypes.data
-        total = buf.shape[0]
-    elif isinstance(buf, (bytes, bytearray, memoryview)):
-        a = np.frombuffer(buf, dtype=np.uint8)
-        base = a.ctypes.data
-        total = a.shape[0]
-    else:
+    bt = _as_base(buf)
+    if bt is None:
         return None
+    base, total = bt
     avail = total - pos
     if avail <= 0:
         return None

@@ -785,8 +785,11 @@ def _gather32_body(salt_ref, vidx_ref, tab_ref, n_ref, out_ref):
     halves gathered separately and selected by index bit 7.  vidx is
     stored as u8 (TABLE_CLS <= 256) to quarter its HBM traffic; the
     salt (u32 wrap-add, exactly cancelled) keeps timed runs distinct.
-    Measured 26.8 G ints/s on the 16.7M-int bench stream vs 1.70 for
-    the one-hot MXU formulation this replaces (decode_gather_rows)."""
+    First measured at 26.8 G ints/s on the 16.7M-int bench stream vs
+    1.70 for the one-hot MXU formulation it replaced
+    (decode_gather_rows); the shipping engine — width classes +
+    multi-unit row packing around this same body — reaches 134 G
+    (see the module docstring)."""
     rt = out_ref.shape[0]
     salt = salt_ref[0]
     tab = tab_ref[:] + salt  # i32 wrap-add == u32 bit arithmetic

@@ -327,8 +327,6 @@ def decode_zoo_device(type_name: str, encoded_file: str, runs: int,
 
     arena, meta = stream_mod.load_stream(encoded_file)
     common.log("planning width classes...")
-    import os
-
     wire = os.environ.get("DINT_TPU_WIRE_UNPACK") == "1"
     # pef/u32/interpolative have no wire-structure device engine
     if not wire or type_name in ("pef", "u32", "interpolative"):

@@ -412,6 +412,11 @@ int pef_decode_all(const uint64_t* words, uint64_t nwords, uint64_t offset,
     const int64_t g = rd_gamma(r);
     if (g < 0) return -1;
     const int64_t partitions = g + 1;  // written with write_gamma_nonzero
+    // structural sanity before any allocation: every partition holds
+    // >= 1 value, so a count beyond n can only come from corrupt bits
+    // — return -1 (numpy fallback) rather than letting std::vector
+    // throw through the extern "C" frame and abort the process
+    if (partitions > n) return -1;
     if (partitions == 1) {
         const uint64_t cur_base = rd_take(r, ceil_log2_u64(universe));
         uint64_t part_universe = 1;

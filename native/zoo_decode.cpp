@@ -49,10 +49,11 @@ int64_t zoo_vbyte(const uint8_t* buf, int64_t avail, int64_t n,
                   uint32_t* out) {
     const uint8_t* p = buf;
     const uint8_t* end = buf + avail;
-    // fast path while 5 bytes are always loadable
-    const uint8_t* safe = avail >= 5 ? end - 5 : buf;
     int64_t i = 0;
-    while (i < n && p <= safe) {
+    // fast path while 5 bytes are always loadable (end - p is a
+    // defined ptrdiff even for truncated buffers shorter than 5 —
+    // such inputs must fall through to the guarded tail, not load)
+    while (i < n && end - p >= 5) {
         uint32_t v = p[0] & 0x7F;
         if (p[0] & 0x80) { p += 1; }
         else if (p[1] & 0x80) { v |= (uint32_t)(p[1] & 0x7F) << 7; p += 2; }
@@ -92,10 +93,9 @@ int64_t zoo_maskedvbyte(const uint8_t* buf, int64_t avail, int64_t n,
                         uint32_t* out) {
     const uint8_t* p = buf;
     const uint8_t* end = buf + avail;
-    const uint8_t* safe = avail >= 5 ? end - 5 : buf;
     int64_t i = 0;
-    while (i < n && p <= safe) {
-        uint32_t v = p[0] & 0x7F;
+    while (i < n && end - p >= 5) {  // see zoo_vbyte: no fast-path load
+        uint32_t v = p[0] & 0x7F;   // unless 5 bytes really remain
         if (!(p[0] & 0x80)) { p += 1; }
         else if (!(p[1] & 0x80)) { v |= (uint32_t)p[1] << 7; p += 2; }
         else if (!(p[2] & 0x80)) {

@@ -70,7 +70,10 @@ def serve_stage(base, args):
         sizes = np.zeros(idx.num_docs, np.int64)
         for docs, freqs in coll_mod.open_freq_collection(base):
             np.add.at(sizes, docs.astype(np.int64), freqs.astype(np.int64))
-        coll_mod.write_sizes_file(base, sizes.astype(np.uint32))
+        # clamp exactly like doc_sharded_stage writes the SAME cache
+        # file (docs no posting touches keep a sane norm_len and the
+        # artifact is identical whichever stage creates it first)
+        coll_mod.write_sizes_file(base, np.maximum(sizes, 1).astype(np.uint32))
         t = log_stage("synthesize .sizes", t)
 
     wand_file = os.path.join(CACHE, "scale.wand")

@@ -578,11 +578,29 @@ def test_prev_value_ef_and_rb(density):
         lambda: ef_enum.EFEnumerator(w, 0, universe, n), vals, universe, n)
     bb = BitBuilder()
     ef.compact_ranked_bitvector.write(bb, vals, universe, n, ef.PARAMS)
-    w = bb.words()
+    w_rb = bb.words()
     _prev_value_sweep(
-        lambda: ef_enum.RBEnumerator(w, 0, universe, n), vals, universe, n)
-    # prev_value after a cold next_geq (no prior move)
-    e = ef_enum.EFEnumerator(bb.words(), 0, universe, n)
+        lambda: ef_enum.RBEnumerator(w_rb, 0, universe, n), vals, universe, n)
+    # prev_value after a cold next_geq (no prior sequential read): the
+    # enumerator position comes entirely from the skip, exercising the
+    # _q >= 0 guard (the reference harness probes this state too,
+    # test_generic_sequence.hpp:28-88)
+    targets = [0, 1, int(vals[0]), int(vals[n // 2]), int(vals[-1]),
+               int(vals[-1]) + 1]
+    targets += [int(x) for x in rng.integers(0, universe, 12)]
+    for words, make in ((w, ef_enum.EFEnumerator),
+                        (w_rb, ef_enum.RBEnumerator)):
+        for lb in targets:
+            e = make(words, 0, universe, n)
+            got = e.next_geq(lb)
+            pos = int(np.searchsorted(vals, lb, side="left"))
+            if pos == n:
+                assert got == universe, (make.__name__, lb)
+                assert e.prev_value() == int(vals[-1])
+            else:
+                assert got == int(vals[pos]), (make.__name__, lb)
+                want_prev = 0 if pos == 0 else int(vals[pos - 1])
+                assert e.prev_value() == want_prev, (make.__name__, lb, pos)
 
 
 def test_prev_value_indexed_strict_allones():
