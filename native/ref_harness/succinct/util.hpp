@@ -12,4 +12,13 @@ inline uint64_t ceil_div(uint64_t dividend, uint64_t divisor) {
 }
 
 }  // namespace util
+
+namespace intrinsics {
+
+template <typename T>
+inline void prefetch(T const* ptr) {
+    __builtin_prefetch(ptr);
+}
+
+}  // namespace intrinsics
 }  // namespace succinct
