@@ -1,0 +1,201 @@
+"""Native host query engine (ctypes over native/query_host.cpp).
+
+The framework's host serving path: the reference serves queries from
+C++ enumerators (queries.hpp:34-573); our equivalent walks the
+DintIndex structure-of-arrays zero-copy (list_n / block_ptr /
+block_max / docs_end / block_end / arena + the dictionary DecodeView
+tables) with native DINT + interpolative block decode and the six
+query algorithms.  The Python engines (query/boolean.py,
+query/ranked.py) remain the cross-checked oracles;
+tests/test_native_query.py gates exact result-count parity and
+score parity.
+
+Usage:
+    eng = NativeQueryEngine(index, wdata)      # wdata optional for and/or
+    times_us, counts, scores = eng.run("wand", queries, runs=10, k=10)
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..utils import nativebuild
+
+OPS = {
+    "and": 0,
+    "or": 1,
+    "and_freq": 2,
+    "or_freq": 3,
+    "wand": 4,
+    "maxscore": 5,
+    "ranked_and": 6,
+    "ranked_or": 7,
+}
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    src = nativebuild.source_path("query_host.cpp")
+    if src is None:
+        return None
+    so = nativebuild.ensure_so(src, "libdintqh.so")
+    if so is None:
+        return None
+    lib = ctypes.CDLL(so)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.qh_create.restype = ctypes.c_void_p
+    lib.qh_create.argtypes = [
+        ctypes.c_int, ctypes.c_uint64, ctypes.c_uint64,
+        u32p, u64p, u32p, u64p, u64p, u8p,
+        u32p, u32p, i32p, ctypes.c_int,
+        u32p, u32p, i32p, ctypes.c_int,
+        f32p, f32p,
+    ]
+    lib.qh_destroy.argtypes = [ctypes.c_void_p]
+    lib.qh_run.restype = ctypes.c_int
+    lib.qh_run.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        u32p, u64p, ctypes.c_uint64, f64p, u64p, f32p,
+    ]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _ptr(a: np.ndarray, ct):
+    return a.ctypes.data_as(ctypes.POINTER(ct))
+
+
+class NativeQueryEngine:
+    """Holds a native context over a DintIndex (+ optional WandData)."""
+
+    def __init__(self, index, wdata=None):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native query engine unavailable")
+        self._lib = lib
+        self.index = index
+        self.num_docs = int(index.num_docs)
+        self.num_lists = int(index.num_lists)
+        dv = index.docs_dict.decode_view()
+        fv = index.freqs_dict.decode_view()
+        # keep every array referenced: the context borrows them zero-copy
+        self._keep = keep = []
+
+        def prep(a, dtype):
+            a = np.ascontiguousarray(a, dtype=dtype)
+            keep.append(a)
+            return a
+
+        list_n = prep(index.list_n, np.uint32)
+        block_ptr = prep(index.block_ptr, np.uint64)
+        block_max = prep(index.block_max, np.uint32)
+        index.ensure_docs_end()
+        docs_end = prep(index.docs_end, np.uint64)
+        block_end = prep(index.block_end, np.uint64)
+        # +16 zero bytes of slack: the native interpolative BitReader
+        # does unaligned 64-bit loads that may read past a block's last
+        # payload byte (never past the pad)
+        arena = np.concatenate(
+            [np.ascontiguousarray(index.arena, dtype=np.uint8),
+             np.zeros(16, np.uint8)]
+        )
+        keep.append(arena)
+        d_table = prep(dv.table, np.uint32)
+        d_off = prep(dv.offsets, np.uint32)
+        d_len = prep(dv.lengths, np.int32)
+        f_table = prep(fv.table, np.uint32)
+        f_off = prep(fv.offsets, np.uint32)
+        f_len = prep(fv.lengths, np.int32)
+        if wdata is not None:
+            norm = prep(wdata.norm_lens, np.float32)
+            maxw = prep(wdata.max_term_weight, np.float32)
+        else:
+            norm = prep(np.zeros(self.num_docs, np.float32), np.float32)
+            maxw = prep(np.zeros(self.num_lists, np.float32), np.float32)
+        assert norm.shape[0] == self.num_docs
+        assert maxw.shape[0] == self.num_lists
+
+        self._ctx = lib.qh_create(
+            1 if index.kind == "multi" else 0,
+            self.num_lists, self.num_docs,
+            _ptr(list_n, ctypes.c_uint32),
+            _ptr(block_ptr, ctypes.c_uint64),
+            _ptr(block_max, ctypes.c_uint32),
+            _ptr(docs_end, ctypes.c_uint64),
+            _ptr(block_end, ctypes.c_uint64),
+            _ptr(arena, ctypes.c_uint8),
+            _ptr(d_table, ctypes.c_uint32),
+            _ptr(d_off, ctypes.c_uint32),
+            _ptr(d_len, ctypes.c_int32),
+            int(dv.offsets.shape[0]),
+            _ptr(f_table, ctypes.c_uint32),
+            _ptr(f_off, ctypes.c_uint32),
+            _ptr(f_len, ctypes.c_int32),
+            int(fv.offsets.shape[0]),
+            _ptr(norm, ctypes.c_float),
+            _ptr(maxw, ctypes.c_float),
+        )
+
+    def __del__(self):
+        ctx = getattr(self, "_ctx", None)
+        if ctx:
+            self._lib.qh_destroy(ctx)
+            self._ctx = None
+
+    def run(
+        self,
+        op: str,
+        queries: Sequence[Sequence[int]],
+        runs: int = 11,
+        k: int = 10,
+    ) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
+        """Run the whole query batch ``runs`` times (first run untimed,
+        src/queries.cpp:29-32).  Returns (times_us of shape
+        (runs-1, Q), result counts (Q,), top-k scores (Q, k) descending
+        padded with -1 for ranked ops else None)."""
+        assert runs >= 2, "first run is untimed warmup"
+        assert 0 < k <= 256
+        opc = OPS[op]
+        Q = len(queries)
+        lens = np.fromiter((len(q) for q in queries), np.int64, Q)
+        qoffs = np.zeros(Q + 1, dtype=np.uint64)
+        np.cumsum(lens, out=qoffs[1:].view(np.int64))
+        qterms = np.fromiter(
+            (int(t) for q in queries for t in q), np.uint32, int(lens.sum())
+        )
+        if qterms.shape[0]:
+            assert int(qterms.max()) < self.num_lists
+        out_us = np.zeros((runs - 1) * Q, dtype=np.float64)
+        out_cnt = np.zeros(Q, dtype=np.uint64)
+        ranked = opc >= 4
+        out_scores = (
+            np.full(Q * k, -1.0, dtype=np.float32) if ranked else None
+        )
+        rc = self._lib.qh_run(
+            self._ctx, opc, k, runs,
+            _ptr(qterms, ctypes.c_uint32),
+            _ptr(qoffs, ctypes.c_uint64),
+            Q,
+            _ptr(out_us, ctypes.c_double),
+            _ptr(out_cnt, ctypes.c_uint64),
+            _ptr(out_scores, ctypes.c_float) if ranked else None,
+        )
+        assert rc == 0
+        scores = out_scores.reshape(Q, k) if ranked else None
+        return out_us.reshape(runs - 1, Q), out_cnt, scores

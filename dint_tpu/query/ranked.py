@@ -160,6 +160,8 @@ def ranked_or(
             for t, qw in weighted
         ]
     )
+    if all_docs.shape[0] == 0:  # every query term has an empty list
+        return np.zeros(0, dtype=np.float32)
     order = np.argsort(all_docs, kind="stable")
     d = all_docs[order]
     s = all_scores[order]

@@ -258,8 +258,9 @@ def main(argv=None):
     ap.add_argument("--runs", type=int, default=10)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument(
-        "--engine", choices=["host", "device"], default="host",
-        help="host: per-query numpy merges; device: whole-batch "
+        "--engine", choices=["host", "native", "device"], default="host",
+        help="host: per-query numpy merges; native: C++ cursor engine "
+        "(query/native_host.py, DINT kinds); device: whole-batch "
         "sort-merge dispatches (query/device_batch.py)",
     )
     args = ap.parse_args(argv)
@@ -291,6 +292,11 @@ def main(argv=None):
         q for q in queries_list if all(0 <= t < index.num_lists for t in q)
     ]
     common.log(f"running {len(queries_list)} queries")
+    native_eng = None
+    if args.engine == "native":
+        from ..query.native_host import NativeQueryEngine
+
+        native_eng = NativeQueryEngine(index, wdata)
     for op in args.query_types.split(":"):
         extra = {}
         if args.engine == "device":
@@ -299,6 +305,12 @@ def main(argv=None):
             )
             extra["batch_shape"] = "x".join(map(str, shape))
             extra.update(dev_extra)
+        elif args.engine == "native":
+            t_us, cnt, _ = native_eng.run(
+                op, queries_list, runs=args.runs + 1, k=args.k
+            )
+            stats = percentiles(t_us.ravel())
+            extra["total_results"] = str(int(cnt.sum()))
         else:
             stats = run_op(
                 index, decoder, wdata, queries_list, op, args.runs, args.k

@@ -1,0 +1,808 @@
+// Native host query engine over the dint_tpu index layout.
+//
+// The reference serves queries from C++ enumerators walking a byte
+// blob (include/ds2i/queries.hpp:34-573, include/dint/
+// dict_posting_list.hpp:84-344).  Our host engine was Python/numpy and
+// paid ~300 us of interpreter overhead per query; this module is the
+// native equivalent the framework ships for host serving: cursors over
+// the index's structure-of-arrays layout (dint_tpu/index/dint_index.py
+// — list_n / block_ptr / block_max / docs_end / block_end / arena),
+// DINT + interpolative block decode, and the six query algorithms with
+// the reference's exact semantics:
+//   and/or (+freq variants)  queries.hpp:34-130
+//   wand                     queries.hpp:190-307
+//   ranked_and               queries.hpp:309-385
+//   ranked_or                queries.hpp:387-457
+//   maxscore                 queries.hpp:459-573
+// BM25 matches bm25.hpp:7-25 (k1=1.2, b=0.5, idf floor 1e-6).
+//
+// All algorithm results are cross-validated against the Python oracle
+// engine (tests/test_native_query.py): result counts exactly, top-k
+// scores within float tolerance.
+//
+// Driven via ctypes (dint_tpu/query/native_host.py); arrays are
+// borrowed zero-copy from numpy and must outlive the context.
+
+#include <algorithm>
+#include <chrono>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int BLOCK_SIZE = 256;
+constexpr int MAX_ENTRY_SIZE = 16;
+constexpr int EXCEPTIONS = 2;
+constexpr int NUM_SELECTORS = 6;
+constexpr float K1 = 1.2f;
+constexpr float B = 0.5f;
+constexpr double EPS_SCORE = 1e-6;
+constexpr uint32_t UNKNOWN_SUM = 0xFFFFFFFFu;
+
+static inline double now_us() {
+    auto t = std::chrono::steady_clock::now().time_since_epoch();
+    return std::chrono::duration<double, std::micro>(t).count();
+}
+
+// ---------------------------------------------------------------- bits
+
+struct BitReader {
+    // little-endian bit stream: bit k = bit (k%8) of byte (k/8)
+    // (dint_tpu/codecs/interpolative.py BitWriter/BitReader)
+    const uint8_t* buf;
+    uint64_t bitpos = 0;
+    explicit BitReader(const uint8_t* b) : buf(b) {}
+    inline uint64_t read(int len) {
+        if (len == 0) return 0;
+        uint64_t start = bitpos;
+        bitpos += len;
+        const uint8_t* p = buf + (start >> 3);
+        // values are coded in <= 33 bits; an unaligned 64-bit load plus
+        // one spill byte covers any (shift, len<=33) combination
+        uint64_t w;
+        std::memcpy(&w, p, 8);
+        int shift = int(start & 7);
+        uint64_t v = w >> shift;
+        int got = 64 - shift;
+        if (got < len) v |= uint64_t(p[8]) << got;
+        return v & ((len == 64) ? ~0ull : ((1ull << len) - 1));
+    }
+};
+
+static inline uint32_t vbyte_decode_single(const uint8_t* data, uint64_t& pos) {
+    // TightVariableByte (block_codecs.hpp:20-102): 7-bit groups,
+    // HIGH bit marks the LAST byte of a value
+    uint32_t v = 0;
+    int shift = 0;
+    for (;;) {
+        uint8_t c = data[pos++];
+        v |= uint32_t(c & 0x7F) << shift;
+        if (c & 0x80) return v;
+        shift += 7;
+    }
+}
+
+static inline int floor_log2_u64(uint64_t u) {
+    return 63 - __builtin_clzll(u);
+}
+
+// Level-ordered binary interpolative decode
+// (dint_tpu/codecs/interpolative.py decode_prefix_sums: BFS levels,
+// per level a fixed-width plane then an extra-bit plane; same bit
+// count as the reference's DFS coder, interpolative_coding.hpp).
+struct IpNode {
+    int s, e;
+    uint64_t low, high;
+};
+
+static void decode_prefix_sums(BitReader& br, int n, uint64_t low0,
+                               uint64_t high0, uint64_t* vals) {
+    if (n <= 0) return;
+    static thread_local std::vector<IpNode> level, next;
+    static thread_local std::vector<uint64_t> xs;
+    static thread_local std::vector<uint32_t> ms;
+    static thread_local std::vector<uint8_t> need;
+    level.clear();
+    level.push_back({0, n, low0, high0});
+    while (!level.empty()) {
+        size_t L = level.size();
+        xs.resize(L);
+        ms.resize(L);
+        need.resize(L);
+        for (size_t i = 0; i < L; ++i) {
+            uint64_t u = level[i].high - level[i].low + 1;
+            int b = floor_log2_u64(u);
+            uint64_t m = (1ull << (b + 1)) - u;
+            uint64_t x = br.read(b);
+            xs[i] = x;
+            ms[i] = uint32_t(m);
+            need[i] = x >= m;
+        }
+        for (size_t i = 0; i < L; ++i)
+            if (need[i]) xs[i] = 2 * xs[i] + br.read(1) - ms[i];
+        next.clear();
+        for (size_t i = 0; i < L; ++i) {
+            const IpNode& nd = level[i];
+            int h = (nd.e - nd.s) / 2;
+            int mid = nd.s + h;
+            uint64_t val = nd.low + xs[i];
+            vals[mid] = val;
+            if (mid - nd.s > 0) next.push_back({nd.s, mid, nd.low, val});
+            if (nd.e - (mid + 1) > 0)
+                next.push_back({mid + 1, nd.e, val, nd.high});
+        }
+        level.swap(next);
+    }
+}
+
+// interpolative block (dint_tpu/codecs/interpolative.py encode_block /
+// decode_block; block_codecs.hpp:104-151 semantics): values are
+// prefix-summed, last sum implied (or vbyte-prefixed when unknown),
+// first n-1 prefix sums interpolative-coded in [0, sum].
+static void interp_decode_block(const uint8_t* data, uint64_t pos, int n,
+                                uint32_t sum_of_values, uint32_t* out) {
+    if (sum_of_values == UNKNOWN_SUM)
+        sum_of_values = vbyte_decode_single(data, pos);
+    static thread_local std::vector<uint64_t> psums;
+    psums.resize(size_t(n));
+    BitReader br(data + pos);
+    decode_prefix_sums(br, n - 1, 0, sum_of_values, psums.data());
+    psums[n - 1] = sum_of_values;
+    uint64_t prev = 0;
+    for (int i = 0; i < n; ++i) {
+        out[i] = uint32_t(psums[i] - prev);
+        prev = psums[i];
+    }
+}
+
+// ----------------------------------------------------------- dict view
+
+struct DictView {
+    const uint32_t* table;
+    const uint32_t* offsets;  // (C, 65536)
+    const int32_t* lengths;   // (C, 65536)
+    int contexts;
+};
+
+// single_dint::decode semantics (vroom_env/dint_codecs.hpp:37-107):
+// u16/u8 codeword stream; index>=2 copies a dictionary entry, 1 is an
+// inline 4-byte exception, 0 a 2-byte exception.  out must be zeroed
+// (run entries copy only their leading 16 zeros).
+static uint64_t dint_decode_single(const DictView& v, const uint8_t* data,
+                                   uint64_t pos, int n, uint32_t* out,
+                                   int b, int context) {
+    const uint32_t* offs = v.offsets + size_t(context) * 65536;
+    const int32_t* lens = v.lengths + size_t(context) * 65536;
+    int i = 0;
+    int out_pos = 0;
+    while (i != n) {
+        uint32_t index;
+        if (b == 16) {
+            index = uint32_t(data[pos]) | (uint32_t(data[pos + 1]) << 8);
+            pos += 2;
+        } else {
+            index = data[pos];
+            pos += 1;
+        }
+        if (index > EXCEPTIONS - 1) {
+            int ln = lens[index];
+            uint32_t off = offs[index];
+            // copy 16 words unconditionally (table is padded); runs
+            // (ln > 16) rely on the zeroed output beyond the first 16
+            std::memcpy(out + out_pos, v.table + off,
+                        MAX_ENTRY_SIZE * sizeof(uint32_t));
+            out_pos += ln;
+            i += ln;
+        } else if (index == 1) {
+            uint32_t val;
+            std::memcpy(&val, data + pos, 4);
+            pos += 4;
+            out[out_pos++] = val;
+            ++i;
+        } else {
+            uint32_t val = uint32_t(data[pos]) | (uint32_t(data[pos + 1]) << 8);
+            pos += 2;
+            out[out_pos++] = val;
+            ++i;
+        }
+    }
+    return pos;
+}
+
+// multi_opt_dint::decode (vroom_env/dint_codecs.hpp:520-619): 256-int
+// chunks, selector byte sc (b=16, context sc) or sc+6 (b=8).
+static uint64_t dint_decode_multi(const DictView& v, const uint8_t* data,
+                                  uint64_t pos, int n, uint32_t* out) {
+    int done = 0;
+    while (done < n) {
+        int size = std::min(BLOCK_SIZE, n - done);
+        uint8_t sc = data[pos++];
+        if (sc < NUM_SELECTORS)
+            pos = dint_decode_single(v, data, pos, size, out + done, 16, sc);
+        else
+            pos = dint_decode_single(v, data, pos, size, out + done, 8,
+                                     sc - NUM_SELECTORS);
+        done += size;
+    }
+    return pos;
+}
+
+// ------------------------------------------------------------- context
+
+struct Ctx {
+    bool is_multi;
+    uint64_t num_lists;
+    uint64_t num_docs;
+    const uint32_t* list_n;
+    const uint64_t* block_ptr;
+    const uint32_t* block_max;
+    const uint64_t* docs_end;
+    const uint64_t* block_end;
+    const uint8_t* arena;
+    DictView docs_dict;
+    DictView freqs_dict;
+    const float* norm_lens;
+    const float* max_weight;
+};
+
+// document_enumerator equivalent (dict_posting_list.hpp:84-344 /
+// dint_tpu/query/lazy_decode.py Cursor): per-block lazy decode with
+// block_max skip data; freq block decodes only on first freq() in the
+// block (lazy, dict_posting_list.hpp:164-169).
+struct NativeCursor {
+    const Ctx* ctx;
+    uint32_t term;
+    uint64_t p0, p1;  // absolute block range
+    int n;
+    int nblocks;
+    int cur_block = -1;   // relative
+    int pos = 0;          // global position in list
+    uint32_t cur = 0;     // current docid (num_docs when exhausted)
+    bool freqs_valid = false;
+    // + MAX_ENTRY_SIZE slack: the dict copy writes 16 words
+    // unconditionally even when the entry's tail lands past the block
+    // end (rectangular_dictionary.hpp:206-213 does the same memcpy)
+    uint32_t docs_buf[BLOCK_SIZE + MAX_ENTRY_SIZE];
+    uint32_t freqs_buf[BLOCK_SIZE + MAX_ENTRY_SIZE];
+
+    void init(const Ctx* c, uint32_t t) {
+        ctx = c;
+        term = t;
+        p0 = c->block_ptr[t];
+        p1 = c->block_ptr[t + 1];
+        n = int(c->list_n[t]);
+        nblocks = int(p1 - p0);
+        cur_block = -1;
+        pos = 0;
+        freqs_valid = false;
+        if (n)
+            enter_block(0, 0);
+        else
+            cur = uint32_t(c->num_docs);
+    }
+
+    inline int block_size_of(int rel_b) const {
+        return std::min(BLOCK_SIZE, n - rel_b * BLOCK_SIZE);
+    }
+
+    void enter_block(int rel_b, int pos_in_block) {
+        uint64_t b = p0 + rel_b;
+        int size = block_size_of(rel_b);
+        uint32_t base =
+            rel_b > 0 ? ctx->block_max[b - 1] + 1 : 0;
+        uint64_t start = b > 0 ? ctx->block_end[b - 1] : 0;
+        if (size < BLOCK_SIZE) {
+            uint32_t sum_v = ctx->block_max[b] - base - uint32_t(size - 1);
+            interp_decode_block(ctx->arena, start, size, sum_v, docs_buf);
+        } else {
+            std::memset(docs_buf, 0, sizeof(docs_buf));
+            if (ctx->is_multi)
+                dint_decode_multi(ctx->docs_dict, ctx->arena, start, size,
+                                  docs_buf);
+            else
+                dint_decode_single(ctx->docs_dict, ctx->arena, start, size,
+                                   docs_buf, 16, 0);
+        }
+        // docids = cumsum(gaps + 1) - 1 + base
+        // (dict_posting_list.hpp:284-309)
+        uint64_t acc = base;
+        for (int i = 0; i < size; ++i) {
+            acc += docs_buf[i];
+            docs_buf[i] = uint32_t(acc);
+            acc += 1;
+        }
+        cur_block = rel_b;
+        pos = rel_b * BLOCK_SIZE + pos_in_block;
+        cur = docs_buf[pos_in_block];
+        freqs_valid = false;
+    }
+
+    inline uint32_t docid() const { return cur; }
+    inline int size() const { return n; }
+
+    uint32_t freq() {
+        if (!freqs_valid) {
+            uint64_t b = p0 + cur_block;
+            int size = block_size_of(cur_block);
+            uint64_t start = ctx->docs_end[b];
+            if (size < BLOCK_SIZE) {
+                interp_decode_block(ctx->arena, start, size, UNKNOWN_SUM,
+                                    freqs_buf);
+            } else {
+                std::memset(freqs_buf, 0, sizeof(freqs_buf));
+                if (ctx->is_multi)
+                    dint_decode_multi(ctx->freqs_dict, ctx->arena, start,
+                                      size, freqs_buf);
+                else
+                    dint_decode_single(ctx->freqs_dict, ctx->arena, start,
+                                       size, freqs_buf, 16, 0);
+            }
+            freqs_valid = true;
+        }
+        return freqs_buf[pos - cur_block * BLOCK_SIZE] + 1;
+    }
+
+    void next() {
+        int p = pos + 1;
+        if (p >= n) {
+            cur = uint32_t(ctx->num_docs);
+            pos = n;
+            return;
+        }
+        int rel_b = p / BLOCK_SIZE;
+        if (rel_b != cur_block) {
+            enter_block(rel_b, p % BLOCK_SIZE);
+        } else {
+            pos = p;
+            cur = docs_buf[p % BLOCK_SIZE];
+        }
+    }
+
+    void next_geq(uint32_t target) {
+        if (target <= cur) return;
+        const uint32_t* maxs = ctx->block_max + p0;
+        int rel_b =
+            int(std::lower_bound(maxs + (cur_block < 0 ? 0 : cur_block),
+                                 maxs + nblocks, target) -
+                maxs);
+        if (rel_b >= nblocks) {
+            cur = uint32_t(ctx->num_docs);
+            pos = n;
+            return;
+        }
+        if (rel_b != cur_block) enter_block(rel_b, 0);
+        int size = block_size_of(rel_b);
+        int in_b = int(std::lower_bound(docs_buf, docs_buf + size, target) -
+                       docs_buf);
+        pos = rel_b * BLOCK_SIZE + in_b;
+        cur = docs_buf[in_b];
+    }
+};
+
+// ------------------------------------------------------------- scoring
+
+struct TopK {
+    // topk_queue (queries.hpp:150-188): min-heap of the k best scores
+    int k;
+    std::vector<float> q;
+    explicit TopK(int kk) : k(kk) { q.reserve(kk); }
+    inline bool would_enter(float s) const {
+        return int(q.size()) < k || s > q.front();
+    }
+    bool insert(float s) {
+        if (int(q.size()) < k) {
+            q.push_back(s);
+            std::push_heap(q.begin(), q.end(), std::greater<float>());
+            return true;
+        }
+        if (s > q.front()) {
+            std::pop_heap(q.begin(), q.end(), std::greater<float>());
+            q.back() = s;
+            std::push_heap(q.begin(), q.end(), std::greater<float>());
+            return true;
+        }
+        return false;
+    }
+};
+
+static inline float doc_term_weight(float f, float nl) {
+    return f / (f + K1 * (1.0f - B + B * nl));  // bm25.hpp:11-16
+}
+
+struct WeightedTerm {
+    uint32_t term;
+    float q_weight;
+    float max_weight;  // q_weight * wdata.max_term_weight[term]
+};
+
+// (term, q_weight) pairs: dedup with qf counts, sorted by term id
+// (wand_query ctor, queries.hpp:209-222; bm25::query_term_weight with
+// the 1e-6 idf floor, bm25.hpp:18-24)
+static void query_weights(const Ctx* c, const uint32_t* terms, int nt,
+                          std::vector<WeightedTerm>& out) {
+    static thread_local std::vector<uint32_t> tmp;
+    tmp.assign(terms, terms + nt);
+    std::sort(tmp.begin(), tmp.end());
+    out.clear();
+    for (int i = 0; i < int(tmp.size());) {
+        int j = i;
+        while (j < int(tmp.size()) && tmp[j] == tmp[i]) ++j;
+        uint32_t t = tmp[i];
+        double df = double(c->list_n[t]);
+        double idf = std::log((double(c->num_docs) - df + 0.5) / (df + 0.5));
+        float qw = float(double(j - i) * std::max(EPS_SCORE, idf) *
+                         (1.0 + double(K1)));
+        out.push_back({t, qw, qw * c->max_weight[t]});
+        i = j;
+    }
+}
+
+static void dedup_sorted(const uint32_t* terms, int nt,
+                         std::vector<uint32_t>& out) {
+    out.assign(terms, terms + nt);
+    std::sort(out.begin(), out.end());
+    out.erase(std::unique(out.begin(), out.end()), out.end());
+}
+
+// ----------------------------------------------------------- operators
+
+// and_query (queries.hpp:34-84): sort by size ascending, leapfrog
+static uint64_t op_and(const Ctx* c, std::vector<NativeCursor>& cur,
+                       bool with_freqs) {
+    size_t m = cur.size();
+    std::sort(cur.begin(), cur.end(),
+              [](const NativeCursor& a, const NativeCursor& b) {
+                  return a.n < b.n;
+              });
+    uint64_t results = 0;
+    uint32_t nd = uint32_t(c->num_docs);
+    uint32_t candidate = cur[0].docid();
+    size_t i = 1;
+    while (candidate < nd) {
+        for (; i < m; ++i) {
+            cur[i].next_geq(candidate);
+            if (cur[i].docid() != candidate) {
+                candidate = cur[i].docid();
+                i = 0;
+                break;
+            }
+        }
+        if (i == m) {
+            ++results;
+            if (with_freqs)
+                for (size_t j = 0; j < m; ++j) {
+                    volatile uint32_t f = cur[j].freq();
+                    (void)f;
+                }
+            cur[0].next();
+            candidate = cur[0].docid();
+            i = 1;
+        }
+    }
+    return results;
+}
+
+// or_query (queries.hpp:86-130): min-docid merge over distinct docs
+static uint64_t op_or(const Ctx* c, std::vector<NativeCursor>& cur,
+                      bool with_freqs) {
+    uint32_t nd = uint32_t(c->num_docs);
+    uint64_t results = 0;
+    uint32_t cur_doc = nd;
+    for (auto& e : cur) cur_doc = std::min(cur_doc, e.docid());
+    while (cur_doc < nd) {
+        ++results;
+        uint32_t next_doc = nd;
+        for (auto& e : cur) {
+            if (e.docid() == cur_doc) {
+                if (with_freqs) {
+                    volatile uint32_t f = e.freq();
+                    (void)f;
+                }
+                e.next();
+            }
+            next_doc = std::min(next_doc, e.docid());
+        }
+        cur_doc = next_doc;
+    }
+    return results;
+}
+
+struct ScoredCursor {
+    NativeCursor* c;
+    float q_weight;
+    float max_weight;
+};
+
+// wand_query (queries.hpp:190-307)
+static uint64_t op_wand(const Ctx* c, std::vector<NativeCursor>& cur,
+                        const std::vector<WeightedTerm>& wt, int k,
+                        float* out_scores) {
+    size_t m = cur.size();
+    std::vector<ScoredCursor> ordered(m);
+    for (size_t i = 0; i < m; ++i)
+        ordered[i] = {&cur[i], wt[i].q_weight, wt[i].max_weight};
+    std::stable_sort(ordered.begin(), ordered.end(),
+                     [](const ScoredCursor& a, const ScoredCursor& b) {
+                         return a.c->docid() < b.c->docid();
+                     });
+    TopK topk(k);
+    uint32_t nd = uint32_t(c->num_docs);
+    for (;;) {
+        // find pivot (queries.hpp:241-253)
+        float upper_bound = 0.0f;
+        bool found_pivot = false;
+        size_t pivot = 0;
+        for (pivot = 0; pivot < m; ++pivot) {
+            if (ordered[pivot].c->docid() == nd) break;
+            upper_bound += ordered[pivot].max_weight;
+            if (topk.would_enter(upper_bound)) {
+                found_pivot = true;
+                break;
+            }
+        }
+        if (!found_pivot) break;
+        uint32_t pivot_id = ordered[pivot].c->docid();
+        if (pivot_id == ordered[0].c->docid()) {
+            float score = 0.0f;
+            float nl = c->norm_lens[pivot_id];
+            for (auto& e : ordered) {
+                if (e.c->docid() != pivot_id) break;
+                float f = float(e.c->freq());
+                score += e.q_weight * doc_term_weight(f, nl);
+                e.c->next();
+            }
+            topk.insert(score);
+            std::stable_sort(ordered.begin(), ordered.end(),
+                             [](const ScoredCursor& a,
+                                const ScoredCursor& b) {
+                                 return a.c->docid() < b.c->docid();
+                             });
+        } else {
+            size_t next_list = pivot;
+            while (ordered[next_list].c->docid() == pivot_id) --next_list;
+            ordered[next_list].c->next_geq(pivot_id);
+            // bubble re-sort (queries.hpp:285-293)
+            for (size_t i = next_list + 1; i < m; ++i) {
+                if (ordered[i].c->docid() < ordered[i - 1].c->docid())
+                    std::swap(ordered[i], ordered[i - 1]);
+                else
+                    break;
+            }
+        }
+    }
+    std::sort(topk.q.begin(), topk.q.end(), std::greater<float>());
+    for (size_t i = 0; i < topk.q.size(); ++i) out_scores[i] = topk.q[i];
+    return topk.q.size();
+}
+
+// maxscore_query (queries.hpp:459-573)
+static uint64_t op_maxscore(const Ctx* c, std::vector<NativeCursor>& cur,
+                            const std::vector<WeightedTerm>& wt, int k,
+                            float* out_scores) {
+    size_t m = cur.size();
+    std::vector<ScoredCursor> ordered(m);
+    for (size_t i = 0; i < m; ++i)
+        ordered[i] = {&cur[i], wt[i].q_weight, wt[i].max_weight};
+    std::stable_sort(ordered.begin(), ordered.end(),
+                     [](const ScoredCursor& a, const ScoredCursor& b) {
+                         return a.max_weight < b.max_weight;
+                     });
+    std::vector<float> upper_bounds(m);
+    double acc = 0.0;
+    for (size_t i = 0; i < m; ++i) {
+        acc += double(ordered[i].max_weight);
+        upper_bounds[i] = float(acc);
+    }
+    TopK topk(k);
+    uint32_t nd = uint32_t(c->num_docs);
+    size_t non_essential = 0;
+    uint32_t cur_doc = nd;
+    for (auto& e : ordered) cur_doc = std::min(cur_doc, e.c->docid());
+
+    while (non_essential < m && cur_doc < nd) {
+        float score = 0.0f;
+        float nl = c->norm_lens[cur_doc];
+        uint32_t next_doc = nd;
+        for (size_t i = non_essential; i < m; ++i) {
+            auto& e = ordered[i];
+            if (e.c->docid() == cur_doc) {
+                float f = float(e.c->freq());
+                score += e.q_weight * doc_term_weight(f, nl);
+                e.c->next();
+            }
+            next_doc = std::min(next_doc, e.c->docid());
+        }
+        for (size_t ii = non_essential; ii-- > 0;) {
+            if (!topk.would_enter(score + upper_bounds[ii])) break;
+            auto& e = ordered[ii];
+            e.c->next_geq(cur_doc);
+            if (e.c->docid() == cur_doc) {
+                float f = float(e.c->freq());
+                score += e.q_weight * doc_term_weight(f, nl);
+            }
+        }
+        if (topk.insert(score)) {
+            while (non_essential < m &&
+                   !topk.would_enter(upper_bounds[non_essential]))
+                ++non_essential;
+        }
+        cur_doc = next_doc;
+    }
+    std::sort(topk.q.begin(), topk.q.end(), std::greater<float>());
+    for (size_t i = 0; i < topk.q.size(); ++i) out_scores[i] = topk.q[i];
+    return topk.q.size();
+}
+
+// ranked_and_query (queries.hpp:309-385): AND leapfrog + scoring
+static uint64_t op_ranked_and(const Ctx* c, std::vector<NativeCursor>& cur,
+                              const std::vector<WeightedTerm>& wt, int k,
+                              float* out_scores) {
+    size_t m = cur.size();
+    std::vector<ScoredCursor> ordered(m);
+    for (size_t i = 0; i < m; ++i)
+        ordered[i] = {&cur[i], wt[i].q_weight, wt[i].max_weight};
+    std::sort(ordered.begin(), ordered.end(),
+              [](const ScoredCursor& a, const ScoredCursor& b) {
+                  return a.c->n < b.c->n;
+              });
+    TopK topk(k);
+    uint32_t nd = uint32_t(c->num_docs);
+    uint32_t candidate = ordered[0].c->docid();
+    size_t i = 1;
+    while (candidate < nd) {
+        for (; i < m; ++i) {
+            ordered[i].c->next_geq(candidate);
+            if (ordered[i].c->docid() != candidate) {
+                candidate = ordered[i].c->docid();
+                i = 0;
+                break;
+            }
+        }
+        if (i == m) {
+            float score = 0.0f;
+            float nl = c->norm_lens[candidate];
+            for (size_t j = 0; j < m; ++j) {
+                float f = float(ordered[j].c->freq());
+                score += ordered[j].q_weight * doc_term_weight(f, nl);
+            }
+            topk.insert(score);
+            ordered[0].c->next();
+            candidate = ordered[0].c->docid();
+            i = 1;
+        }
+    }
+    std::sort(topk.q.begin(), topk.q.end(), std::greater<float>());
+    for (size_t i2 = 0; i2 < topk.q.size(); ++i2) out_scores[i2] = topk.q[i2];
+    return topk.q.size();
+}
+
+// ranked_or_query (queries.hpp:387-457): exhaustive union scoring
+static uint64_t op_ranked_or(const Ctx* c, std::vector<NativeCursor>& cur,
+                             const std::vector<WeightedTerm>& wt, int k,
+                             float* out_scores) {
+    size_t m = cur.size();
+    TopK topk(k);
+    uint32_t nd = uint32_t(c->num_docs);
+    uint32_t cur_doc = nd;
+    for (auto& e : cur) cur_doc = std::min(cur_doc, e.docid());
+    while (cur_doc < nd) {
+        float score = 0.0f;
+        float nl = c->norm_lens[cur_doc];
+        uint32_t next_doc = nd;
+        for (size_t i = 0; i < m; ++i) {
+            if (cur[i].docid() == cur_doc) {
+                float f = float(cur[i].freq());
+                score += wt[i].q_weight * doc_term_weight(f, nl);
+                cur[i].next();
+            }
+            next_doc = std::min(next_doc, cur[i].docid());
+        }
+        topk.insert(score);
+        cur_doc = next_doc;
+    }
+    std::sort(topk.q.begin(), topk.q.end(), std::greater<float>());
+    for (size_t i = 0; i < topk.q.size(); ++i) out_scores[i] = topk.q[i];
+    return topk.q.size();
+}
+
+}  // namespace
+
+// ------------------------------------------------------------- C API
+
+extern "C" {
+
+void* qh_create(int is_multi, uint64_t num_lists, uint64_t num_docs,
+                const uint32_t* list_n, const uint64_t* block_ptr,
+                const uint32_t* block_max, const uint64_t* docs_end,
+                const uint64_t* block_end, const uint8_t* arena,
+                const uint32_t* d_table, const uint32_t* d_offsets,
+                const int32_t* d_lengths, int d_contexts,
+                const uint32_t* f_table, const uint32_t* f_offsets,
+                const int32_t* f_lengths, int f_contexts,
+                const float* norm_lens, const float* max_weight) {
+    Ctx* c = new Ctx();
+    c->is_multi = is_multi != 0;
+    c->num_lists = num_lists;
+    c->num_docs = num_docs;
+    c->list_n = list_n;
+    c->block_ptr = block_ptr;
+    c->block_max = block_max;
+    c->docs_end = docs_end;
+    c->block_end = block_end;
+    c->arena = arena;
+    c->docs_dict = {d_table, d_offsets, d_lengths, d_contexts};
+    c->freqs_dict = {f_table, f_offsets, f_lengths, f_contexts};
+    c->norm_lens = norm_lens;
+    c->max_weight = max_weight;
+    return c;
+}
+
+void qh_destroy(void* p) { delete static_cast<Ctx*>(p); }
+
+// op: 0 and, 1 or, 2 and_freq, 3 or_freq, 4 wand, 5 maxscore,
+//     6 ranked_and, 7 ranked_or
+// Runs the whole query batch `runs` times; the first run is untimed
+// warmup (src/queries.cpp:29-32), the remaining (runs-1) write one
+// per-(run,query) microsecond sample each into out_us (run-major).
+// out_cnt and out_scores are written on the last run.
+int qh_run(void* p, int op, int k, int runs, const uint32_t* qterms,
+           const uint64_t* qoffs, uint64_t Q, double* out_us,
+           uint64_t* out_cnt, float* out_scores) {
+    Ctx* c = static_cast<Ctx*>(p);
+    bool ranked = op >= 4;
+    std::vector<NativeCursor> cursors;
+    std::vector<WeightedTerm> wt;
+    std::vector<uint32_t> terms;
+    for (int run = 0; run < runs; ++run) {
+        for (uint64_t qi = 0; qi < Q; ++qi) {
+            const uint32_t* qt = qterms + qoffs[qi];
+            int nt = int(qoffs[qi + 1] - qoffs[qi]);
+            double t0 = now_us();
+            uint64_t cnt = 0;
+            float scores[256];
+            int keff = std::min(k, 256);
+            if (ranked) {
+                query_weights(c, qt, nt, wt);
+                size_t m = wt.size();
+                cursors.resize(m);
+                for (size_t i = 0; i < m; ++i)
+                    cursors[i].init(c, wt[i].term);
+                if (m == 0) {
+                    cnt = 0;
+                } else if (op == 4) {
+                    cnt = op_wand(c, cursors, wt, keff, scores);
+                } else if (op == 5) {
+                    cnt = op_maxscore(c, cursors, wt, keff, scores);
+                } else if (op == 6) {
+                    cnt = op_ranked_and(c, cursors, wt, keff, scores);
+                } else {
+                    cnt = op_ranked_or(c, cursors, wt, keff, scores);
+                }
+                if (run == runs - 1 && out_scores) {
+                    for (int i = 0; i < keff; ++i)
+                        out_scores[qi * keff + i] =
+                            uint64_t(i) < cnt ? scores[i] : -1.0f;
+                }
+            } else {
+                dedup_sorted(qt, nt, terms);
+                size_t m = terms.size();
+                cursors.resize(m);
+                for (size_t i = 0; i < m; ++i) cursors[i].init(c, terms[i]);
+                if (m == 0)
+                    cnt = 0;
+                else if (op == 0 || op == 2)
+                    cnt = op_and(c, cursors, op == 2);
+                else
+                    cnt = op_or(c, cursors, op == 3);
+            }
+            double el = now_us() - t0;
+            if (run > 0) out_us[uint64_t(run - 1) * Q + qi] = el;
+            if (run == runs - 1) out_cnt[qi] = cnt;
+        }
+    }
+    return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,132 @@
+"""Native host query engine parity (query/native_host.py vs the
+Python oracle engines).
+
+The native engine re-implements the reference's query algorithms
+(queries.hpp:34-573) in C++ over the DintIndex structure-of-arrays;
+these tests gate it against the Python engines that are themselves
+oracle-tested (test_lazy_queries.py): result counts match EXACTLY for
+every op, top-k scores match within float tolerance, across all three
+dictionary kinds, partial/full blocks, exception codewords, and edge
+query shapes (single term, duplicate terms, empty lists).
+"""
+
+import numpy as np
+import pytest
+
+from dint_tpu.index import dint_index
+from dint_tpu.io import collection, synth
+from dint_tpu.query import boolean, lazy_decode, ranked
+from dint_tpu.query import native_host
+from dint_tpu.query.term_decode import TermDecoder
+
+pytestmark = pytest.mark.skipif(
+    not native_host.available(), reason="native toolchain unavailable"
+)
+
+
+@pytest.fixture(scope="module", params=["single", "rectangular", "multi"])
+def built(request, tmp_path_factory):
+    kind = request.param
+    base = str(tmp_path_factory.mktemp(f"nq_{kind}") / "c")
+    docs, freqs = synth.make_collection(50, 9000, seed=23, avg_len=140)
+    # an empty list and a singleton exercise cursor edge cases
+    docs[7] = np.zeros(0, np.uint32)
+    freqs[7] = np.zeros(0, np.uint32)
+    docs[8] = docs[8][:1]
+    freqs[8] = freqs[8][:1]
+    collection.write_freq_collection(base, docs, freqs, 9000)
+    collection.write_sizes_file(
+        base, synth.doc_sizes_from_lists(docs, freqs, 9000)
+    )
+    idx = dint_index.build_index(
+        base, kind=kind,
+        cache_dir=str(tmp_path_factory.mktemp(f"nq_cache_{kind}")),
+    )
+    wd = ranked.build_wand_data(base)
+    rng = np.random.default_rng(5)
+    queries = []
+    for _ in range(60):
+        n = int(rng.integers(1, 5))
+        queries.append([int(t) for t in rng.integers(0, 50, size=n)])
+    queries.append([7])          # empty list only
+    queries.append([7, 3])       # empty + real
+    queries.append([8, 8, 8])    # duplicates (qf=3) on a singleton
+    return idx, wd, queries
+
+
+def test_boolean_counts_match(built):
+    idx, wd, queries = built
+    eng = native_host.NativeQueryEngine(idx, wd)
+    for op in ("and", "or", "and_freq", "or_freq"):
+        _, cnt, _ = eng.run(op, queries, runs=2)
+        fn = (
+            boolean.and_query_lazy
+            if op.startswith("and")
+            else boolean.or_query_lazy
+        )
+        for i, q in enumerate(queries):
+            cache = lazy_decode.BlockCache(idx)
+            want = int(fn(cache, q).shape[0])
+            assert int(cnt[i]) == want, (op, i, q)
+
+
+@pytest.mark.parametrize("op", ["wand", "maxscore", "ranked_and", "ranked_or"])
+def test_ranked_scores_match(built, op):
+    idx, wd, queries = built
+    eng = native_host.NativeQueryEngine(idx, wd)
+    decoder = TermDecoder(idx)
+    fn = {
+        "wand": ranked.wand,
+        "maxscore": ranked.maxscore,
+        "ranked_and": ranked.ranked_and,
+        "ranked_or": ranked.ranked_or,
+    }[op]
+    _, cnt, scores = eng.run(op, queries, runs=2, k=10)
+    for i, q in enumerate(queries):
+        decoder._lazy_cache = lazy_decode.BlockCache(idx)
+        want = fn(idx, decoder, wdata=wd, terms=q, k=10)
+        got = scores[i][scores[i] >= 0]
+        assert int(cnt[i]) == want.shape[0], (op, i, q)
+        np.testing.assert_allclose(
+            got, np.sort(want)[::-1], rtol=2e-4, atol=1e-5,
+            err_msg=f"{op} query {i} {q}",
+        )
+
+
+def test_exception_codewords(tmp_path):
+    """Gaps beyond 2^16 force 4-byte exception codewords; the native
+    decode must stay exact through them (and through partial blocks)."""
+    base = str(tmp_path / "x")
+    rng = np.random.default_rng(11)
+    nd = 40_000_000
+    docs, freqs = [], []
+    for n in (700, 300, 64, 1, 513):
+        docs.append(
+            np.sort(rng.choice(nd, size=n, replace=False)).astype(np.uint32)
+        )
+        freqs.append(rng.integers(1, 9, size=n).astype(np.uint32))
+    collection.write_freq_collection(base, docs, freqs, nd)
+    collection.write_sizes_file(
+        base, synth.doc_sizes_from_lists(docs, freqs, nd)
+    )
+    idx = dint_index.build_index(base, kind="single", cache_dir=str(tmp_path))
+    wd = ranked.build_wand_data(base)
+    eng = native_host.NativeQueryEngine(idx, wd)
+    queries = [[0, 1], [0, 1, 2, 3, 4], [3], [4, 0]]
+    for op in ("and", "or"):
+        _, cnt, _ = eng.run(op, queries, runs=2)
+        fn = (
+            boolean.and_query_lazy if op == "and" else boolean.or_query_lazy
+        )
+        for i, q in enumerate(queries):
+            cache = lazy_decode.BlockCache(idx)
+            assert int(cnt[i]) == int(fn(cache, q).shape[0])
+    decoder = TermDecoder(idx)
+    _, cnt, scores = eng.run("wand", queries, runs=2, k=10)
+    for i, q in enumerate(queries):
+        decoder._lazy_cache = lazy_decode.BlockCache(idx)
+        want = ranked.wand(idx, decoder, wd, q, 10)
+        got = scores[i][scores[i] >= 0]
+        assert int(cnt[i]) == want.shape[0]
+        np.testing.assert_allclose(got, np.sort(want)[::-1], rtol=2e-4,
+                                   atol=1e-5)
