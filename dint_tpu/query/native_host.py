@@ -45,10 +45,23 @@ def _load():
     src = nativebuild.source_path("query_host.cpp")
     if src is None:
         return None
-    so = nativebuild.ensure_so(src, "libdintqh.so")
+    # -ftls-model=initial-exec: measured ~45% end-to-end on the encoder's
+    # thread_locals (codecs/native.py); the query engine's remaining
+    # thread_local scratch (query_weights/dedup buffers) rides the same
+    # fix, with the same clean-dlopen-failure fallback rebuild.
+    so = nativebuild.ensure_so(
+        src, "libdintqh.so", ["-ftls-model=initial-exec"]
+    )
     if so is None:
         return None
-    lib = ctypes.CDLL(so)
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        # out of static TLS space: rebuild with the default TLS model
+        so = nativebuild.ensure_so(src, "libdintqh.so", force=True)
+        if so is None:
+            return None
+        lib = ctypes.CDLL(so)
     u32p = ctypes.POINTER(ctypes.c_uint32)
     u64p = ctypes.POINTER(ctypes.c_uint64)
     i32p = ctypes.POINTER(ctypes.c_int32)

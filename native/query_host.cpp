@@ -100,18 +100,18 @@ struct IpNode {
 static void decode_prefix_sums(BitReader& br, int n, uint64_t low0,
                                uint64_t high0, uint64_t* vals) {
     if (n <= 0) return;
-    static thread_local std::vector<IpNode> level, next;
-    static thread_local std::vector<uint64_t> xs;
-    static thread_local std::vector<uint32_t> ms;
-    static thread_local std::vector<uint8_t> need;
-    level.clear();
-    level.push_back({0, n, low0, high0});
-    while (!level.empty()) {
-        size_t L = level.size();
-        xs.resize(L);
-        ms.resize(L);
-        need.resize(L);
-        for (size_t i = 0; i < L; ++i) {
+    // a level of the (n<=256)-node tree holds <= 128 nodes; stack
+    // buffers keep the hot loop free of allocator/TLS traffic
+    IpNode buf_a[160], buf_b[160];
+    uint64_t xs[160];
+    uint32_t ms[160];
+    uint8_t need[160];
+    IpNode* level = buf_a;
+    IpNode* next = buf_b;
+    level[0] = {0, n, low0, high0};
+    int L = 1;
+    while (L) {
+        for (int i = 0; i < L; ++i) {
             uint64_t u = level[i].high - level[i].low + 1;
             int b = floor_log2_u64(u);
             uint64_t m = (1ull << (b + 1)) - u;
@@ -120,20 +120,21 @@ static void decode_prefix_sums(BitReader& br, int n, uint64_t low0,
             ms[i] = uint32_t(m);
             need[i] = x >= m;
         }
-        for (size_t i = 0; i < L; ++i)
+        for (int i = 0; i < L; ++i)
             if (need[i]) xs[i] = 2 * xs[i] + br.read(1) - ms[i];
-        next.clear();
-        for (size_t i = 0; i < L; ++i) {
+        int nl = 0;
+        for (int i = 0; i < L; ++i) {
             const IpNode& nd = level[i];
             int h = (nd.e - nd.s) / 2;
             int mid = nd.s + h;
             uint64_t val = nd.low + xs[i];
             vals[mid] = val;
-            if (mid - nd.s > 0) next.push_back({nd.s, mid, nd.low, val});
+            if (mid - nd.s > 0) next[nl++] = {nd.s, mid, nd.low, val};
             if (nd.e - (mid + 1) > 0)
-                next.push_back({mid + 1, nd.e, val, nd.high});
+                next[nl++] = {mid + 1, nd.e, val, nd.high};
         }
-        level.swap(next);
+        std::swap(level, next);
+        L = nl;
     }
 }
 
@@ -145,16 +146,29 @@ static void interp_decode_block(const uint8_t* data, uint64_t pos, int n,
                                 uint32_t sum_of_values, uint32_t* out) {
     if (sum_of_values == UNKNOWN_SUM)
         sum_of_values = vbyte_decode_single(data, pos);
-    static thread_local std::vector<uint64_t> psums;
-    psums.resize(size_t(n));
+    uint64_t psums[BLOCK_SIZE];  // partial blocks are < BLOCK_SIZE values
     BitReader br(data + pos);
-    decode_prefix_sums(br, n - 1, 0, sum_of_values, psums.data());
+    decode_prefix_sums(br, n - 1, 0, sum_of_values, psums);
     psums[n - 1] = sum_of_values;
     uint64_t prev = 0;
     for (int i = 0; i < n; ++i) {
         out[i] = uint32_t(psums[i] - prev);
         prev = psums[i];
     }
+}
+
+// docs fast path: the coded prefix sums ARE the docid deltas —
+// docid[i] = base + psum[i] + i (gap g, docid = cumsum(g+1)-1+base),
+// so write docids straight from the psums without the gap round-trip.
+static void interp_decode_docids(const uint8_t* data, uint64_t pos, int n,
+                                 uint32_t sum_of_values, uint32_t base,
+                                 uint32_t* out) {
+    uint64_t psums[BLOCK_SIZE];
+    BitReader br(data + pos);
+    decode_prefix_sums(br, n - 1, 0, sum_of_values, psums);
+    psums[n - 1] = sum_of_values;
+    for (int i = 0; i < n; ++i)
+        out[i] = uint32_t(uint64_t(base) + psums[i] + uint64_t(i));
 }
 
 // ----------------------------------------------------------- dict view
@@ -295,7 +309,8 @@ struct NativeCursor {
         uint64_t start = b > 0 ? ctx->block_end[b - 1] : 0;
         if (size < BLOCK_SIZE) {
             uint32_t sum_v = ctx->block_max[b] - base - uint32_t(size - 1);
-            interp_decode_block(ctx->arena, start, size, sum_v, docs_buf);
+            interp_decode_docids(ctx->arena, start, size, sum_v, base,
+                                 docs_buf);
         } else {
             std::memset(docs_buf, 0, sizeof(docs_buf));
             if (ctx->is_multi)
@@ -304,14 +319,14 @@ struct NativeCursor {
             else
                 dint_decode_single(ctx->docs_dict, ctx->arena, start, size,
                                    docs_buf, 16, 0);
-        }
-        // docids = cumsum(gaps + 1) - 1 + base
-        // (dict_posting_list.hpp:284-309)
-        uint64_t acc = base;
-        for (int i = 0; i < size; ++i) {
-            acc += docs_buf[i];
-            docs_buf[i] = uint32_t(acc);
-            acc += 1;
+            // docids = cumsum(gaps + 1) - 1 + base
+            // (dict_posting_list.hpp:284-309)
+            uint64_t acc = base;
+            for (int i = 0; i < size; ++i) {
+                acc += docs_buf[i];
+                docs_buf[i] = uint32_t(acc);
+                acc += 1;
+            }
         }
         cur_block = rel_b;
         pos = rel_b * BLOCK_SIZE + pos_in_block;
@@ -515,6 +530,23 @@ struct ScoredCursor {
     float max_weight;
 };
 
+// by-docid (re)sort for the handful of query cursors: the arrays are
+// tiny (m = #distinct terms) and nearly sorted on every resort, so a
+// stable insertion sort beats std::sort/stable_sort (which heap-
+// allocates a merge buffer) — the reference pays std::sort here
+// (queries.hpp:229-236)
+static inline void sort_by_docid(ScoredCursor* a, size_t m) {
+    for (size_t i = 1; i < m; ++i) {
+        ScoredCursor key = a[i];
+        size_t j = i;
+        while (j > 0 && a[j - 1].c->docid() > key.c->docid()) {
+            a[j] = a[j - 1];
+            --j;
+        }
+        a[j] = key;
+    }
+}
+
 // wand_query (queries.hpp:190-307)
 static uint64_t op_wand(const Ctx* c, std::vector<NativeCursor>& cur,
                         const std::vector<WeightedTerm>& wt, int k,
@@ -523,10 +555,7 @@ static uint64_t op_wand(const Ctx* c, std::vector<NativeCursor>& cur,
     std::vector<ScoredCursor> ordered(m);
     for (size_t i = 0; i < m; ++i)
         ordered[i] = {&cur[i], wt[i].q_weight, wt[i].max_weight};
-    std::stable_sort(ordered.begin(), ordered.end(),
-                     [](const ScoredCursor& a, const ScoredCursor& b) {
-                         return a.c->docid() < b.c->docid();
-                     });
+    sort_by_docid(ordered.data(), m);
     TopK topk(k);
     uint32_t nd = uint32_t(c->num_docs);
     for (;;) {
@@ -554,11 +583,7 @@ static uint64_t op_wand(const Ctx* c, std::vector<NativeCursor>& cur,
                 e.c->next();
             }
             topk.insert(score);
-            std::stable_sort(ordered.begin(), ordered.end(),
-                             [](const ScoredCursor& a,
-                                const ScoredCursor& b) {
-                                 return a.c->docid() < b.c->docid();
-                             });
+            sort_by_docid(ordered.data(), m);
         } else {
             size_t next_list = pivot;
             while (ordered[next_list].c->docid() == pivot_id) --next_list;
@@ -585,10 +610,15 @@ static uint64_t op_maxscore(const Ctx* c, std::vector<NativeCursor>& cur,
     std::vector<ScoredCursor> ordered(m);
     for (size_t i = 0; i < m; ++i)
         ordered[i] = {&cur[i], wt[i].q_weight, wt[i].max_weight};
-    std::stable_sort(ordered.begin(), ordered.end(),
-                     [](const ScoredCursor& a, const ScoredCursor& b) {
-                         return a.max_weight < b.max_weight;
-                     });
+    for (size_t i = 1; i < m; ++i) {  // stable insertion by max_weight
+        ScoredCursor key = ordered[i];
+        size_t j = i;
+        while (j > 0 && ordered[j - 1].max_weight > key.max_weight) {
+            ordered[j] = ordered[j - 1];
+            --j;
+        }
+        ordered[j] = key;
+    }
     std::vector<float> upper_bounds(m);
     double acc = 0.0;
     for (size_t i = 0; i < m; ++i) {
