@@ -247,6 +247,10 @@ def main():
     ap.add_argument("--ref-check", action="store_true",
                     help="run the reference's full index verification "
                     "on the first rep")
+    ap.add_argument("--no-python-host", action="store_true",
+                    help="skip the Python host engine timing (it is "
+                    "~100x the native engine; on the heavy bench "
+                    "collection a single rep would take ~25 min)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -311,6 +315,8 @@ def main():
                     print(f"[ab] {type_name} rep {rep} native {op}: "
                           f"avg {st['avg']:.1f} q50 {st['q50']:.1f}",
                           file=sys.stderr)
+                if args.no_python_host:
+                    continue
                 st = qtool.run_op(index, decoder, wdata, queries_list,
                                   op, args.runs, 10)
                 cur = rec["ours_host"].get(op)
