@@ -483,6 +483,159 @@ def pack_plan_units(plan: LocalPlan) -> LocalPlan:
 
 
 PLAN_VERSION = 3  # v3: v2 + optional multi-unit packed rows (seg_* map)
+IMAGE_VERSION = 1  # engine-ready class-array image (native plan2)
+
+
+@dataclass
+class DecodeImage:
+    """Engine-ready serving image: the final per-width-class device
+    arrays, produced directly by the native streaming planner
+    (native/dint_planner.cpp plan2) without whole-stream intermediates.
+
+    Replaces LocalPlan + pack_plan_units + plan_to_vidx + the engine's
+    class split for whole-stream decode: the old pipeline peaked at
+    ~88 transient bytes/int (79.7 GiB at 908M ints); building this
+    image is O(shard) scratch + O(image) output."""
+
+    n0: np.ndarray  # (R0,) i32 — write-only zero-table rows
+    vidx16: np.ndarray  # (R16, N_OUT) u8
+    tab16: np.ndarray  # (R16, TABLE_CLS//2) u32 — 2 u16 entries/lane
+    n16: np.ndarray  # (R16,) i32
+    vidx32: np.ndarray  # (R32, N_OUT) u8
+    tab32: np.ndarray  # (R32, TABLE_CLS) u32
+    n32: np.ndarray  # (R32,) i32
+    seg_cls: np.ndarray  # (S,) u8 in {0, 16, 32}
+    seg_row: np.ndarray  # (S,) i64 row WITHIN its class
+    seg_off: np.ndarray  # (S,) i32 output offset within the row
+    seg_len: np.ndarray  # (S,) i32
+    seg_unit: np.ndarray  # (S,) i64 global unit id
+    seg_pos: np.ndarray  # (S,) i64 output offset within the unit
+
+    def device_bytes(self) -> int:
+        return (
+            self.n0.nbytes + self.vidx16.nbytes + self.tab16.nbytes
+            + self.n16.nbytes + self.vidx32.nbytes + self.tab32.nbytes
+            + self.n32.nbytes
+        )
+
+    def total_ints(self) -> int:
+        return int(
+            self.n0.astype(np.int64).sum()
+            + self.n16.astype(np.int64).sum()
+            + self.n32.astype(np.int64).sum()
+        )
+
+
+def plan_stream_image(
+    arena: np.ndarray,
+    starts: Sequence[int],
+    byte_lens: Sequence[int],
+    ns: Sequence[int],
+    ctxs: Sequence[int],
+    b_bits: Sequence[int],
+    view: DecodeView,
+    shard_ints: int = 32_000_000,
+    threads: int = None,
+) -> "DecodeImage | None":
+    """Streaming image build: units are planned in shards bounded by
+    ~shard_ints output ints each (native plan2 per shard: chop + FFD
+    pack + direct vidx + class split), DS2I_THREADS shards in flight
+    (ctypes releases the GIL; each shard owns a private handle), and
+    the shard outputs concatenate into the final image.  Returns None
+    when the native toolchain is unavailable (callers fall back to the
+    LocalPlan pipeline)."""
+    import os as _os
+
+    from . import planner_native
+
+    if planner_native.get_lib() is None:
+        return None
+    if threads is None:
+        threads = max(1, int(_os.environ.get("DS2I_THREADS", "1")))
+    starts = np.ascontiguousarray(starts, np.int64)
+    byte_lens = np.ascontiguousarray(byte_lens, np.int64)
+    ns = np.ascontiguousarray(ns, np.int32)
+    ctxs = np.ascontiguousarray(ctxs, np.int32)
+    b_bits = np.ascontiguousarray(b_bits, np.int32)
+    U = starts.shape[0]
+    # shard boundaries on cumulative output ints
+    cuts = [0]
+    acc = 0
+    for u in range(U):
+        acc += int(ns[u])
+        if acc >= shard_ints:
+            cuts.append(u + 1)
+            acc = 0
+    if cuts[-1] != U:
+        cuts.append(U)
+    shards = [(cuts[i], cuts[i + 1]) for i in range(len(cuts) - 1)]
+
+    def run_shard(a_b):
+        a, b = a_b
+        return planner_native.plan_shard_image(
+            arena, starts[a:b], byte_lens[a:b], ns[a:b], ctxs[a:b],
+            b_bits[a:b], a, view, W_TOKENS, N_OUT, TABLE_CLS,
+        )
+
+    if threads > 1 and len(shards) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=threads) as ex:
+            parts = list(ex.map(run_shard, shards))
+    else:
+        parts = [run_shard(s) for s in shards]
+    if any(p is None for p in parts):
+        return None
+    # concatenate; seg_row offsets by per-class row bases
+    b0 = b16 = b32 = 0
+    seg_rows = []
+    for p in parts:
+        sr = p["seg_row"].copy()
+        sr[p["seg_cls"] == 0] += b0
+        sr[p["seg_cls"] == 16] += b16
+        sr[p["seg_cls"] == 32] += b32
+        seg_rows.append(sr)
+        b0 += p["n0"].shape[0]
+        b16 += p["n16"].shape[0]
+        b32 += p["n32"].shape[0]
+
+    def cat(key):
+        return np.concatenate([p[key] for p in parts])
+
+    return DecodeImage(
+        n0=cat("n0"),
+        vidx16=cat("vidx16"), tab16=cat("tab16"), n16=cat("n16"),
+        vidx32=cat("vidx32"), tab32=cat("tab32"), n32=cat("n32"),
+        seg_cls=cat("seg_cls"), seg_row=np.concatenate(seg_rows),
+        seg_off=cat("seg_off"), seg_len=cat("seg_len"),
+        seg_unit=cat("seg_unit"), seg_pos=cat("seg_pos"),
+    )
+
+
+def save_image(img: DecodeImage, path: str) -> None:
+    np.savez(
+        path,
+        image_version=np.asarray([IMAGE_VERSION, W_TOKENS, N_OUT, TABLE_CLS]),
+        **{f.name: getattr(img, f.name) for f in
+           __import__("dataclasses").fields(DecodeImage)},
+    )
+
+
+def load_image(path: str):
+    try:
+        z = np.load(path)
+        if "image_version" not in z:
+            return None
+        if list(z["image_version"]) != [
+            IMAGE_VERSION, W_TOKENS, N_OUT, TABLE_CLS
+        ]:
+            return None
+        return DecodeImage(
+            **{f.name: z[f.name] for f in
+               __import__("dataclasses").fields(DecodeImage)}
+        )
+    except Exception:
+        return None
 
 
 def plan_to_vidx(plan: LocalPlan) -> np.ndarray:
@@ -1308,4 +1461,118 @@ class LocalDecodeEngine:
             p = int(self.eng_out_pos[r])
             k = int(self.eng_out_n[r])
             res[u][p : p + k] = host[r, :k]
+        return res
+
+
+class ImageDecodeEngine:
+    """Device runner over a DecodeImage (the native streaming planner's
+    engine-ready class arrays).  Same kernels and chained-salted timing
+    protocol as LocalDecodeEngine — the classes arrive pre-split and
+    pre-packed, so construction is upload-only.  Off-TPU the same
+    Pallas kernels run in interpret mode (the tests' path)."""
+
+    def __init__(self, img: DecodeImage, row_tile: int | None = None):
+        self.image = img
+        on_tpu = jax.default_backend() == "tpu"
+        self._interpret = not on_tpu
+        R_max = max(
+            img.n0.shape[0], img.n16.shape[0], img.n32.shape[0], 1
+        )
+        if row_tile is None:
+            row_tile = min(
+                GATHER_ROW_TILE,
+                max(1 << int(np.ceil(np.log2(R_max))), 32),
+            )
+        self.row_tile = row_tile
+
+        def pad_rows(a, rows):
+            if a.shape[0] != rows:
+                ext = np.zeros((rows - a.shape[0],) + a.shape[1:], a.dtype)
+                a = np.concatenate([a, ext])
+            return a
+
+        dev = []
+        valids = []
+        spec = []
+        cls_bases = {}
+        base = 0
+        for mode, vidx, tab, nn in (
+            (0, None, None, img.n0),
+            (16, img.vidx16, img.tab16, img.n16),
+            (32, img.vidx32, img.tab32, img.n32),
+        ):
+            Rc = nn.shape[0]
+            padded = -(-Rc // row_tile) * row_tile if Rc else 0
+            spec.append((padded, mode))
+            cls_bases[mode] = base
+            n2 = pad_rows(np.ascontiguousarray(nn, np.int32), padded)[:, None]
+            if mode == 0 or Rc == 0:
+                dev.append(
+                    (
+                        jnp.zeros((0,), jnp.int8),
+                        jnp.zeros((0,), jnp.int32),
+                        jnp.asarray(n2),
+                    )
+                )
+            else:
+                dev.append(
+                    (
+                        jnp.asarray(pad_rows(vidx, padded).view(np.int8)),
+                        jnp.asarray(pad_rows(tab, padded).view(np.int32)),
+                        jnp.asarray(n2),
+                    )
+                )
+            valids.append(jnp.uint32(int(nn.astype(np.int64).sum())))
+            base += padded
+        self._dev = tuple(dev)
+        self._valids = tuple(valids)
+        self._spec = tuple(spec)
+        self._cls_bases = cls_bases
+        self.plan_bytes = img.device_bytes()
+
+    def total_ints(self) -> int:
+        return self.image.total_ints()
+
+    def decode_all(self):
+        """(eng_rows, N_OUT) u32 in engine row order (class-major:
+        zero, u16, i32 — each padded to the row tile)."""
+        decode, _ = _pallas_split_fns(
+            self._spec, self.row_tile, self._interpret
+        )
+        outs = decode(self._dev, jnp.uint32(0))
+        if not outs:
+            return jnp.zeros((0, N_OUT), jnp.uint32)
+        # decode() drops empty classes; re-expand to class-major order
+        full = []
+        oi = 0
+        for rows, mode in self._spec:
+            if rows == 0:
+                continue
+            full.append(outs[oi])
+            oi += 1
+        return jnp.concatenate(full, axis=0) if len(full) > 1 else full[0]
+
+    def decode_chain(self, runs: int):
+        _, chain = _pallas_split_fns(
+            self._spec, self.row_tile, self._interpret
+        )
+        return chain(self._dev, self._valids, runs=runs)
+
+    def gather_units(self, outs, num_units: int, unit_ns) -> List[np.ndarray]:
+        host = np.asarray(outs).reshape(-1, N_OUT)
+        img = self.image
+        res = [np.zeros(int(k), dtype=np.uint32) for k in unit_ns]
+        # engine row = class base + row-within-class (classes are padded
+        # independently but emitted contiguously by decode_all; empty
+        # classes contribute zero rows)
+        b = self._cls_bases
+        er = img.seg_row + np.where(
+            img.seg_cls == 0, b[0], np.where(img.seg_cls == 16, b[16], b[32])
+        )
+        for s in range(img.seg_cls.shape[0]):
+            u = int(img.seg_unit[s])
+            p = int(img.seg_pos[s])
+            o = int(img.seg_off[s])
+            ln = int(img.seg_len[s])
+            res[u][p : p + ln] = host[int(er[s]), o : o + ln]
         return res

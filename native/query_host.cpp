@@ -178,7 +178,34 @@ struct DictView {
     const uint32_t* offsets;  // (C, 65536)
     const int32_t* lengths;   // (C, 65536)
     int contexts;
+    // fused per-entry rows, (C, 65536, 17): [len, 16 content words] —
+    // ONE contiguous load per codeword instead of scattered
+    // offsets/lengths/table hits across the ~0.5 MB maps (the
+    // reference's rectangular_dictionary.hpp:206-213 layout wins for
+    // exactly this reason; built once at qh_create)
+    const uint32_t* rows = nullptr;
 };
+
+static constexpr int ROW_W = MAX_ENTRY_SIZE + 1;
+
+static void build_dict_rows(DictView& v, std::vector<uint32_t>& store) {
+    store.assign(size_t(v.contexts) * 65536 * ROW_W, 0);
+    for (int c = 0; c < v.contexts; ++c) {
+        const uint32_t* offs = v.offsets + size_t(c) * 65536;
+        const int32_t* lens = v.lengths + size_t(c) * 65536;
+        uint32_t* out = store.data() + size_t(c) * 65536 * ROW_W;
+        for (int e = 0; e < 65536; ++e) {
+            int32_t ln = lens[e];
+            uint32_t* row = out + size_t(e) * ROW_W;
+            row[0] = uint32_t(ln);
+            int cp = ln < MAX_ENTRY_SIZE ? ln : MAX_ENTRY_SIZE;
+            if (cp > 0)
+                std::memcpy(row + 1, v.table + offs[e],
+                            size_t(cp) * sizeof(uint32_t));
+        }
+    }
+    v.rows = store.data();
+}
 
 // single_dint::decode semantics (vroom_env/dint_codecs.hpp:37-107):
 // u16/u8 codeword stream; index>=2 copies a dictionary entry, 1 is an
@@ -187,8 +214,7 @@ struct DictView {
 static uint64_t dint_decode_single(const DictView& v, const uint8_t* data,
                                    uint64_t pos, int n, uint32_t* out,
                                    int b, int context) {
-    const uint32_t* offs = v.offsets + size_t(context) * 65536;
-    const int32_t* lens = v.lengths + size_t(context) * 65536;
+    const uint32_t* rows = v.rows + size_t(context) * 65536 * ROW_W;
     int i = 0;
     int out_pos = 0;
     while (i != n) {
@@ -201,11 +227,11 @@ static uint64_t dint_decode_single(const DictView& v, const uint8_t* data,
             pos += 1;
         }
         if (index > EXCEPTIONS - 1) {
-            int ln = lens[index];
-            uint32_t off = offs[index];
-            // copy 16 words unconditionally (table is padded); runs
+            const uint32_t* row = rows + size_t(index) * ROW_W;
+            int ln = int(row[0]);
+            // copy 16 words unconditionally (row is padded); runs
             // (ln > 16) rely on the zeroed output beyond the first 16
-            std::memcpy(out + out_pos, v.table + off,
+            std::memcpy(out + out_pos, row + 1,
                         MAX_ENTRY_SIZE * sizeof(uint32_t));
             out_pos += ln;
             i += ln;
@@ -219,6 +245,63 @@ static uint64_t dint_decode_single(const DictView& v, const uint8_t* data,
             uint32_t val = uint32_t(data[pos]) | (uint32_t(data[pos + 1]) << 8);
             pos += 2;
             out[out_pos++] = val;
+            ++i;
+        }
+    }
+    return pos;
+}
+
+// Docs-block variant: emits ABSOLUTE docids in one pass — the gap is
+// converted right after each codeword's 16-word copy while it sits in
+// L1 (docid = base + cumsum(gap + 1) - 1).  The reference keeps gap
+// buffers and accumulates in next() (dict_posting_list.hpp:113-124);
+// absolute buffers instead buy binary-search skips (next_geq,
+// count_lt), and the fusion removes the separate 256-wide cumsum pass
+// that made block entry ~2 L1 accesses/int dearer than the reference.
+static uint64_t dint_decode_single_docids(const DictView& v,
+                                          const uint8_t* data, uint64_t pos,
+                                          int n, uint32_t* out, int b,
+                                          int context, uint32_t base) {
+    const uint32_t* rows = v.rows + size_t(context) * 65536 * ROW_W;
+    int i = 0;
+    int out_pos = 0;
+    uint64_t acc = base;
+    while (i != n) {
+        uint32_t index;
+        if (b == 16) {
+            index = uint32_t(data[pos]) | (uint32_t(data[pos + 1]) << 8);
+            pos += 2;
+        } else {
+            index = data[pos];
+            pos += 1;
+        }
+        if (index > EXCEPTIONS - 1) {
+            const uint32_t* row = rows + size_t(index) * ROW_W;
+            int ln = int(row[0]);
+            std::memcpy(out + out_pos, row + 1,
+                        MAX_ENTRY_SIZE * sizeof(uint32_t));
+            // runs (ln > 16) read the pre-zeroed tail of the buffer
+            for (int k = 0; k < ln; ++k) {
+                acc += out[out_pos + k];
+                out[out_pos + k] = uint32_t(acc);
+                acc += 1;
+            }
+            out_pos += ln;
+            i += ln;
+        } else if (index == 1) {
+            uint32_t val;
+            std::memcpy(&val, data + pos, 4);
+            pos += 4;
+            acc += val;
+            out[out_pos++] = uint32_t(acc);
+            acc += 1;
+            ++i;
+        } else {
+            uint32_t val = uint32_t(data[pos]) | (uint32_t(data[pos + 1]) << 8);
+            pos += 2;
+            acc += val;
+            out[out_pos++] = uint32_t(acc);
+            acc += 1;
             ++i;
         }
     }
@@ -259,21 +342,37 @@ struct Ctx {
     DictView freqs_dict;
     const float* norm_lens;
     const float* max_weight;
+    std::vector<uint32_t> docs_rows, freqs_rows;  // fused dict rows
 };
 
 // document_enumerator equivalent (dict_posting_list.hpp:84-344 /
 // dint_tpu/query/lazy_decode.py Cursor): per-block lazy decode with
 // block_max skip data; freq block decodes only on first freq() in the
 // block (lazy, dict_posting_list.hpp:164-169).
+// first index in [lo, hi) with a[i] >= target, by galloping from lo:
+// short forward jumps (the common next_geq case) cost 1-3 probes like
+// the reference's linear gap walk (dict_posting_list.hpp:127-148),
+// long jumps stay logarithmic.
+static inline int gallop_geq(const uint32_t* a, int lo, int hi,
+                             uint32_t target) {
+    if (lo >= hi || a[lo] >= target) return lo;
+    int bound = 1;
+    while (lo + bound < hi && a[lo + bound] < target) bound <<= 1;
+    int lo2 = lo + (bound >> 1) + 1;
+    int hi2 = lo + bound < hi ? lo + bound + 1 : hi;
+    return int(std::lower_bound(a + lo2, a + hi2, target) - a);
+}
+
 struct NativeCursor {
     const Ctx* ctx;
     uint32_t term;
     uint64_t p0, p1;  // absolute block range
     int n;
     int nblocks;
-    int cur_block = -1;   // relative
-    int pos = 0;          // global position in list
-    uint32_t cur = 0;     // current docid (num_docs when exhausted)
+    int cur_block = -1;    // relative
+    int pos_in_block = 0;  // index within the decoded block
+    int cur_size = 0;      // cached block_size_of(cur_block)
+    uint32_t cur = 0;      // current docid (num_docs when exhausted)
     bool freqs_valid = false;
     // + MAX_ENTRY_SIZE slack: the dict copy writes 16 words
     // unconditionally even when the entry's tail lands past the block
@@ -289,7 +388,8 @@ struct NativeCursor {
         n = int(c->list_n[t]);
         nblocks = int(p1 - p0);
         cur_block = -1;
-        pos = 0;
+        pos_in_block = 0;
+        cur_size = 0;
         freqs_valid = false;
         if (n)
             enter_block(0, 0);
@@ -301,7 +401,7 @@ struct NativeCursor {
         return std::min(BLOCK_SIZE, n - rel_b * BLOCK_SIZE);
     }
 
-    void enter_block(int rel_b, int pos_in_block) {
+    void enter_block(int rel_b, int pib) {
         uint64_t b = p0 + rel_b;
         int size = block_size_of(rel_b);
         uint32_t base =
@@ -313,85 +413,118 @@ struct NativeCursor {
                                  docs_buf);
         } else {
             std::memset(docs_buf, 0, sizeof(docs_buf));
-            if (ctx->is_multi)
-                dint_decode_multi(ctx->docs_dict, ctx->arena, start, size,
-                                  docs_buf);
-            else
-                dint_decode_single(ctx->docs_dict, ctx->arena, start, size,
-                                   docs_buf, 16, 0);
-            // docids = cumsum(gaps + 1) - 1 + base
-            // (dict_posting_list.hpp:284-309)
-            uint64_t acc = base;
-            for (int i = 0; i < size; ++i) {
-                acc += docs_buf[i];
-                docs_buf[i] = uint32_t(acc);
-                acc += 1;
+            if (ctx->is_multi) {
+                // one BLOCK_SIZE chunk == one selector + one unit
+                uint8_t sc = ctx->arena[start];
+                if (sc < NUM_SELECTORS)
+                    dint_decode_single_docids(ctx->docs_dict, ctx->arena,
+                                              start + 1, size, docs_buf, 16,
+                                              sc, base);
+                else
+                    dint_decode_single_docids(ctx->docs_dict, ctx->arena,
+                                              start + 1, size, docs_buf, 8,
+                                              sc - NUM_SELECTORS, base);
+            } else {
+                dint_decode_single_docids(ctx->docs_dict, ctx->arena, start,
+                                          size, docs_buf, 16, 0, base);
             }
         }
         cur_block = rel_b;
-        pos = rel_b * BLOCK_SIZE + pos_in_block;
-        cur = docs_buf[pos_in_block];
+        cur_size = size;
+        pos_in_block = pib;
+        cur = docs_buf[pib];
         freqs_valid = false;
     }
 
     inline uint32_t docid() const { return cur; }
     inline int size() const { return n; }
 
-    uint32_t freq() {
-        if (!freqs_valid) {
-            uint64_t b = p0 + cur_block;
-            int size = block_size_of(cur_block);
-            uint64_t start = ctx->docs_end[b];
-            if (size < BLOCK_SIZE) {
-                interp_decode_block(ctx->arena, start, size, UNKNOWN_SUM,
-                                    freqs_buf);
-            } else {
-                std::memset(freqs_buf, 0, sizeof(freqs_buf));
-                if (ctx->is_multi)
-                    dint_decode_multi(ctx->freqs_dict, ctx->arena, start,
-                                      size, freqs_buf);
-                else
-                    dint_decode_single(ctx->freqs_dict, ctx->arena, start,
-                                       size, freqs_buf, 16, 0);
-            }
-            freqs_valid = true;
-        }
-        return freqs_buf[pos - cur_block * BLOCK_SIZE] + 1;
+    inline __attribute__((always_inline)) uint32_t freq() {
+        if (__builtin_expect(!freqs_valid, 0)) decode_freqs_block();
+        return freqs_buf[pos_in_block] + 1;
     }
 
-    void next() {
-        int p = pos + 1;
-        if (p >= n) {
-            cur = uint32_t(ctx->num_docs);
-            pos = n;
-            return;
-        }
-        int rel_b = p / BLOCK_SIZE;
-        if (rel_b != cur_block) {
-            enter_block(rel_b, p % BLOCK_SIZE);
+    void decode_freqs_block() {
+        uint64_t b = p0 + cur_block;
+        int size = cur_size;
+        uint64_t start = ctx->docs_end[b];
+        if (size < BLOCK_SIZE) {
+            interp_decode_block(ctx->arena, start, size, UNKNOWN_SUM,
+                                freqs_buf);
         } else {
-            pos = p;
-            cur = docs_buf[p % BLOCK_SIZE];
+            std::memset(freqs_buf, 0, sizeof(freqs_buf));
+            if (ctx->is_multi)
+                dint_decode_multi(ctx->freqs_dict, ctx->arena, start,
+                                  size, freqs_buf);
+            else
+                dint_decode_single(ctx->freqs_dict, ctx->arena, start,
+                                   size, freqs_buf, 16, 0);
         }
+        freqs_valid = true;
+    }
+
+    // the reference's next() shape (dict_posting_list.hpp:113-124):
+    // one increment + one unlikely compare on the hot path
+    inline __attribute__((always_inline)) void next() {
+        if (__builtin_expect(++pos_in_block == cur_size, 0)) {
+            if (cur_block + 1 == nblocks) {
+                cur = uint32_t(ctx->num_docs);
+                --pos_in_block;  // spurious further next() re-exhausts
+                return;
+            }
+            enter_block(cur_block + 1, 0);
+        } else {
+            cur = docs_buf[pos_in_block];
+        }
+    }
+
+    // Count the docids in [docid(), target) and advance to the first
+    // docid >= target (or exhaust).  Whole blocks with block_max <
+    // target are counted WITHOUT decoding (their docids are all below
+    // target and block sizes are known) — the union-count fast path
+    // the reference's per-doc or_query (queries.hpp:86-130) never
+    // takes.
+    uint64_t count_lt(uint32_t target) {
+        uint64_t cnt = 0;
+        if (cur >= uint32_t(ctx->num_docs)) return 0;  // exhausted
+        const uint32_t* maxs = ctx->block_max + p0;
+        if (target > maxs[cur_block]) {
+            cnt += cur_size - pos_in_block;
+            int nb = cur_block + 1;
+            while (nb < nblocks && maxs[nb] < target) {
+                cnt += block_size_of(nb);
+                ++nb;
+            }
+            if (nb >= nblocks) {
+                cur = uint32_t(ctx->num_docs);
+                pos_in_block = cur_size - 1;  // exhausted sentinel
+                return cnt;
+            }
+            enter_block(nb, 0);
+        }
+        int hi = gallop_geq(docs_buf, pos_in_block, cur_size, target);
+        cnt += hi - pos_in_block;
+        pos_in_block = hi;
+        cur = docs_buf[hi];  // hi < size: target <= block_max ensures it
+        return cnt;
     }
 
     void next_geq(uint32_t target) {
         if (target <= cur) return;
         const uint32_t* maxs = ctx->block_max + p0;
-        int rel_b =
-            int(std::lower_bound(maxs + (cur_block < 0 ? 0 : cur_block),
-                                 maxs + nblocks, target) -
-                maxs);
-        if (rel_b >= nblocks) {
-            cur = uint32_t(ctx->num_docs);
-            pos = n;
-            return;
+        int lo = pos_in_block + 1;  // target > cur
+        if (target > maxs[cur_block]) {
+            int rel_b = gallop_geq(maxs, cur_block + 1, nblocks, target);
+            if (rel_b >= nblocks) {
+                cur = uint32_t(ctx->num_docs);
+                pos_in_block = cur_size - 1;  // exhausted sentinel
+                return;
+            }
+            enter_block(rel_b, 0);
+            lo = 0;
         }
-        if (rel_b != cur_block) enter_block(rel_b, 0);
-        int size = block_size_of(rel_b);
-        int in_b = int(std::lower_bound(docs_buf, docs_buf + size, target) -
-                       docs_buf);
-        pos = rel_b * BLOCK_SIZE + in_b;
+        int in_b = gallop_geq(docs_buf, lo, cur_size, target);
+        pos_in_block = in_b;
         cur = docs_buf[in_b];
     }
 };
@@ -499,27 +632,56 @@ static uint64_t op_and(const Ctx* c, std::vector<NativeCursor>& cur,
     return results;
 }
 
-// or_query (queries.hpp:86-130): min-docid merge over distinct docs
+// or_query (queries.hpp:86-130): min-docid merge over distinct docs.
+// The counting variant run-skips: docids strictly below the
+// second-smallest cursor head are unique union results (every other
+// cursor's future docids are >= its current head), so the leader
+// counts them in bulk via count_lt — binary search within the decoded
+// block, and whole blocks by size alone when block_max < target.
 static uint64_t op_or(const Ctx* c, std::vector<NativeCursor>& cur,
                       bool with_freqs) {
     uint32_t nd = uint32_t(c->num_docs);
     uint64_t results = 0;
-    uint32_t cur_doc = nd;
-    for (auto& e : cur) cur_doc = std::min(cur_doc, e.docid());
-    while (cur_doc < nd) {
-        ++results;
-        uint32_t next_doc = nd;
-        for (auto& e : cur) {
-            if (e.docid() == cur_doc) {
-                if (with_freqs) {
+    if (with_freqs) {  // freq access forces the per-doc walk
+        uint32_t cur_doc = nd;
+        for (auto& e : cur) cur_doc = std::min(cur_doc, e.docid());
+        while (cur_doc < nd) {
+            ++results;
+            uint32_t next_doc = nd;
+            for (auto& e : cur) {
+                if (e.docid() == cur_doc) {
                     volatile uint32_t f = e.freq();
                     (void)f;
+                    e.next();
                 }
-                e.next();
+                next_doc = std::min(next_doc, e.docid());
             }
-            next_doc = std::min(next_doc, e.docid());
+            cur_doc = next_doc;
         }
-        cur_doc = next_doc;
+        return results;
+    }
+    size_t m = cur.size();
+    for (;;) {
+        uint32_t best = nd, second = nd;
+        size_t bi = 0;
+        for (size_t i = 0; i < m; ++i) {
+            uint32_t d = cur[i].docid();
+            if (d < best) {
+                second = best;
+                best = d;
+                bi = i;
+            } else if (d < second) {
+                second = d;
+            }
+        }
+        if (best == nd) break;
+        if (best < second) {
+            results += cur[bi].count_lt(second);
+        } else {  // tie at the minimum: one union doc, advance every holder
+            ++results;
+            for (size_t i = 0; i < m; ++i)
+                if (cur[i].docid() == best) cur[i].next();
+        }
     }
     return results;
 }
@@ -764,6 +926,8 @@ void* qh_create(int is_multi, uint64_t num_lists, uint64_t num_docs,
     c->arena = arena;
     c->docs_dict = {d_table, d_offsets, d_lengths, d_contexts};
     c->freqs_dict = {f_table, f_offsets, f_lengths, f_contexts};
+    build_dict_rows(c->docs_dict, c->docs_rows);
+    build_dict_rows(c->freqs_dict, c->freqs_rows);
     c->norm_lens = norm_lens;
     c->max_weight = max_weight;
     return c;
