@@ -244,10 +244,16 @@ def main():
         "unit": "ints/s",
         "vs_baseline": ints_per_sec / REFERENCE_CPU_INTS_PER_SEC,
         "gather_engine_ints_per_sec": local_rate,
+        "gather_image_B_per_int": round(
+            int(rec["plan_bytes"]) / float(rec["num_integers"]), 3),
+        # time-to-first-int (one-time plan/transcode; the reference's
+        # cold mmap decode has zero prep — this tracks the gap)
+        "gather_cold_start_s": float(rec.get("cold_start_s", 0)),
     }
     if ladder_rate is not None:
         out["ladder_engine_ints_per_sec"] = ladder_rate
         out["ladder_image_B_per_int"] = round(ladder_bpi, 3)
+        out["ladder_cold_start_s"] = float(lrec.get("cold_start_s", 0))
     if multi_rate is not None:
         out["multi_packed_ints_per_sec"] = multi_rate
         out["multi_packed_vs_baseline"] = (
