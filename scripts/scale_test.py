@@ -525,9 +525,14 @@ def main():
     from dint_tpu.tools import decode as dtool
 
     rec = dtool.decode_stream(
-        "single_rect_dint", stream, dict_file, runs=args.runs
+        "single_rect_dint", stream, dict_file, runs=args.runs,
+        check_collection=base + ".docs",
     )
-    t = log_stage("decode (timed)", t)
+    assert rec.get("check") == "ok"
+    t = log_stage(
+        f"gather decode (timed, full check): {rec['ints_x_sec']} ints/s, "
+        f"image {int(rec['plan_bytes'])/(1<<20):.0f} MiB, "
+        f"cold_start {rec['cold_start_s']}s", t)
 
     # the canonical ladder image over the same stream (the at-scale
     # serving winner: ~0.58 vs ~8.5 device B/int — see bench.py), full
@@ -541,26 +546,6 @@ def main():
         f"ladder decode (timed, full check): {lrec['ints_x_sec']} ints/s, "
         f"image {int(lrec['plan_bytes'])/(1<<20):.0f} MiB", t)
 
-    # spot-check: 50 random lists, decoded vs the input collection
-    from dint_tpu.index import stream as stream_mod
-    from dint_tpu.utils import gaps as gap_mod
-
-    arena, meta = stream_mod.load_stream(stream)
-    d = dtool.load_dictionary("single_rect_dint", dict_file)
-    from dint_tpu.kernels import decode_local
-
-    dec = dtool.StreamDecoder(
-        arena, meta, d.decode_view(), False,
-        plan_cache=stream + f".plan.v{decode_local.PLAN_VERSION}.npz",
-    )
-    lists = dec.gather_lists()
-    rng = np.random.default_rng(5)
-    picks = rng.choice(len(lists), size=min(50, len(lists)), replace=False)
-    docs_iter = list(collection.open_freq_collection(base))
-    for i in picks:
-        want = gap_mod.docs_to_gaps(docs_iter[i][0])
-        np.testing.assert_array_equal(lists[i], want, err_msg=f"list {i}")
-    log_stage(f"spot-check {len(picks)} lists", t)
     print("[scale] OK", rec["ints_x_sec"], "ints/s")
 
 
