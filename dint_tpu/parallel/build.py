@@ -225,6 +225,113 @@ class DocShardedIndex:
         return cls(shards, lo, hi, num_docs, df)
 
 
+def partition_collection_by_term(
+    basename: str, out_dir: str, n_shards: int
+) -> dict:
+    """Split a collection into contiguous TERM-range shard collections.
+
+    The complementary partitioning to partition_collection_by_doc:
+    shard j owns terms [tlo[j], thi[j]) and holds their complete
+    posting lists (docids stay GLOBAL — every shard spans all
+    documents).  Returns the catalog: term ranges, global num_docs, and
+    the global per-term document frequencies.
+    """
+    from ..io.collection import write_freq_collection
+
+    view = open_freq_collection(basename)
+    L = len(view)
+    S = n_shards
+    bounds = np.linspace(0, L, S + 1).astype(np.int64)
+    docs = []
+    freqs = []
+    df: List[int] = []
+    for d, f in view:
+        df.append(d.shape[0])
+        docs.append(d)
+        freqs.append(f)
+    os.makedirs(out_dir, exist_ok=True)
+    for j in range(S):
+        a, b = int(bounds[j]), int(bounds[j + 1])
+        write_freq_collection(
+            os.path.join(out_dir, f"tshard{j}"),
+            docs[a:b],
+            freqs[a:b],
+            num_docs=view.num_docs,
+        )
+    return {
+        "n_shards": S,
+        "num_docs": view.num_docs,
+        "term_lo": bounds[:-1],
+        "term_hi": bounds[1:],
+        "df": np.asarray(df, np.int64),
+    }
+
+
+def _build_term_shard_index(args) -> str:
+    out_dir, j, kind, policy = args
+    sbase = os.path.join(out_dir, f"tshard{j}")
+    idx = dint_index.build_index(
+        sbase, kind=kind, policy=policy, cache_dir=out_dir
+    )
+    idx.save(sbase + ".idx")
+    return sbase
+
+
+def build_term_sharded(
+    basename: str,
+    out_dir: str,
+    n_shards: int,
+    kind: str = "single",
+    policy: str = "pack",
+    n_workers: int = 1,
+) -> "TermShardedIndex":
+    """Partition by term range and build one self-contained index per
+    shard (each trains its own dictionaries on its own term subset —
+    the term-partitioned multi-host layout of SURVEY §2.6; global BM25
+    statistics travel in the catalog, like build_doc_sharded)."""
+    catalog = partition_collection_by_term(basename, out_dir, n_shards)
+    jobs = [(out_dir, j, kind, policy) for j in range(n_shards)]
+    if n_workers > 1:
+        ctx = mp.get_context("spawn")
+        with ctx.Pool(processes=min(n_workers, n_shards)) as pool:
+            pool.map(_build_term_shard_index, jobs)
+    else:
+        for job in jobs:
+            _build_term_shard_index(job)
+    np.savez(os.path.join(out_dir, "tcatalog"), **catalog)
+    return TermShardedIndex.load(out_dir)
+
+
+class TermShardedIndex:
+    """A set of per-term-range indexes + the global-statistics catalog."""
+
+    def __init__(self, shards, term_lo, term_hi, num_docs, df):
+        self.shards = shards
+        self.term_lo = np.asarray(term_lo, np.int64)
+        self.term_hi = np.asarray(term_hi, np.int64)
+        self.num_docs = int(num_docs)
+        self.df = np.asarray(df, np.int64)
+
+    def owner_of(self, term: int) -> int:
+        j = int(np.searchsorted(self.term_hi, term, side="right"))
+        assert self.term_lo[j] <= term < self.term_hi[j]
+        return j
+
+    @classmethod
+    def load(cls, out_dir: str) -> "TermShardedIndex":
+        with np.load(os.path.join(out_dir, "tcatalog.npz")) as z:
+            S = int(z["n_shards"])
+            lo, hi = np.array(z["term_lo"]), np.array(z["term_hi"])
+            num_docs, df = int(z["num_docs"]), np.array(z["df"])
+        shards = [
+            dint_index.DintIndex.load(
+                os.path.join(out_dir, f"tshard{j}.idx")
+            )
+            for j in range(S)
+        ]
+        return cls(shards, lo, hi, num_docs, df)
+
+
 def build_index_sharded(
     basename: str,
     kind: str = "single",

@@ -140,6 +140,103 @@ def serve_ranked_doc_sharded(
     return np.asarray(v), np.asarray(ids)
 
 
+def serve_ranked_term_sharded(
+    mesh,
+    tsharded,  # parallel.build.TermShardedIndex
+    norm_lens: np.ndarray,
+    queries: Sequence[Sequence[int]],
+    k: int = 10,
+):
+    """Exact ranked top-k over a set of per-term-range indexes.
+
+    The term-partitioned multi-host topology (SURVEY §2.6): each shard
+    is a SELF-CONTAINED index over its term range, so a query's terms
+    are decoded on different devices and a document's score is split
+    across the mesh.  Each shard buckets its partial (docid, score)
+    rows by destination doc range on the host; one shard_map dispatch
+    then runs all_to_all (postings travel to their doc owner over ICI)
+    + the exact doc-sharded sort-merge top-k
+    (steps.term_sharded_rows_topk_step).  Scoring uses the catalog's
+    GLOBAL document frequencies and the global norm_lens.  Returns
+    (scores (Q, k) desc, docids (Q, k) global ids)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..query import ranked
+    from ..query.term_decode import TermDecoder
+    from . import steps
+
+    S = len(tsharded.shards)
+    mesh_devs = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    assert S == mesh_devs, (
+        f"shard count {S} != mesh devices {mesh_devs}: rebuild the shard "
+        "set or the mesh so each device serves exactly one term shard"
+    )
+    norm_lens = np.asarray(norm_lens, np.float32)
+    Q = len(queries)
+    span = -(-max(tsharded.num_docs, 1) // S)
+    # per[src][dest][q] = (docids, scores): source shard src decodes its
+    # own terms; rows bucket by the doc-range owner dest
+    empty = (np.zeros(0, np.int32), np.zeros(0, np.float32))
+    per = [
+        [[empty] * Q for _ in range(S)] for _ in range(S)
+    ]
+    for j, idx in enumerate(tsharded.shards):
+        dec = TermDecoder(idx)
+        tlo, thi = int(tsharded.term_lo[j]), int(tsharded.term_hi[j])
+        for qi, q in enumerate(queries):
+            ds = [[] for _ in range(S)]
+            ss = [[] for _ in range(S)]
+            for t, qw in ranked.query_weights_from(
+                tsharded.df, tsharded.num_docs, q
+            ):
+                if not (tlo <= int(t) < thi):
+                    continue
+                lt = int(t) - tlo
+                d = dec.decode_docids([lt])[lt].astype(np.int64)
+                fr = dec.decode_freqs([lt])[lt]
+                s = np.float32(qw) * ranked.doc_term_weight(
+                    fr, norm_lens[d]
+                )
+                dest = np.minimum(d // span, S - 1)
+                for dj in np.unique(dest):
+                    m = dest == dj
+                    ds[dj].append(d[m].astype(np.int32))
+                    ss[dj].append(s[m].astype(np.float32))
+            for dj in range(S):
+                if ds[dj]:
+                    per[j][dj][qi] = (
+                        np.concatenate(ds[dj]),
+                        np.concatenate(ss[dj]),
+                    )
+    width = max(
+        [k] + [int(d.shape[0]) for src in per for dst in src
+               for d, _ in dst]
+    )
+    Pw = 1 << max(int(np.ceil(np.log2(width))), 3)
+    dd = np.full((S, S, Q, Pw), PAD_DOC, np.int32)
+    ss_arr = np.zeros((S, S, Q, Pw), np.float32)
+    for j in range(S):
+        for dj in range(S):
+            for qi in range(Q):
+                d, s = per[j][dj][qi]
+                dd[j, dj, qi, : d.shape[0]] = d
+                ss_arr[j, dj, qi, : s.shape[0]] = s
+    fn = steps.make_shard_map(
+        lambda d, s: steps.term_sharded_rows_topk_step(d, s, k),
+        mesh,
+        (P("dp", None, None, None), P("dp", None, None, None)),
+        P(),
+    )
+    put = lambda x: jax.device_put(
+        jnp.asarray(x), NamedSharding(mesh, P("dp", None, None, None))
+    )
+    v, ids = fn(put(dd), put(ss_arr))
+    jax.block_until_ready(v)
+    return np.asarray(v), np.asarray(ids)
+
+
 def serve_boolean_doc_sharded(
     sharded,  # parallel.build.DocShardedIndex
     queries: Sequence[Sequence[int]],

@@ -197,6 +197,34 @@ def doc_sharded_rows_topk_step(d: jnp.ndarray, s: jnp.ndarray, k: int,
     return v, jnp.take_along_axis(gd.reshape(Q, -1), i, axis=1)
 
 
+def term_sharded_rows_topk_step(d: jnp.ndarray, s: jnp.ndarray, k: int,
+                                axis: str = "dp"):
+    """Term-sharded ranked serving over REAL posting rows.
+
+    The serving configuration for an index partitioned by TERM range
+    (SURVEY §2.6's term-sharded option on a real built index): each
+    device decodes only ITS terms' posting lists, so a document's score
+    contributions are scattered across devices.  The step repartitions
+    postings to their doc-range owner with one all_to_all (the ICI
+    shuffle replacing the reference's single-thread accumulation,
+    queries.hpp:190-307), after which every docid's rows are complete
+    on exactly one device and the doc-sharded sort-merge top-k merge
+    applies unchanged — exact by the same ownership argument.
+
+    d: (1, S, Q, P) i32 docids — this term shard's postings bucketed by
+       destination doc shard (bucket j = docids in j's doc range),
+       PAD_DOC padded; s: same-shape f32 partial scores.
+    returns (values (Q, k), doc_ids (Q, k)) — exact global top-k
+    """
+    d = jax.lax.all_to_all(d, axis, split_axis=1, concat_axis=0)
+    s = jax.lax.all_to_all(s, axis, split_axis=1, concat_axis=0)
+    # (S, 1, Q, P): rows from every source term shard for MY doc range
+    Q = d.shape[2]
+    d = d[:, 0].transpose(1, 0, 2).reshape(Q, -1)
+    s = s[:, 0].transpose(1, 0, 2).reshape(Q, -1)
+    return doc_sharded_rows_topk_step(d, s, k, axis)
+
+
 def stats_training_step(blocks: jnp.ndarray, n_buckets: int = 1 << 16):
     """One sharded statistics pass over a batch of 256-int gap blocks.
 

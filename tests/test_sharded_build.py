@@ -138,3 +138,70 @@ def test_list_range_matches_full_slice(coll, tmp_path):
     np.testing.assert_array_equal(
         part.arena, full.arena[s0 : int(full.block_end[p1 - 1])]
     )
+
+
+def test_term_sharded_build_and_serve_parity(coll, tmp_path):
+    """Per-term-range self-contained indexes (SURVEY §2.6's term
+    partitioning) served via the all_to_all repartition step == the
+    exhaustive ranked_or on the unsharded index."""
+    import os
+
+    import jax
+    from jax.sharding import Mesh
+
+    from dint_tpu.io import collection as coll_mod
+    from dint_tpu.io import synth as synth_mod
+    from dint_tpu.parallel import serve
+    from dint_tpu.query import ranked
+    from dint_tpu.query.term_decode import TermDecoder
+
+    cache = str(tmp_path / "c")
+    out = str(tmp_path / "tshards")
+    tsh = pbuild.build_term_sharded(coll, out, n_shards=8, n_workers=2)
+    # reload from disk (catalog + per-shard indexes round-trip)
+    tsh = pbuild.TermShardedIndex.load(out)
+    assert len(tsh.shards) == 8
+    full = dint_index.build_index(coll, kind="single", cache_dir=cache)
+    assert tsh.num_docs == full.num_docs
+    np.testing.assert_array_equal(tsh.df, np.asarray(full.list_n))
+    # term ranges tile the term space; each shard's lists equal the
+    # full-index lists for its range (docids stay GLOBAL)
+    assert int(tsh.term_lo[0]) == 0
+    assert int(tsh.term_hi[-1]) == full.num_lists
+    np.testing.assert_array_equal(tsh.term_lo[1:], tsh.term_hi[:-1])
+    dec_full = TermDecoder(full)
+    for j in (0, 3, 7):
+        lo, hi = int(tsh.term_lo[j]), int(tsh.term_hi[j])
+        sdec = TermDecoder(tsh.shards[j])
+        for t in range(lo, min(hi, lo + 5)):
+            np.testing.assert_array_equal(
+                sdec.decode_docids([t - lo])[t - lo],
+                dec_full.decode_docids([t])[t],
+            )
+
+    if not os.path.exists(coll + ".sizes"):
+        view = coll_mod.open_freq_collection(coll)
+        docs = [d for d, _ in view]
+        freqs_l = [f for _, f in view]
+        coll_mod.write_sizes_file(
+            coll,
+            synth_mod.doc_sizes_from_lists(docs, freqs_l, view.num_docs),
+        )
+    wdata = ranked.build_wand_data(coll)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    rng = np.random.default_rng(7)
+    nonempty = [t for t in range(full.num_lists) if full.list_n[t]]
+    queries = [
+        list(rng.choice(nonempty, size=int(rng.integers(1, 5)), replace=False))
+        for _ in range(8)
+    ]
+    # make at least one query span multiple term shards
+    queries.append([int(nonempty[0]), int(nonempty[-1])])
+    vals, ids = serve.serve_ranked_term_sharded(
+        mesh, tsh, wdata.norm_lens, queries, k=10
+    )
+    for qi, q in enumerate(queries):
+        want = ranked.ranked_or(full, dec_full, wdata, q, k=10)
+        got = vals[qi][: want.shape[0]]
+        np.testing.assert_allclose(got, want, rtol=1e-5)
