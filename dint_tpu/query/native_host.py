@@ -33,6 +33,9 @@ OPS = {
     "maxscore": 5,
     "ranked_and": 6,
     "ranked_or": 7,
+    # pair_wise_intersect semantics: AND with results materialized
+    # into a num_docs buffer (src/pair_wise_intersect.cpp:28-59)
+    "and_collect": 8,
 }
 
 _lib = None
@@ -82,12 +85,40 @@ def _load():
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         u32p, u64p, ctypes.c_uint64, f64p, u64p, f32p,
     ]
+    lib.qh_dict_copy.restype = ctypes.c_double
+    lib.qh_dict_copy.argtypes = [
+        u32p, u32p, i32p, ctypes.c_int, u32p, ctypes.c_uint64,
+        ctypes.c_uint32,
+    ]
     _lib = lib
     return lib
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def dict_copy_ns(view, indexes: np.ndarray, runs: int = 10) -> float:
+    """Native random-copy microbenchmark over a dictionary DecodeView
+    (the src/dict_perf_test.cpp:43-63 loop: one 16-word memcpy + length
+    read per index, `runs` passes).  Returns avg ns per copy."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native query engine unavailable")
+    table = np.ascontiguousarray(view.table, dtype=np.uint32)
+    offs = np.ascontiguousarray(view.offsets, dtype=np.uint32)
+    lens = np.ascontiguousarray(view.lengths, dtype=np.int32)
+    idx = np.ascontiguousarray(indexes, dtype=np.uint32)
+    contexts = int(view.offsets.shape[0]) if view.offsets.ndim == 2 else 1
+    return float(lib.qh_dict_copy(
+        _ptr(table, ctypes.c_uint32),
+        _ptr(offs, ctypes.c_uint32),
+        _ptr(lens, ctypes.c_int32),
+        contexts,
+        _ptr(idx, ctypes.c_uint32),
+        idx.shape[0],
+        runs,
+    ))
 
 
 def _ptr(a: np.ndarray, ct):

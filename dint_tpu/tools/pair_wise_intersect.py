@@ -30,7 +30,49 @@ def main(argv=None):
     ap.add_argument("index_file")
     ap.add_argument("--queries", required=True)
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument(
+        "--engine", choices=["native", "python"], default=None,
+        help="native (default for DINT kinds when the .so builds): "
+             "lazy skip-aware cursors + materialized results, the "
+             "reference tool's exact loop; python: pre-decoded numpy "
+             "intersection (the oracle path)")
     args = ap.parse_args(argv)
+
+    engine = args.engine
+    if engine is None and args.index_type in common.DINT_KINDS:
+        from ..query import native_host
+
+        engine = "native" if native_host.available() else "python"
+
+    if engine == "native":
+        from ..query.native_host import NativeQueryEngine
+
+        index = DintIndex.load(args.index_file)
+        pairs = [
+            q for q in boolean.parse_query_log(args.queries)
+            if len(set(q)) == 2
+            and all(0 <= t < index.num_lists for t in q)
+        ]
+        common.log(f"running {len(pairs)} pairwise intersections (native)")
+        eng = NativeQueryEngine(index)
+        # reference protocol (src/pair_wise_intersect.cpp:86-107):
+        # 10+1 runs, first untimed, per-intersection avg over the rest
+        runs = max(args.runs, 2)
+        times_us, counts, _ = eng.run("and_collect", pairs, runs=runs)
+        arr = times_us.reshape(-1)
+        common.stats_line(
+            {
+                "type": "pair_wise_intersect",
+                "engine": "native",
+                "index": args.index_type,
+                "pairs": str(len(pairs)),
+                "runs": str(runs),
+                "total_results": str(int(counts.sum())),
+                "avg_us": f"{arr.mean():.2f}" if arr.size else "0",
+                "q50_us": f"{np.median(arr):.2f}" if arr.size else "0",
+            }
+        )
+        return
 
     if args.index_type in common.EF_KINDS:
         from ..index.freq_index import EFTermDecoder, FreqIndexEF

@@ -632,6 +632,41 @@ static uint64_t op_and(const Ctx* c, std::vector<NativeCursor>& cur,
     return results;
 }
 
+// pair_wise_intersect's loop (src/pair_wise_intersect.cpp:28-59):
+// op_and with the result docids MATERIALIZED into `out` — the A/B
+// counterpart of the reference tool, which writes every intersection
+// result into a num_docs-sized buffer.
+static uint64_t op_and_collect(const Ctx* c, std::vector<NativeCursor>& cur,
+                               uint32_t* out) {
+    size_t m = cur.size();
+    std::sort(cur.begin(), cur.end(),
+              [](const NativeCursor& a, const NativeCursor& b) {
+                  return a.n < b.n;
+              });
+    uint64_t results = 0;
+    uint32_t nd = uint32_t(c->num_docs);
+    uint32_t candidate = cur[0].docid();
+    size_t i = 1;
+    while (candidate < nd) {
+        for (; i < m; ++i) {
+            cur[i].next_geq(candidate);
+            if (cur[i].docid() != candidate) {
+                candidate = cur[i].docid();
+                i = 0;
+                break;
+            }
+        }
+        if (i == m) {
+            out[results] = candidate;
+            ++results;
+            cur[0].next();
+            candidate = cur[0].docid();
+            i = 1;
+        }
+    }
+    return results;
+}
+
 // or_query (queries.hpp:86-130): min-docid merge over distinct docs.
 // The counting variant run-skips: docids strictly below the
 // second-smallest cursor head are unique union results (every other
@@ -936,7 +971,8 @@ void* qh_create(int is_multi, uint64_t num_lists, uint64_t num_docs,
 void qh_destroy(void* p) { delete static_cast<Ctx*>(p); }
 
 // op: 0 and, 1 or, 2 and_freq, 3 or_freq, 4 wand, 5 maxscore,
-//     6 ranked_and, 7 ranked_or
+//     6 ranked_and, 7 ranked_or, 8 and_collect (results materialized
+//     into a num_docs buffer — src/pair_wise_intersect.cpp:28-59)
 // Runs the whole query batch `runs` times; the first run is untimed
 // warmup (src/queries.cpp:29-32), the remaining (runs-1) write one
 // per-(run,query) microsecond sample each into out_us (run-major).
@@ -945,10 +981,12 @@ int qh_run(void* p, int op, int k, int runs, const uint32_t* qterms,
            const uint64_t* qoffs, uint64_t Q, double* out_us,
            uint64_t* out_cnt, float* out_scores) {
     Ctx* c = static_cast<Ctx*>(p);
-    bool ranked = op >= 4;
+    bool ranked = op >= 4 && op <= 7;
     std::vector<NativeCursor> cursors;
     std::vector<WeightedTerm> wt;
     std::vector<uint32_t> terms;
+    std::vector<uint32_t> collect;
+    if (op == 8) collect.resize(c->num_docs);
     for (int run = 0; run < runs; ++run) {
         for (uint64_t qi = 0; qi < Q; ++qi) {
             const uint32_t* qt = qterms + qoffs[qi];
@@ -986,6 +1024,8 @@ int qh_run(void* p, int op, int k, int runs, const uint32_t* qterms,
                 for (size_t i = 0; i < m; ++i) cursors[i].init(c, terms[i]);
                 if (m == 0)
                     cnt = 0;
+                else if (op == 8)
+                    cnt = op_and_collect(c, cursors, collect.data());
                 else if (op == 0 || op == 2)
                     cnt = op_and(c, cursors, op == 2);
                 else
@@ -997,6 +1037,39 @@ int qh_run(void* p, int op, int k, int runs, const uint32_t* qterms,
         }
     }
     return 0;
+}
+
+// Timed mirror of src/dict_perf_test.cpp:43-63 over the serving-time
+// fused row layout (length-first (17 u32)-wide rows — same bytes per
+// row as the reference's rectangular m_table, values-then-length):
+// each copy is one 64-byte memcpy from a random row plus the length
+// read.  Indices are drawn uniformly over [0, dict_size) host-side
+// and passed in so ours and the reference time the SAME access
+// pattern shape.  Returns ns per copy.
+double qh_dict_copy(const uint32_t* table, const uint32_t* offsets,
+                    const int32_t* lengths, int contexts,
+                    const uint32_t* indexes, uint64_t n, uint32_t runs) {
+    DictView v{table, offsets, lengths, contexts};
+    std::vector<uint32_t> store;
+    build_dict_rows(v, store);
+    const uint32_t* rows = v.rows;
+    alignas(64) uint32_t out[MAX_ENTRY_SIZE];
+    double elapsed = 0;
+    for (uint32_t run = 0; run < runs; ++run) {
+        auto start = std::chrono::high_resolution_clock::now();
+        for (uint64_t i = 0; i < n; ++i) {
+            const uint32_t* row = rows + size_t(indexes[i]) * ROW_W;
+            std::memcpy(out, row + 1, MAX_ENTRY_SIZE * sizeof(uint32_t));
+            uint32_t decoded_ints = row[0];
+            // do_not_optimize_away (util.hpp): keep the copy + length
+            asm volatile("" : : "r"(decoded_ints), "r"(out[0]) : "memory");
+        }
+        auto end = std::chrono::high_resolution_clock::now();
+        elapsed += double(
+            std::chrono::duration_cast<std::chrono::nanoseconds>(end - start)
+                .count());
+    }
+    return elapsed / runs / double(n);
 }
 
 }  // extern "C"

@@ -70,6 +70,30 @@ def test_boolean_counts_match(built):
             assert int(cnt[i]) == want, (op, i, q)
 
 
+def test_and_collect_counts_match(built):
+    """op 8 (pair_wise_intersect semantics: results materialized into a
+    num_docs buffer) returns the same counts as the counting AND."""
+    idx, wd, queries = built
+    eng = native_host.NativeQueryEngine(idx, wd)
+    pairs = [q for q in queries if len(set(q)) == 2]
+    assert pairs, "fixture must contain 2-term queries"
+    _, cnt, _ = eng.run("and_collect", pairs, runs=2)
+    _, cnt_plain, _ = eng.run("and", pairs, runs=2)
+    np.testing.assert_array_equal(cnt, cnt_plain)
+
+
+def test_dict_copy_ns_runs(built):
+    """The native dict-copy microbench loop (src/dict_perf_test.cpp:
+    43-63 mirror) runs over a real DecodeView and returns sane ns."""
+    idx, wd, queries = built
+    dv = idx.docs_dict.decode_view()
+    rng = np.random.default_rng(3)
+    n_rows = dv.offsets.shape[0] * dv.offsets.shape[1]
+    ridx = rng.integers(0, n_rows, 10000).astype(np.uint32)
+    ns = native_host.dict_copy_ns(dv, ridx, runs=2)
+    assert 0.0 < ns < 1e5
+
+
 @pytest.mark.parametrize("op", ["wand", "maxscore", "ranked_and", "ranked_or"])
 def test_ranked_scores_match(built, op):
     idx, wd, queries = built
