@@ -90,12 +90,67 @@ def _load():
         u32p, u32p, i32p, ctypes.c_int, u32p, ctypes.c_uint64,
         ctypes.c_uint32,
     ]
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.qh_decode_units_flat.restype = ctypes.c_int64
+    lib.qh_decode_units_flat.argtypes = [
+        u32p, u32p, i32p, ctypes.c_int,
+        u8p, i64p, i64p, i32p, i32p, i32p,
+        ctypes.c_int64, i64p, u32p,
+    ]
     _lib = lib
     return lib
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def decode_units_flat(
+    view, arena, starts, byte_lens, ns, ctxs, b_bits
+) -> Optional[np.ndarray]:
+    """Decode MANY DINT units into ONE flat u32 stream natively.
+
+    The ladder image build's cold path (tools/decode.py
+    LadderStreamDecoder): returns the concatenated value stream in
+    unit order, or None when the native library is unavailable
+    (callers fall back to lazy_decode.decode_units_fast_batch — the
+    numpy oracle this path is cross-checked against in
+    tests/test_native_query.py)."""
+    lib = _load()
+    if lib is None:
+        return None
+    table = np.ascontiguousarray(view.table, dtype=np.uint32)
+    offs = np.ascontiguousarray(view.offsets, dtype=np.uint32)
+    lens = np.ascontiguousarray(view.lengths, dtype=np.int32)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    byte_lens = np.ascontiguousarray(byte_lens, dtype=np.int64)
+    ns = np.ascontiguousarray(ns, dtype=np.int32)
+    ctxs = np.ascontiguousarray(ctxs, dtype=np.int32)
+    b_bits = np.ascontiguousarray(b_bits, dtype=np.int32)
+    arena = np.ascontiguousarray(arena, dtype=np.uint8)
+    out_offs = np.zeros(ns.shape[0], dtype=np.int64)
+    np.cumsum(ns[:-1], out=out_offs[1:])
+    total = int(ns.astype(np.int64).sum())
+    # +16 words of slack: each dictionary codeword memcpys 16 words
+    out = np.zeros(total + 16, dtype=np.uint32)
+    rc = lib.qh_decode_units_flat(
+        _ptr(table, ctypes.c_uint32),
+        _ptr(offs, ctypes.c_uint32),
+        _ptr(lens, ctypes.c_int32),
+        int(view.offsets.shape[0]) if view.offsets.ndim == 2 else 1,
+        _ptr(arena, ctypes.c_uint8),
+        _ptr(starts, ctypes.c_int64),
+        _ptr(byte_lens, ctypes.c_int64),
+        _ptr(ns, ctypes.c_int32),
+        _ptr(ctxs, ctypes.c_int32),
+        _ptr(b_bits, ctypes.c_int32),
+        int(ns.shape[0]),
+        _ptr(out_offs, ctypes.c_int64),
+        _ptr(out, ctypes.c_uint32),
+    )
+    if rc != 0:
+        raise ValueError(f"malformed unit {-(rc + 1)}")
+    return out[:total]
 
 
 def dict_copy_ns(view, indexes: np.ndarray, runs: int = 10) -> float:

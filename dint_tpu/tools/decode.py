@@ -252,21 +252,34 @@ class LadderStreamDecoder:
 
     def __init__(self, arena, meta, view, multi: bool):
         from ..kernels import unpack_device
-        from ..query.lazy_decode import decode_units_fast_batch
+        from ..query import native_host
 
         t0 = time.perf_counter()
         self.meta = meta
         lay = units_from_meta(arena, meta, multi)
-        vals, _ = decode_units_fast_batch(
-            arena, lay.starts, lay.starts + lay.byte_lens, lay.n,
-            view, lay.ctx, lay.b_bits,
-        )
-        # units_from_meta emits units list-major and in-list sequential
-        # (list_id = repeat(arange(L)), pos_in_list = rank * chunk), so
-        # unit order IS stream order — concatenate directly (a per-unit
-        # scatter loop costs minutes at 10^9 scale: ~3.5M units)
-        flat = (np.concatenate(vals) if vals
-                else np.zeros(0, np.uint32))
+        # native flat decode: all units straight into one buffer (the
+        # numpy batch path builds + joins ~3.5M per-unit arrays at
+        # 10^9 scale — minutes of the ladder cold start)
+        flat = None
+        if os.environ.get("DINT_TPU_NATIVE_LADDER_DECODE", "1") == "1":
+            flat = native_host.decode_units_flat(
+                view, arena, lay.starts, lay.byte_lens, lay.n,
+                lay.ctx, lay.b_bits,
+            )
+        if flat is None:
+            from ..query.lazy_decode import decode_units_fast_batch
+
+            vals, _ = decode_units_fast_batch(
+                arena, lay.starts, lay.starts + lay.byte_lens, lay.n,
+                view, lay.ctx, lay.b_bits,
+            )
+            # units_from_meta emits units list-major and in-list
+            # sequential (list_id = repeat(arange(L)), pos_in_list =
+            # rank * chunk), so unit order IS stream order —
+            # concatenate directly (a per-unit scatter loop costs
+            # minutes at 10^9 scale: ~3.5M units)
+            flat = (np.concatenate(vals) if vals
+                    else np.zeros(0, np.uint32))
         self._list_lens = np.asarray(meta.n, np.int64)
         plan = unpack_device.ladder_plan_from_values(flat)
         self.engine = unpack_device.UnpackEngine(plan)

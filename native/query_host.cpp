@@ -217,7 +217,10 @@ static uint64_t dint_decode_single(const DictView& v, const uint8_t* data,
     const uint32_t* rows = v.rows + size_t(context) * 65536 * ROW_W;
     int i = 0;
     int out_pos = 0;
-    while (i != n) {
+    // i < n (not !=): a malformed stream whose entry lengths overshoot
+    // n must terminate, not spin (qh_decode_units_flat checks the byte
+    // budget after return)
+    while (i < n) {
         uint32_t index;
         if (b == 16) {
             index = uint32_t(data[pos]) | (uint32_t(data[pos + 1]) << 8);
@@ -1035,6 +1038,45 @@ int qh_run(void* p, int op, int k, int runs, const uint32_t* qterms,
             if (run > 0) out_us[uint64_t(run - 1) * Q + qi] = el;
             if (run == runs - 1) out_cnt[qi] = cnt;
         }
+    }
+    return 0;
+}
+
+// Flat batch decode of DINT units for the ladder image build
+// (tools/decode.py LadderStreamDecoder): every unit decodes straight
+// into its slot of ONE caller-provided buffer — no per-unit arrays,
+// no concatenate pass.  The numpy batch path
+// (query/lazy_decode.decode_units_fast_batch) stays the cross-checked
+// oracle; at 908M ints it spends minutes building + joining ~3.5M
+// per-unit arrays that this pass never materializes.
+//
+// Contract: out_flat is PRE-ZEROED (run codewords copy only their
+// leading 16 words and rely on zeros beyond — the
+// vroom_env/dint_codecs.hpp:37-107 semantics) and has >= 16 words of
+// slack after the last unit (each dictionary codeword memcpys 16
+// words unconditionally).  Units MUST be decoded in increasing
+// out_offs order: a unit's <=15-word tail overspill lands in the next
+// unit's first positions, which that unit's own leading writes always
+// cover (every position < 16 of a unit is explicitly written; only
+// run positions >= 16 rely on the pre-zeroed buffer).
+// Returns 0, or -(1+u) if unit u's parse overruns its byte budget or
+// output size.
+int64_t qh_decode_units_flat(
+    const uint32_t* table, const uint32_t* offsets, const int32_t* lengths,
+    int contexts, const uint8_t* arena, const int64_t* starts,
+    const int64_t* byte_lens, const int32_t* ns, const int32_t* ctxs,
+    const int32_t* b_bits, int64_t num_units, const int64_t* out_offs,
+    uint32_t* out_flat) {
+    DictView v{table, offsets, lengths, contexts};
+    std::vector<uint32_t> store;
+    build_dict_rows(v, store);
+    for (int64_t u = 0; u < num_units; ++u) {
+        int n = ns[u];
+        if (n <= 0) continue;
+        uint64_t pos = uint64_t(starts[u]);
+        uint64_t end_pos = dint_decode_single(
+            v, arena, pos, n, out_flat + out_offs[u], b_bits[u], ctxs[u]);
+        if (end_pos > pos + uint64_t(byte_lens[u])) return -(1 + u);
     }
     return 0;
 }

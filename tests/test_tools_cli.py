@@ -79,6 +79,43 @@ def test_dint_ladder_engine_exact(workdir, type_name):
         assert int(rec["plan_bytes"]) > 0
 
 
+@pytest.mark.parametrize("type_name", ["single_packed_dint",
+                                       "multi_packed_dint"])
+def test_native_flat_unit_decode_matches_oracle(workdir, type_name):
+    """qh_decode_units_flat (the ladder cold path's native batch
+    decode) == decode_units_fast_batch (the numpy oracle), value for
+    value over a whole real stream."""
+    tmp, base, qf = workdir
+    from dint_tpu.index import stream as stream_mod
+    from dint_tpu.query import native_host
+    from dint_tpu.query.lazy_decode import decode_units_fast_batch
+    from dint_tpu.tools import decode as dtool
+    from dint_tpu.tools import encode
+
+    if not native_host.available():
+        pytest.skip("native query engine unavailable")
+    with _cd(tmp):
+        out = f"flat.{type_name}.bin"
+        encode.main([type_name, base + ".docs", "--out", out])
+        kind = "multi_packed" if type_name.startswith("multi") else \
+            "single_packed"
+        dict_file = (f"dict.{os.path.basename(base)}.docs."
+                     f"{kind}.DSF-65536-16")
+        d = dtool.load_dictionary(type_name, dict_file)
+        view = d.decode_view()
+        arena, meta = stream_mod.load_stream(out)
+        lay = dtool.units_from_meta(
+            arena, meta, type_name.startswith("multi"))
+        flat = native_host.decode_units_flat(
+            view, arena, lay.starts, lay.byte_lens, lay.n,
+            lay.ctx, lay.b_bits)
+        vals, _ = decode_units_fast_batch(
+            arena, lay.starts, lay.starts + lay.byte_lens, lay.n,
+            view, lay.ctx, lay.b_bits)
+        want = np.concatenate(vals)
+        np.testing.assert_array_equal(flat, want)
+
+
 def test_index_tools(workdir):
     tmp, base, qf = workdir
     from dint_tpu.tools import (
