@@ -54,12 +54,18 @@ REF_QUERIES = os.path.join(REF, "test/test_data/queries")
 
 # testcoll mirrors the reference's bundled test_collection shape
 # (README.md:53) and uses its REAL 500-query log; bench is the heavier
-# 16.7M-posting collection with generated multi-million-posting unions.
+# 16.7M-posting collection with generated multi-million-posting unions;
+# bench_skew is the same shape with crawl-like structure (bursty docid
+# locality + verbosity-correlated freqs, synth.make_skewed_collection —
+# VERDICT r3 item 6: realistic selector/partition mix and block maxima
+# that actually vary, so BMW/WAND pruning numbers mean something).
 SHAPES = {
     "testcoll": dict(cache=".testcoll", lists=113_306, docs=10_000,
                      target_postings=3_327_520, seed=19),
     "bench": dict(cache=".bench", lists=6000, docs=4_000_000,
                   avg_len=5000.0, seed=2026),
+    "bench_skew": dict(cache=".bench_skew", lists=6000, docs=4_000_000,
+                       avg_len=5000.0, seed=2026, skew=True),
 }
 
 
@@ -104,9 +110,9 @@ def ensure_collection(shape_name: str) -> str:
             kw["target_postings"] = cfg["target_postings"]
         if "avg_len" in cfg:
             kw["avg_len"] = cfg["avg_len"]
-        docs, freqs = synth.make_collection(
-            cfg["lists"], cfg["docs"], seed=cfg["seed"], **kw
-        )
+        gen = (synth.make_skewed_collection if cfg.get("skew")
+               else synth.make_collection)
+        docs, freqs = gen(cfg["lists"], cfg["docs"], seed=cfg["seed"], **kw)
         collection.write_freq_collection(base, docs, freqs, cfg["docs"])
         sizes = synth.doc_sizes_from_lists(docs, freqs, cfg["docs"])
         collection.write_sizes_file(base, sizes)
