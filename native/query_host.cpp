@@ -41,10 +41,28 @@ constexpr float B = 0.5f;
 constexpr double EPS_SCORE = 1e-6;
 constexpr uint32_t UNKNOWN_SUM = 0xFFFFFFFFu;
 
+#define DS2I_UNLIKELY_(x) __builtin_expect(!!(x), 0)
+
 static inline double now_us() {
     auto t = std::chrono::steady_clock::now().time_since_epoch();
     return std::chrono::duration<double, std::micro>(t).count();
 }
+
+// QH_PROF=1: per-batch work counters (diagnosis only — a handful of
+// predictable increments per posting; qh_prof_read drains them)
+struct ProfCounters {
+    uint64_t docs_blocks = 0;
+    uint64_t freqs_blocks = 0;
+    uint64_t ess_docs = 0;     // essential-loop doc iterations
+    uint64_t ess_scans = 0;    // essential-loop cursor scans
+    uint64_t ne_probes = 0;    // non-essential next_geq probes
+    uint64_t geq_calls = 0;
+    uint64_t nexts = 0;
+    double docs_us = 0;   // time inside docs-block decode
+    double freqs_us = 0;  // time inside freqs-block decode
+};
+static ProfCounters g_prof;
+static bool g_prof_on = false;
 
 // ---------------------------------------------------------------- bits
 
@@ -209,8 +227,14 @@ static void build_dict_rows(DictView& v, std::vector<uint32_t>& store) {
 
 // single_dint::decode semantics (vroom_env/dint_codecs.hpp:37-107):
 // u16/u8 codeword stream; index>=2 copies a dictionary entry, 1 is an
-// inline 4-byte exception, 0 a 2-byte exception.  out must be zeroed
-// (run entries copy only their leading 16 zeros).
+// inline 4-byte exception, 0 a 2-byte exception.  Run entries
+// (ln > 16) zero their own tail explicitly, so the output does NOT
+// need pre-zeroing and block buffers need no per-block memset (the
+// reference skips both the tail write and the memset, which is a
+// latent stale-buffer bug for >16-runs its bundled data never hits —
+// dict_posting_list.hpp:104, vroom_env/dint_codecs.hpp:51 copy 16
+// words and skip; correct only while the buffer still holds its
+// construction-time zeros).
 static uint64_t dint_decode_single(const DictView& v, const uint8_t* data,
                                    uint64_t pos, int n, uint32_t* out,
                                    int b, int context) {
@@ -233,9 +257,12 @@ static uint64_t dint_decode_single(const DictView& v, const uint8_t* data,
             const uint32_t* row = rows + size_t(index) * ROW_W;
             int ln = int(row[0]);
             // copy 16 words unconditionally (row is padded); runs
-            // (ln > 16) rely on the zeroed output beyond the first 16
+            // (ln > 16) zero their tail explicitly (rare, predictable)
             std::memcpy(out + out_pos, row + 1,
                         MAX_ENTRY_SIZE * sizeof(uint32_t));
+            if (DS2I_UNLIKELY_(ln > MAX_ENTRY_SIZE))
+                std::memset(out + out_pos + MAX_ENTRY_SIZE, 0,
+                            size_t(ln - MAX_ENTRY_SIZE) * sizeof(uint32_t));
             out_pos += ln;
             i += ln;
         } else if (index == 1) {
@@ -283,12 +310,17 @@ static uint64_t dint_decode_single_docids(const DictView& v,
             int ln = int(row[0]);
             std::memcpy(out + out_pos, row + 1,
                         MAX_ENTRY_SIZE * sizeof(uint32_t));
-            // runs (ln > 16) read the pre-zeroed tail of the buffer
-            for (int k = 0; k < ln; ++k) {
+            int head = ln < MAX_ENTRY_SIZE ? ln : MAX_ENTRY_SIZE;
+            for (int k = 0; k < head; ++k) {
                 acc += out[out_pos + k];
                 out[out_pos + k] = uint32_t(acc);
                 acc += 1;
             }
+            // run tails (ln > 16) are all-zero gaps = consecutive
+            // docids: counted fill, no zero reads, no dependence chain
+            for (int k = head; k < ln; ++k)
+                out[out_pos + k] = uint32_t(acc + uint64_t(k - head));
+            acc += uint64_t(ln - head);
             out_pos += ln;
             i += ln;
         } else if (index == 1) {
@@ -405,6 +437,7 @@ struct NativeCursor {
     }
 
     void enter_block(int rel_b, int pib) {
+        double t0 = g_prof_on ? now_us() : 0;
         uint64_t b = p0 + rel_b;
         int size = block_size_of(rel_b);
         uint32_t base =
@@ -415,7 +448,7 @@ struct NativeCursor {
             interp_decode_docids(ctx->arena, start, size, sum_v, base,
                                  docs_buf);
         } else {
-            std::memset(docs_buf, 0, sizeof(docs_buf));
+            // no memset: the decoders are self-zeroing for run tails
             if (ctx->is_multi) {
                 // one BLOCK_SIZE chunk == one selector + one unit
                 uint8_t sc = ctx->arena[start];
@@ -437,6 +470,7 @@ struct NativeCursor {
         pos_in_block = pib;
         cur = docs_buf[pib];
         freqs_valid = false;
+        if (g_prof_on) { ++g_prof.docs_blocks; g_prof.docs_us += now_us() - t0; }
     }
 
     inline uint32_t docid() const { return cur; }
@@ -448,6 +482,8 @@ struct NativeCursor {
     }
 
     void decode_freqs_block() {
+        double t0 = g_prof_on ? now_us() : 0;
+        if (g_prof_on) ++g_prof.freqs_blocks;
         uint64_t b = p0 + cur_block;
         int size = cur_size;
         uint64_t start = ctx->docs_end[b];
@@ -455,7 +491,7 @@ struct NativeCursor {
             interp_decode_block(ctx->arena, start, size, UNKNOWN_SUM,
                                 freqs_buf);
         } else {
-            std::memset(freqs_buf, 0, sizeof(freqs_buf));
+            // no memset: dint_decode_single zeroes run tails itself
             if (ctx->is_multi)
                 dint_decode_multi(ctx->freqs_dict, ctx->arena, start,
                                   size, freqs_buf);
@@ -464,6 +500,7 @@ struct NativeCursor {
                                    size, freqs_buf, 16, 0);
         }
         freqs_valid = true;
+        if (g_prof_on) g_prof.freqs_us += now_us() - t0;
     }
 
     // the reference's next() shape (dict_posting_list.hpp:113-124):
@@ -513,6 +550,7 @@ struct NativeCursor {
     }
 
     void next_geq(uint32_t target) {
+        if (g_prof_on) ++g_prof.geq_calls;
         if (target <= cur) return;
         const uint32_t* maxs = ctx->block_max + p0;
         int lo = pos_in_block + 1;  // target > cur
@@ -832,20 +870,45 @@ static uint64_t op_maxscore(const Ctx* c, std::vector<NativeCursor>& cur,
     for (auto& e : ordered) cur_doc = std::min(cur_doc, e.c->docid());
 
     while (non_essential < m && cur_doc < nd) {
+        if (g_prof_on) ++g_prof.ess_docs;
         float score = 0.0f;
         float nl = c->norm_lens[cur_doc];
         uint32_t next_doc = nd;
+        size_t exhausted = m;
         for (size_t i = non_essential; i < m; ++i) {
+            if (g_prof_on) ++g_prof.ess_scans;
             auto& e = ordered[i];
             if (e.c->docid() == cur_doc) {
                 float f = float(e.c->freq());
                 score += e.q_weight * doc_term_weight(f, nl);
                 e.c->next();
+                if (DS2I_UNLIKELY_(e.c->docid() >= nd)) exhausted = i;
             }
             next_doc = std::min(next_doc, e.c->docid());
         }
+        // drop exhausted essential cursors: docid == num_docs can
+        // never match again, yet the reference keeps scanning them
+        // every iteration (queries.hpp:526-536) — a 5-term query with
+        // singleton rares pays ~m scans per union doc forever.
+        // Removing at i >= non_essential leaves upper_bounds[0..ne)
+        // untouched, so the non-essential pruning logic is unchanged.
+        if (DS2I_UNLIKELY_(exhausted < m)) {
+            size_t w = non_essential;
+            for (size_t i = non_essential; i < m; ++i)
+                if (ordered[i].c->docid() < nd) ordered[w++] = ordered[i];
+            m = w;  // the while condition ends the walk once ne >= m;
+                    // cur_doc still completes + inserts below first
+            // surviving cursors shifted down: rebuild their cumulative
+            // bounds (the prefix [0, ne) is untouched, so the
+            // non-essential completion checks stay exact)
+            for (size_t i = non_essential; i < m; ++i)
+                upper_bounds[i] =
+                    (i ? upper_bounds[i - 1] : 0.0f) +
+                    ordered[i].max_weight;
+        }
         for (size_t ii = non_essential; ii-- > 0;) {
             if (!topk.would_enter(score + upper_bounds[ii])) break;
+            if (g_prof_on) ++g_prof.ne_probes;
             auto& e = ordered[ii];
             e.c->next_geq(cur_doc);
             if (e.c->docid() == cur_doc) {
@@ -1112,6 +1175,23 @@ double qh_dict_copy(const uint32_t* table, const uint32_t* offsets,
                 .count());
     }
     return elapsed / runs / double(n);
+}
+
+void qh_prof_enable(int on) {
+    g_prof_on = on != 0;
+    g_prof = ProfCounters{};
+}
+
+void qh_prof_read(uint64_t* out7) {
+    out7[0] = g_prof.docs_blocks;
+    out7[1] = g_prof.freqs_blocks;
+    out7[2] = g_prof.ess_docs;
+    out7[3] = g_prof.ess_scans;
+    out7[4] = g_prof.ne_probes;
+    out7[5] = g_prof.geq_calls;
+    out7[6] = g_prof.nexts;
+    out7[7] = uint64_t(g_prof.docs_us);
+    out7[8] = uint64_t(g_prof.freqs_us);
 }
 
 }  // extern "C"

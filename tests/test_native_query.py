@@ -70,6 +70,66 @@ def test_boolean_counts_match(built):
             assert int(cnt[i]) == want, (op, i, q)
 
 
+def test_long_run_blocks_decode_exactly():
+    """Blocks dominated by >16-length zero-gap runs (consecutive
+    docids — the DINT run codewords' whole-block case).  The decoders
+    zero run tails explicitly rather than relying on a pre-zeroed
+    buffer; a stale-buffer regression here corrupts docids/freqs on
+    the SECOND block entered by a cursor (the reference's own decode
+    has exactly that latent bug, vroom_env/dint_codecs.hpp:51)."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        base = td + "/c"
+        rng = np.random.default_rng(99)
+        docs, freqs = [], []
+        # dense consecutive runs: docids i..i+n-1 (all-zero d-gaps)
+        for start, n in [(0, 1000), (3000, 700), (100, 512), (7, 300)]:
+            docs.append(np.arange(start, start + n, dtype=np.uint32))
+            freqs.append(np.ones(n, np.uint32))
+        # one mixed list: runs interleaved with jumps
+        d = np.concatenate([
+            np.arange(0, 200, dtype=np.uint32),
+            np.arange(2000, 2300, dtype=np.uint32),
+            np.arange(5000, 5600, dtype=np.uint32),
+        ])
+        docs.append(d)
+        freqs.append((rng.integers(1, 4, d.shape[0])).astype(np.uint32))
+        collection.write_freq_collection(base, docs, freqs, 8000)
+        collection.write_sizes_file(
+            base, synth.doc_sizes_from_lists(docs, freqs, 8000))
+        for kind in ("single", "multi"):
+            idx = dint_index.build_index(base, kind=kind, cache_dir=td)
+            dec = TermDecoder(idx)
+            for t, d in enumerate(docs):
+                np.testing.assert_array_equal(
+                    dec.decode_docids([t])[t], d, err_msg=f"{kind} {t}")
+            wd = ranked.build_wand_data(base)
+            eng = native_host.NativeQueryEngine(idx, wd)
+            queries = [[0], [1], [0, 2], [0, 1, 2, 3, 4], [4, 2]]
+            _, cnt, _ = eng.run("and", queries, runs=2)
+            _, cnt_or, _ = eng.run("or", queries, runs=2)
+            for i, q in enumerate(queries):
+                cache = lazy_decode.BlockCache(idx)
+                assert int(cnt[i]) == int(
+                    boolean.and_query_lazy(cache, q).shape[0])
+                cache = lazy_decode.BlockCache(idx)
+                assert int(cnt_or[i]) == int(
+                    boolean.or_query_lazy(cache, q).shape[0])
+            _, cntw, scores = eng.run("wand", queries, runs=2, k=10)
+            decoder = TermDecoder(idx)
+            for i, q in enumerate(queries):
+                decoder._lazy_cache = lazy_decode.BlockCache(idx)
+                want = ranked.wand(idx, decoder, wdata=wd, terms=q, k=10)
+                got = scores[i][scores[i] >= 0]
+                np.testing.assert_allclose(
+                    got, np.sort(want)[::-1], rtol=2e-4, atol=1e-5)
+            # native flat unit decode over the same stream shape
+            view = idx.docs_dict.decode_view()
+            n_rows = view.offsets.shape[0] * view.offsets.shape[1]
+            assert n_rows > 0
+
+
 def test_and_collect_counts_match(built):
     """op 8 (pair_wise_intersect semantics: results materialized into a
     num_docs buffer) returns the same counts as the counting AND."""
