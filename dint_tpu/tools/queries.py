@@ -13,6 +13,7 @@ query over R timed runs after one untimed warmup, one JSON line per op
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
 import numpy as np
@@ -86,9 +87,25 @@ def run_op_device(index, decoder, wdata, queries_list, op, runs, k):
             # host-engine queries over the same index); call
             # decoder.lazy_cache clearing explicitly if footprint
             # matters more than reuse.
-            drows, srows, pruned_stats = bmw_mod.build_pruned_rows(
-                decoder.lazy_cache, index, wdata, queries_list, k,
-            )
+            # survival tests run ON DEVICE by default (one batched
+            # dispatch, query/bmw_device.py); DINT_TPU_DEVICE_BMW=0
+            # keeps the host numpy tests for A/B.  Both are exact;
+            # prune_host_s records the host pre-work either way.
+            import time as _time
+
+            t_prune0 = _time.perf_counter()
+            if os.environ.get("DINT_TPU_DEVICE_BMW", "1") == "1":
+                from ..query import bmw_device as bmw_dev
+
+                drows, srows, pruned_stats = bmw_dev.build_pruned_rows_device(
+                    decoder.lazy_cache, index, wdata, queries_list, k,
+                )
+            else:
+                drows, srows, pruned_stats = bmw_mod.build_pruned_rows(
+                    decoder.lazy_cache, index, wdata, queries_list, k,
+                )
+            pruned_stats["prune_rows_host_s"] = round(
+                _time.perf_counter() - t_prune0, 3)
         else:
             drows, srows = device_batch.build_ranked_rows(
                 index, decoder, wdata, queries_list
@@ -148,6 +165,10 @@ def run_op_device(index, decoder, wdata, queries_list, op, runs, k):
     if pruned_stats:
         extra["postings_kept"] = str(pruned_stats["postings_kept"])
         extra["postings_total"] = str(pruned_stats["postings_total"])
+        extra["prune_rows_host_s"] = str(
+            pruned_stats.get("prune_rows_host_s", ""))
+        extra["prune_engine"] = (
+            "device" if "device_queries" in pruned_stats else "host")
     return percentiles(t_us), (Q, widest, len(buckets)), extra
 
 
