@@ -297,11 +297,20 @@ def serve_ranked_sharded(
         and hasattr(decoder, "lazy_cache")
         and hasattr(decoder.lazy_cache, "docs_blocks_batch")
     ):
-        from ..query import bmw
+        import os as _os
 
-        drows, srows, _ = bmw.build_pruned_rows(
-            decoder.lazy_cache, index, wdata, queries, k
-        )
+        if _os.environ.get("DINT_TPU_DEVICE_BMW", "1") == "1":
+            from ..query import bmw_device
+
+            drows, srows, _ = bmw_device.build_pruned_rows_device(
+                decoder.lazy_cache, index, wdata, queries, k
+            )
+        else:
+            from ..query import bmw
+
+            drows, srows, _ = bmw.build_pruned_rows(
+                decoder.lazy_cache, index, wdata, queries, k
+            )
     else:
         drows, srows = device_batch.build_ranked_rows(
             index, decoder, wdata, queries
