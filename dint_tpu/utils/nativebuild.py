@@ -102,6 +102,8 @@ def ensure_so(
                 args + [src, "-o", tmp], check=True, capture_output=True
             )
             os.replace(tmp, out)
+            with open(out + ".srchash", "w") as f:
+                f.write(_src_hash(src))
             return out
         except (subprocess.CalledProcessError, FileNotFoundError) as e:
             print(f"native build of {so_name} failed: {e}", file=sys.stderr)
@@ -111,5 +113,24 @@ def ensure_so(
                 os.unlink(tmp)
 
 
+def _src_hash(src: str) -> str:
+    import hashlib
+
+    with open(src, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
 def _fresh(out: str, src: str) -> bool:
-    return os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src)
+    """A binary is fresh only if its recorded source hash matches.
+
+    mtime alone is NOT trustworthy: a git checkout stamps source and
+    any stray binary with the same time, which once served a stale
+    committed .so whose exports lagged the source (missing
+    qh_dict_copy).  Binaries without a hash sidecar are rebuilt."""
+    if not os.path.exists(out):
+        return False
+    try:
+        with open(out + ".srchash") as f:
+            return f.read().strip() == _src_hash(src)
+    except OSError:
+        return False
