@@ -49,8 +49,15 @@ import numpy as np
 from ..config import EXCEPTIONS, MAX_ENTRY_SIZE
 from ..dictionary.dictionary import DecodeView
 
-W_TOKENS = 128  # tokens per sub-unit row
-N_OUT = 256  # output ints per sub-unit row
+import os as _os
+
+W_TOKENS = int(_os.environ.get("DINT_TPU_W_TOKENS", "128"))  # tokens
+# per sub-unit row (chop budget only — FFD packing recombines
+# sub-units, so the device row density is set by N_OUT, not this)
+N_OUT = int(_os.environ.get("DINT_TPU_N_OUT", "256"))  # output ints
+# per device row (must be a multiple of 128 lanes).  256 is the
+# measured optimum on the bench stream; 512 halves row count when the
+# vocab budget doesn't bind (geometry A/B: scripts/gather_geometry.py)
 TABLE_CLS = 256  # local content table words per row (must be <= 256:
 # vidx values are stored u8, and the pallas kernel selects between
 # TABLE_CLS/128 gathered 128-lane halves by the index high bits)

@@ -351,6 +351,15 @@ def decode_stream(
         # this is what the streaming planner bounds)
         "cold_start_s": f"{getattr(dec, 'cold_start_s', 0.0):.3f}",
     }
+    img = getattr(getattr(dec, "engine", None), "image", None)
+    if img is not None:
+        rec["rows"] = str(
+            img.n0.shape[0] + img.n16.shape[0] + img.n32.shape[0]
+        )
+        rec["geometry"] = (
+            f"{decode_local.W_TOKENS}/{decode_local.N_OUT}/"
+            f"{decode_local.TABLE_CLS}"
+        )
     if check_collection:
         got = dec.gather_lists()
         expect, _ = common.gap_lists_of(check_collection)
