@@ -59,6 +59,12 @@ class WidthClass:
     # (monotone streams — PEF docids — pack at the width of the
     # block's SPAN, not its absolute values)
     val_base: np.ndarray = None
+    # ladder plans via the fused native builder
+    # (native_host.decode_units_to_ladder): the class arrives ALREADY
+    # bit-packed and lane-major ((W, M, 128) u32) — the engine ships
+    # it as-is instead of running _pack_w + _lane_major (which cost
+    # ~90 s of the 908M cold start in numpy).  payload is empty then.
+    prepacked: np.ndarray = None
 
 
 @dataclass
@@ -76,6 +82,8 @@ class UnpackPlan:
             t += c.payload.nbytes + c.out_base.nbytes
             if c.exc_dense is not None:
                 t += c.exc_dense.nbytes
+            if c.prepacked is not None:
+                t += c.prepacked.nbytes
         return t
 
 
@@ -302,6 +310,29 @@ def ladder_plan_from_values(flat: np.ndarray,
                 )
             )
     return UnpackPlan("ladder", vpb, classes, partials, total)
+
+
+def ladder_plan_prepacked(classes, tail: np.ndarray,
+                          total: int) -> UnpackPlan:
+    """Wrap the fused native builder's output
+    (native_host.decode_units_to_ladder) as a ladder UnpackPlan:
+    `classes` is [(w, lane_major (W, M, 128) u32, out_base (N,) i64)],
+    already bit-packed and lane-transposed — the engine uploads them
+    as-is.  Semantically identical to ladder_plan_from_values over the
+    same value stream (parity-gated by tests/test_ladder_native.py)."""
+    vpb = BLOCK_SIZE
+    wcs: List[WidthClass] = []
+    for w, lane, out_base in classes:
+        n = out_base.shape[0]
+        wcs.append(
+            WidthClass(
+                int(w), np.zeros((n, 0), np.uint8), out_base,
+                np.full(n, vpb, np.int64), prepacked=lane,
+            )
+        )
+    nb = (total - int(tail.shape[0])) // vpb
+    partials = [(nb * vpb, tail)] if tail.size else []
+    return UnpackPlan("ladder", vpb, wcs, partials, total)
 
 
 @functools.lru_cache(maxsize=None)
@@ -983,6 +1014,7 @@ class UnpackEngine:
             # broadcast-added back inside the kernel.
             for c in plan.classes:
                 wT = jnp.asarray(
+                    c.prepacked if c.prepacked is not None else
                     _lane_major(_pack_w(c.payload.astype(np.uint32), c.b))
                 )
                 if c.val_base is not None:

@@ -97,6 +97,24 @@ def _load():
         u8p, i64p, i64p, i32p, i32p, i32p,
         ctypes.c_int64, i64p, u32p,
     ]
+    lib.qh_ladder_build.restype = ctypes.c_int64
+    lib.qh_ladder_build.argtypes = [
+        u32p, u32p, i32p, ctypes.c_int,
+        u8p, i64p, i64p, i32p, i32p, i32p,
+        ctypes.c_int64, ctypes.c_int32, ctypes.POINTER(ctypes.c_void_p),
+    ]
+    lib.qh_ladder_counts.restype = None
+    lib.qh_ladder_counts.argtypes = [ctypes.c_void_p, i64p]
+    lib.qh_ladder_tail_len.restype = ctypes.c_int64
+    lib.qh_ladder_tail_len.argtypes = [ctypes.c_void_p]
+    lib.qh_ladder_tail.restype = None
+    lib.qh_ladder_tail.argtypes = [ctypes.c_void_p, u32p]
+    lib.qh_ladder_fetch.restype = None
+    lib.qh_ladder_fetch.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, u32p, ctypes.c_int64, i64p,
+    ]
+    lib.qh_ladder_free.restype = None
+    lib.qh_ladder_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -151,6 +169,79 @@ def decode_units_flat(
     if rc != 0:
         raise ValueError(f"malformed unit {-(rc + 1)}")
     return out[:total]
+
+
+LADDER_WIDTHS = (1, 2, 3, 4, 5, 6, 8, 10, 16, 32)
+
+
+def decode_units_to_ladder(view, arena, starts, byte_lens, ns, ctxs,
+                           b_bits, vpb: int = 256):
+    """Fused decode -> classify -> pack: DINT units straight to the
+    ladder image's per-width lane-major class arrays, never
+    materializing the flat value stream (which costs ~130 s of numpy
+    passes + fresh-page faults at 908M ints on this VM).
+
+    Returns (classes, tail) where classes is a list of
+    (w, lane_major (W, M, 128) u32, out_base (N,) i64) for each
+    non-empty ladder width and tail is the trailing partial block's
+    values — or None when the native library is unavailable (callers
+    fall back to the flat-decode + ladder_plan_from_values path, the
+    cross-checked oracle)."""
+    lib = _load()
+    if lib is None:
+        return None
+    table = np.ascontiguousarray(view.table, dtype=np.uint32)
+    offs = np.ascontiguousarray(view.offsets, dtype=np.uint32)
+    lens = np.ascontiguousarray(view.lengths, dtype=np.int32)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    byte_lens = np.ascontiguousarray(byte_lens, dtype=np.int64)
+    ns = np.ascontiguousarray(ns, dtype=np.int32)
+    ctxs = np.ascontiguousarray(ctxs, dtype=np.int32)
+    b_bits = np.ascontiguousarray(b_bits, dtype=np.int32)
+    arena = np.ascontiguousarray(arena, dtype=np.uint8)
+    handle = ctypes.c_void_p()
+    rc = lib.qh_ladder_build(
+        _ptr(table, ctypes.c_uint32),
+        _ptr(offs, ctypes.c_uint32),
+        _ptr(lens, ctypes.c_int32),
+        int(view.offsets.shape[0]) if view.offsets.ndim == 2 else 1,
+        _ptr(arena, ctypes.c_uint8),
+        _ptr(starts, ctypes.c_int64),
+        _ptr(byte_lens, ctypes.c_int64),
+        _ptr(ns, ctypes.c_int32),
+        _ptr(ctxs, ctypes.c_int32),
+        _ptr(b_bits, ctypes.c_int32),
+        int(ns.shape[0]),
+        int(vpb),
+        ctypes.byref(handle),
+    )
+    if rc != 0:
+        raise ValueError(f"malformed unit {-(rc + 1)}")
+    try:
+        counts = np.zeros(10, dtype=np.int64)
+        lib.qh_ladder_counts(handle, _ptr(counts, ctypes.c_int64))
+        classes = []
+        for slot, w in enumerate(LADDER_WIDTHS):
+            n = int(counts[slot])
+            if n == 0:
+                continue
+            vpw = 32 // w
+            W = -(-vpb // vpw)
+            m = max(1, -(-n // 128))
+            lane = np.zeros((W, m, 128), dtype=np.uint32)
+            out_base = np.zeros(n, dtype=np.int64)
+            lib.qh_ladder_fetch(
+                handle, slot, _ptr(lane, ctypes.c_uint32), m,
+                _ptr(out_base, ctypes.c_int64),
+            )
+            classes.append((w, lane, out_base))
+        tl = int(lib.qh_ladder_tail_len(handle))
+        tail = np.zeros(tl, dtype=np.uint32)
+        if tl:
+            lib.qh_ladder_tail(handle, _ptr(tail, ctypes.c_uint32))
+    finally:
+        lib.qh_ladder_free(handle)
+    return classes, tail
 
 
 def dict_copy_ns(view, indexes: np.ndarray, runs: int = 10) -> float:

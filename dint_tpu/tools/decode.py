@@ -257,11 +257,33 @@ class LadderStreamDecoder:
         t0 = time.perf_counter()
         self.meta = meta
         lay = units_from_meta(arena, meta, multi)
-        # native flat decode: all units straight into one buffer (the
-        # numpy batch path builds + joins ~3.5M per-unit arrays at
-        # 10^9 scale — minutes of the ladder cold start)
-        flat = None
+        self._list_lens = np.asarray(meta.n, np.int64)
+        # fused native build: decode -> classify -> bit-pack straight
+        # to lane-major class arrays, no flat intermediate (the flat
+        # stream alone is 3.6 GB at 10^9 scale and every numpy pass
+        # over it pays this VM's fresh-page fault tax; measured 185 s
+        # -> ~40 s cold start at 908M ints)
         if os.environ.get("DINT_TPU_NATIVE_LADDER_DECODE", "1") == "1":
+            res = native_host.decode_units_to_ladder(
+                view, arena, lay.starts, lay.byte_lens, lay.n,
+                lay.ctx, lay.b_bits,
+            )
+            if res is not None:
+                total = int(self._list_lens.sum())
+                plan = unpack_device.ladder_plan_prepacked(
+                    res[0], res[1], total
+                )
+                self.engine = unpack_device.UnpackEngine(plan)
+                self._plan = plan
+                self.plan_bytes = self.engine.device_bytes
+                self.cold_start_s = time.perf_counter() - t0
+                return
+        # flat-decode fallback paths (cross-checked oracles;
+        # DINT_TPU_NATIVE_LADDER_DECODE=flat forces this native A/B
+        # leg, =0 the numpy oracle)
+        flat = None
+        if os.environ.get("DINT_TPU_NATIVE_LADDER_DECODE", "1") in (
+                "1", "flat"):
             flat = native_host.decode_units_flat(
                 view, arena, lay.starts, lay.byte_lens, lay.n,
                 lay.ctx, lay.b_bits,
@@ -280,7 +302,6 @@ class LadderStreamDecoder:
             # minutes at 10^9 scale: ~3.5M units)
             flat = (np.concatenate(vals) if vals
                     else np.zeros(0, np.uint32))
-        self._list_lens = np.asarray(meta.n, np.int64)
         plan = unpack_device.ladder_plan_from_values(flat)
         self.engine = unpack_device.UnpackEngine(plan)
         self._plan = plan

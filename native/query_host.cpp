@@ -1144,6 +1144,149 @@ int64_t qh_decode_units_flat(
     return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Fused ladder image build: decode -> classify -> pack in ONE pass.
+//
+// The ladder serving image (kernels/unpack_device.py
+// ladder_plan_from_values + UnpackEngine) previously materialized the
+// whole 3.6 GB flat value stream in numpy and re-read it three times
+// (per-block max, per-class gather, bit-pack + lane transpose) —
+// 160 s of the 185 s cold start at 908M ints on this VM (fresh-page
+// faults dominate every large numpy temporary here).  This builder
+// never materializes the stream: units decode into a small rolling
+// block window; each full 256-value block classifies by OR-reduction
+// (bit_width(OR) == bit_width(max)) and bit-packs straight into its
+// width class's growable row-major buffer.  qh_ladder_fetch then
+// transposes each class into the engine's lane-major (W, M, 128)
+// layout (row r outer / word k inner: reads sequential, live write
+// set = W cache lines).
+//
+// Semantics mirror ladder_plan_from_values(base_relative=False)
+// exactly: w_need = ceil(log2(max+1)) clamped to >= 1, smallest
+// ladder width >= w_need, values packed little-endian w-bit fields,
+// vpw = 32/w per word, no value straddles a word.
+// ---------------------------------------------------------------------------
+
+static const int LADDER_WIDTHS[10] = {1, 2, 3, 4, 5, 6, 8, 10, 16, 32};
+
+struct LadderBuilder {
+    int vpb = 0;
+    std::vector<uint32_t> packed[10];    // row-major, stride W_k
+    std::vector<int64_t> out_base[10];
+    int64_t blocks = 0;
+    std::vector<uint32_t> tail;
+};
+
+static inline int ladder_slot(uint32_t mx) {
+    int wn = mx ? 32 - __builtin_clz(mx) : 1;
+    for (int s = 0; s < 10; ++s)
+        if (LADDER_WIDTHS[s] >= wn) return s;
+    return 9;
+}
+
+static void ladder_finish_block(LadderBuilder* lb, const uint32_t* v) {
+    const int vpb = lb->vpb;
+    uint32_t mx = 0;
+    for (int j = 0; j < vpb; ++j) mx |= v[j];
+    int s = ladder_slot(mx);
+    int w = LADDER_WIDTHS[s];
+    int vpw = 32 / w;
+    int W = (vpb + vpw - 1) / vpw;
+    auto& vec = lb->packed[s];
+    size_t p = vec.size();
+    vec.resize(p + size_t(W));
+    uint32_t* dst = vec.data() + p;
+    for (int k = 0; k < W; ++k) {
+        int base = k * vpw;
+        int lim = vpw < vpb - base ? vpw : vpb - base;
+        uint32_t word = 0;
+        for (int j = 0; j < lim; ++j) word |= v[base + j] << (j * w);
+        dst[k] = word;
+    }
+    lb->out_base[s].push_back(lb->blocks * int64_t(vpb));
+    ++lb->blocks;
+}
+
+int64_t qh_ladder_build(
+    const uint32_t* table, const uint32_t* offsets, const int32_t* lengths,
+    int contexts, const uint8_t* arena, const int64_t* starts,
+    const int64_t* byte_lens, const int32_t* ns, const int32_t* ctxs,
+    const int32_t* b_bits, int64_t num_units, int32_t vpb, void** out) {
+    DictView v{table, offsets, lengths, contexts};
+    std::vector<uint32_t> store;
+    build_dict_rows(v, store);
+    auto* lb = new LadderBuilder();
+    lb->vpb = vpb;
+    // rolling window: decode at `fill`, flush full vpb-blocks down.
+    // Slack beyond fill: each codeword memcpys 16 words
+    // unconditionally and the decode writes up to n values.
+    int nmax = 0;
+    for (int64_t u = 0; u < num_units; ++u)
+        if (ns[u] > nmax) nmax = ns[u];
+    std::vector<uint32_t> win(size_t(vpb) + size_t(nmax) +
+                              MAX_ENTRY_SIZE + 64);
+    int fill = 0;
+    for (int64_t u = 0; u < num_units; ++u) {
+        int n = ns[u];
+        if (n <= 0) continue;
+        uint64_t pos = uint64_t(starts[u]);
+        uint64_t end_pos = dint_decode_single(
+            v, arena, pos, n, win.data() + fill, b_bits[u], ctxs[u]);
+        if (end_pos > pos + uint64_t(byte_lens[u])) {
+            delete lb;
+            return -(1 + u);
+        }
+        fill += n;
+        while (fill >= vpb) {
+            ladder_finish_block(lb, win.data());
+            std::memmove(win.data(), win.data() + vpb,
+                         size_t(fill - vpb) * sizeof(uint32_t));
+            fill -= vpb;
+        }
+    }
+    lb->tail.assign(win.data(), win.data() + fill);
+    *out = lb;
+    return 0;
+}
+
+// counts[10] <- blocks per ladder width slot (LADDER_WIDTHS order).
+void qh_ladder_counts(void* h, int64_t* counts) {
+    auto* lb = static_cast<LadderBuilder*>(h);
+    for (int s = 0; s < 10; ++s)
+        counts[s] = int64_t(lb->out_base[s].size());
+}
+
+int64_t qh_ladder_tail_len(void* h) {
+    return int64_t(static_cast<LadderBuilder*>(h)->tail.size());
+}
+
+void qh_ladder_tail(void* h, uint32_t* out) {
+    auto* lb = static_cast<LadderBuilder*>(h);
+    std::memcpy(out, lb->tail.data(), lb->tail.size() * sizeof(uint32_t));
+}
+
+// Fill one class's lane-major image (W, M, 128) — caller pre-zeroes
+// (lanes >= N stay zero) — and its out_base array.  `slot` indexes
+// LADDER_WIDTHS.
+void qh_ladder_fetch(void* h, int32_t slot, uint32_t* lane_major,
+                     int64_t m_lanes, int64_t* out_base) {
+    auto* lb = static_cast<LadderBuilder*>(h);
+    int w = LADDER_WIDTHS[slot];
+    int vpw = 32 / w;
+    int64_t W = (lb->vpb + vpw - 1) / vpw;
+    int64_t N = int64_t(lb->out_base[slot].size());
+    const uint32_t* src = lb->packed[slot].data();
+    int64_t plane = m_lanes * 128;
+    for (int64_t r = 0; r < N; ++r) {
+        const uint32_t* row = src + r * W;
+        for (int64_t k = 0; k < W; ++k) lane_major[k * plane + r] = row[k];
+    }
+    std::memcpy(out_base, lb->out_base[slot].data(),
+                size_t(N) * sizeof(int64_t));
+}
+
+void qh_ladder_free(void* h) { delete static_cast<LadderBuilder*>(h); }
+
 // Timed mirror of src/dict_perf_test.cpp:43-63 over the serving-time
 // fused row layout (length-first (17 u32)-wide rows — same bytes per
 // row as the reference's rectangular m_table, values-then-length):
