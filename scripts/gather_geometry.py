@@ -49,8 +49,10 @@ def main():
 
     results = {}
     for n_out in (int(x) for x in args.n_outs.split(",")):
+        # NB: leave PYTHONPATH alone — it carries the axon plugin site
+        # (/root/.axon_site); the rule is only to never ADD /root/repo
+        # to it (the child uses sys.path.insert instead)
         env = dict(os.environ, DINT_TPU_N_OUT=str(n_out))
-        env.pop("PYTHONPATH", None)  # axon relay rule
         code = CHILD.format(
             repo=REPO, type=args.type, stream=os.path.abspath(args.stream),
             dict=os.path.abspath(args.dict_file), runs=args.runs,
