@@ -870,6 +870,43 @@ static uint64_t op_maxscore(const Ctx* c, std::vector<NativeCursor>& cur,
     for (auto& e : ordered) cur_doc = std::min(cur_doc, e.c->docid());
 
     while (non_essential < m && cur_doc < nd) {
+        // single-essential tail: with exactly one essential cursor
+        // left (2-term queries past the first threshold growth, and
+        // every query's endgame), the union IS that cursor's
+        // remaining postings — walk it directly: no per-doc scan
+        // loop, docid compare, min fold, or exhausted bookkeeping.
+        // On the crawl-shaped A/B this regime carries most of the
+        // essential-scan volume.
+        if (non_essential + 1 == m) {
+            NativeCursor* cu = ordered[non_essential].c;
+            float qw = ordered[non_essential].q_weight;
+            do {
+                if (g_prof_on) { ++g_prof.ess_docs; ++g_prof.ess_scans; }
+                float nl = c->norm_lens[cur_doc];
+                float score =
+                    qw * doc_term_weight(float(cu->freq()), nl);
+                cu->next();
+                for (size_t ii = non_essential; ii-- > 0;) {
+                    if (!topk.would_enter(score + upper_bounds[ii]))
+                        break;
+                    if (g_prof_on) ++g_prof.ne_probes;
+                    auto& e2 = ordered[ii];
+                    e2.c->next_geq(cur_doc);
+                    if (e2.c->docid() == cur_doc) {
+                        float f = float(e2.c->freq());
+                        score += e2.q_weight * doc_term_weight(f, nl);
+                    }
+                }
+                if (topk.insert(score)) {
+                    while (non_essential < m &&
+                           !topk.would_enter(
+                               upper_bounds[non_essential]))
+                        ++non_essential;
+                }
+                cur_doc = cu->docid();
+            } while (non_essential + 1 == m && cur_doc < nd);
+            continue;
+        }
         if (g_prof_on) ++g_prof.ess_docs;
         float score = 0.0f;
         float nl = c->norm_lens[cur_doc];

@@ -225,13 +225,22 @@ def our_result_counts(index, decoder, wdata, queries_list, op, k=10):
     from dint_tpu.query import boolean, ranked
 
     total = 0
+    # the block-skip boolean path needs a block-structured index;
+    # EF-family indexes (opt/uniform/ef/single) decode-and-merge
+    # instead (parity accounting only, untimed)
+    blocky = hasattr(index, "list_blocks")
     for q in queries_list:
         if op in ("and", "or"):
-            cache_factory = type(decoder.lazy_cache)
-            cache = cache_factory(index)
-            fn = (boolean.and_query_lazy if op == "and"
-                  else boolean.or_query_lazy)
-            total += int(fn(cache, q).shape[0])
+            if blocky:
+                cache_factory = type(decoder.lazy_cache)
+                cache = cache_factory(index)
+                fn = (boolean.and_query_lazy if op == "and"
+                      else boolean.or_query_lazy)
+                total += int(fn(cache, q).shape[0])
+            else:
+                decoded = decoder.decode_docids(list(set(q)))
+                fn = boolean.and_query if op == "and" else boolean.or_query
+                total += int(fn(decoded, q).shape[0])
         elif op in ("wand", "maxscore", "ranked_and"):
             fn = {"wand": ranked.wand, "maxscore": ranked.maxscore,
                   "ranked_and": ranked.ranked_and}[op]
