@@ -108,6 +108,7 @@ _ZOO_MANY_IDS = {
     "varintg8iu": 4,
     "simple16": 5,
     "optpfor": 6,
+    "interpolative": 7,
 }
 
 

@@ -67,7 +67,10 @@ def decode_list_zoo(codec: str, arena, start: int, n: int) -> np.ndarray:
     # native call covers only the full chunks there)
     from ..codecs import zoonative
 
-    n_native = (n // chunk) * chunk if codec in FIXED_BLOCK else n
+    # interpolative's own partial tail IS interpolative — native covers
+    # the whole list; the other FIXED_BLOCK codecs divert their tails
+    n_native = (n // chunk) * chunk \
+        if (codec in FIXED_BLOCK and codec != "interpolative") else n
     if n_native:
         r = zoonative.decode_chunked(codec, arena, start, n_native, chunk)
         if r is not None:

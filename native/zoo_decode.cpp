@@ -442,6 +442,128 @@ extern "C" int64_t zoo_qmx(const uint8_t* buf, int64_t avail, int64_t n,
     return filled >= n ? p : -1;
 }
 
+// --------------------------------------------------------------------
+// Interpolative block (level-ordered layout — the exact bit stream
+// dint_tpu/codecs/interpolative.py writes; same bit COUNT as the
+// reference's DFS coder, block_codecs.hpp:104-151): a vbyte block-sum
+// header, then the first n-1 prefix sums interpolative-coded in
+// [0, sum] as BFS levels of (fixed-width plane, extra-bit plane).
+// This was the one zoo codec without a native decoder — a 16.7M-int
+// whole-list decode paid ~25 s of python recursion in the ladder
+// image cold start.
+
+namespace {
+
+struct IpBitReader {
+    const uint8_t* buf;
+    const uint8_t* end;  // first byte past the readable buffer
+    uint64_t bitpos = 0;
+    bool overrun = false;
+    IpBitReader(const uint8_t* b, const uint8_t* e) : buf(b), end(e) {}
+    inline uint64_t read(int len) {
+        if (len == 0) return 0;
+        uint64_t start = bitpos;
+        bitpos += len;
+        const uint8_t* p = buf + (start >> 3);
+        int shift = int(start & 7);
+        uint64_t v;
+        if (p + 9 <= end) {  // fast path: unaligned load + spill byte
+            uint64_t w;
+            std::memcpy(&w, p, 8);
+            v = w >> shift;
+            int got = 64 - shift;
+            if (got < len) v |= uint64_t(p[8]) << got;
+        } else {  // buffer tail: byte-exact loads, never past `end`
+            int64_t nb = end - p;
+            if (int64_t((uint64_t(shift) + uint64_t(len) + 7) >> 3) > nb) {
+                overrun = true;  // truncated input
+                return 0;
+            }
+            uint64_t w = 0;
+            for (int64_t i = 0; i < nb && i < 8; ++i)
+                w |= uint64_t(p[i]) << (8 * i);
+            v = w >> shift;
+            // len <= 33 and nb < 9 here, so 64 - shift >= 57 bits of w
+            // always cover the value — no spill byte needed
+        }
+        return v & ((1ull << len) - 1);
+    }
+};
+
+struct IpNode {
+    int s, e;
+    uint64_t low, high;
+};
+
+void ip_decode_prefix_sums(IpBitReader& br, int n, uint64_t low0,
+                           uint64_t high0, uint64_t* vals) {
+    if (n <= 0) return;
+    IpNode buf_a[160], buf_b[160];
+    uint64_t xs[160];
+    uint32_t ms[160];
+    uint8_t need[160];
+    IpNode* level = buf_a;
+    IpNode* next = buf_b;
+    level[0] = {0, n, low0, high0};
+    int L = 1;
+    while (L && !br.overrun) {
+        for (int i = 0; i < L; ++i) {
+            uint64_t u = level[i].high - level[i].low + 1;
+            int b = 63 - __builtin_clzll(u);
+            uint64_t m = (1ull << (b + 1)) - u;
+            uint64_t x = br.read(b);
+            xs[i] = x;
+            ms[i] = uint32_t(m);
+            need[i] = x >= m;
+        }
+        for (int i = 0; i < L; ++i)
+            if (need[i]) xs[i] = 2 * xs[i] + br.read(1) - ms[i];
+        int nl = 0;
+        for (int i = 0; i < L; ++i) {
+            const IpNode& nd = level[i];
+            int mid = nd.s + (nd.e - nd.s) / 2;
+            uint64_t val = nd.low + xs[i];
+            vals[mid] = val;
+            if (mid - nd.s > 0) next[nl++] = {nd.s, mid, nd.low, val};
+            if (nd.e - (mid + 1) > 0)
+                next[nl++] = {mid + 1, nd.e, val, nd.high};
+        }
+        IpNode* t = level;
+        level = next;
+        next = t;
+        L = nl;
+    }
+}
+
+}  // namespace
+
+int64_t zoo_interpolative(const uint8_t* buf, int64_t avail, int64_t n,
+                          uint32_t* out) {
+    if (n <= 0 || n > 256 || avail <= 0) return -1;
+    // vbyte sum header (TightVariableByte: high bit ends a value)
+    int64_t pos = 0;
+    uint32_t sum = 0;
+    int shift = 0;
+    for (;;) {
+        if (pos >= avail) return -1;
+        uint8_t c = buf[pos++];
+        sum |= uint32_t(c & 0x7F) << shift;
+        if (c & 0x80) break;
+        shift += 7;
+    }
+    uint64_t psums[256];
+    IpBitReader br(buf + pos, buf + avail);
+    ip_decode_prefix_sums(br, int(n) - 1, 0, sum, psums);
+    if (br.overrun) return -1;
+    psums[n - 1] = sum;
+    uint64_t prev = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        out[i] = uint32_t(psums[i] - prev);
+        prev = psums[i];
+    }
+    return pos + int64_t((br.bitpos + 7) >> 3);
+}
+
 // Whole-list decode: loop the per-chunk decoders natively so a
 // 1M-int list costs ONE ctypes call instead of one per chunk
 // (dint_tpu/index/vroom_zoo.py decode_list_zoo's chunk loop).
@@ -449,11 +571,12 @@ extern "C" int64_t zoo_qmx(const uint8_t* buf, int64_t avail, int64_t n,
 int64_t zoo_many(int64_t codec, const uint8_t* buf, int64_t avail,
                  int64_t n, int64_t chunk, uint32_t* out) {
     typedef int64_t (*fn_t)(const uint8_t*, int64_t, int64_t, uint32_t*);
-    static const fn_t FNS[7] = {
+    static const fn_t FNS[8] = {
         zoo_vbyte, zoo_maskedvbyte, zoo_streamvbyte, zoo_varintgb,
         zoo_varintg8iu, zoo_simple16, zoo_optpfor_block,
+        zoo_interpolative,
     };
-    if (codec < 0 || codec > 6 || chunk <= 0) return -1;
+    if (codec < 0 || codec > 7 || chunk <= 0) return -1;
     const fn_t fn = FNS[codec];
     int64_t pos = 0;
     for (int64_t p = 0; p < n; p += chunk) {

@@ -60,7 +60,7 @@ def main():
         "host_mints_per_s": {},
         "bytes_per_int": {},
     }
-    for codec in CODECS:
+    for codec in CODECS + ["interpolative"]:
         payload, _ = vroom_zoo.encode_list_zoo(codec, gaps)
         arena = np.frombuffer(payload, dtype=np.uint8)
         out = vroom_zoo.decode_list_zoo(codec, arena, 0, n)

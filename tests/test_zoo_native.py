@@ -153,3 +153,34 @@ def test_whole_list_native_path_exact():
         arena = np.frombuffer(payload, dtype=np.uint8)
         got = vroom_zoo.decode_list_zoo(codec, arena, 0, n)
         np.testing.assert_array_equal(got, g, err_msg=codec)
+
+
+def test_native_interpolative_whole_list_exact():
+    """Native interpolative (zoo_many codec 7): values AND consumed
+    bytes identical to the python block walk, across chunk boundaries,
+    partial tails, single-value lists, and big values; truncated
+    buffers fail cleanly (→ python fallback), never over-read."""
+    rng = np.random.default_rng(47)
+    for n in (1, 2, 255, 256, 257, 5000 + 77):
+        gaps = np.minimum(_values(rng, n), (1 << 23) - 1)
+        payload, _ = vroom_zoo.encode_list_zoo("interpolative", gaps)
+        arena = np.frombuffer(payload, dtype=np.uint8)
+        r = zoonative.decode_chunked("interpolative", arena, 0, n, 256)
+        assert r is not None
+        np.testing.assert_array_equal(r[0], gaps)
+        # consumed-byte parity with the python decoder
+        dec = blocks.CODECS["interpolative"][1]
+        pos = 0
+        for p in range(0, n, 256):
+            vals, pos = dec(arena, pos, min(256, n - p), blocks.UNKNOWN)
+        assert pos == r[1], (n, pos, r[1])
+        # the production whole-list path rides it and stays exact
+        got = vroom_zoo.decode_list_zoo("interpolative", arena, 0, n)
+        np.testing.assert_array_equal(got, gaps)
+    # truncation: every cut length either fails cleanly or is unreached
+    gaps = np.minimum(_values(rng, 700), (1 << 23) - 1)
+    payload, _ = vroom_zoo.encode_list_zoo("interpolative", gaps)
+    for cut in (0, 1, 3, len(payload) // 2, len(payload) - 1):
+        arena = np.frombuffer(payload[:cut], dtype=np.uint8)
+        assert zoonative.decode_chunked(
+            "interpolative", arena, 0, 700, 256) is None
