@@ -55,6 +55,12 @@ W_TOKENS = int(_os.environ.get("DINT_TPU_W_TOKENS", "128"))  # tokens
 # per sub-unit row (chop budget only — FFD packing recombines
 # sub-units, so the device row density is set by N_OUT, not this)
 N_OUT = int(_os.environ.get("DINT_TPU_N_OUT", "256"))  # output ints
+if W_TOKENS <= 0:
+    raise ValueError(f"DINT_TPU_W_TOKENS must be > 0, got {W_TOKENS}")
+if N_OUT <= 0 or N_OUT % 128 != 0:
+    raise ValueError(
+        f"DINT_TPU_N_OUT must be a positive multiple of 128 lanes, "
+        f"got {N_OUT}")
 # per device row (must be a multiple of 128 lanes).  256 is the
 # measured optimum on the bench stream; 512 halves row count when the
 # vocab budget doesn't bind (geometry A/B: scripts/gather_geometry.py)

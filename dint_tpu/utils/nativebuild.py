@@ -107,6 +107,21 @@ def ensure_so(
             return out
         except (subprocess.CalledProcessError, FileNotFoundError) as e:
             print(f"native build of {so_name} failed: {e}", file=sys.stderr)
+            # No toolchain but a prebuilt (hashless) binary exists:
+            # adopt it once rather than silently dropping every native
+            # fast path forever.  A stale-export binary fails loudly at
+            # symbol lookup, which is strictly better than quiet
+            # fallback; write the sidecar so the adoption is one-time.
+            if os.path.exists(out):
+                print(
+                    f"dint_tpu: adopting prebuilt {so_name} without a "
+                    "source-hash sidecar (toolchain unavailable) — "
+                    "rebuild with g++ on PATH to refresh it",
+                    file=sys.stderr,
+                )
+                with open(out + ".srchash", "w") as f:
+                    f.write(_src_hash(src))
+                return out
             return None
         finally:
             if os.path.exists(tmp):

@@ -876,8 +876,15 @@ static uint64_t op_maxscore(const Ctx* c, std::vector<NativeCursor>& cur,
         // remaining postings — walk it directly: no per-doc scan
         // loop, docid compare, min fold, or exhausted bookkeeping.
         // On the crawl-shaped A/B this regime carries most of the
-        // essential-scan volume.
-        if (non_essential + 1 == m) {
+        // essential-scan volume.  Entry requires the essential cursor
+        // to actually sit at cur_doc: right after an insert promotes
+        // non_essential to m-1, cur_doc was computed as the min over
+        // the PREVIOUS essential range and can be a just-demoted
+        // cursor's docid < cu->docid() — the general iteration below
+        // handles that (scores cur_doc from non-essential probes
+        // only) and re-establishes cur_doc from the essential set.
+        if (non_essential + 1 == m &&
+            ordered[non_essential].c->docid() == cur_doc) {
             NativeCursor* cu = ordered[non_essential].c;
             float qw = ordered[non_essential].q_weight;
             do {

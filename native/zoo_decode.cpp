@@ -550,6 +550,10 @@ int64_t zoo_interpolative(const uint8_t* buf, int64_t avail, int64_t n,
         sum |= uint32_t(c & 0x7F) << shift;
         if (c & 0x80) break;
         shift += 7;
+        // a valid TightVariableByte u32 is at most 5 bytes; a
+        // truncated/garbage buffer with no terminator must fail clean,
+        // not shift past 31 (UB)
+        if (shift > 28) return -1;
     }
     uint64_t psums[256];
     IpBitReader br(buf + pos, buf + avail);

@@ -177,6 +177,55 @@ def test_ranked_scores_match(built, op):
         )
 
 
+def test_maxscore_promotion_demoted_cursor(tmp_path):
+    """Regression: the single-essential fast path must only engage when
+    the essential cursor actually sits at cur_doc.  Right after an
+    insert promotes non_essential to m-1, cur_doc was computed as the
+    min over the PREVIOUS essential range and can be a just-demoted
+    cursor's docid below the remaining essential cursor's — the buggy
+    fast path then scored cur_doc with the essential cursor's freq
+    taken at a DIFFERENT document and advanced past it, permanently
+    skipping that document's essential contribution (ADVICE r4 high).
+
+    Shape: a strong term (huge freqs -> big max_weight) and a weak
+    term (all-1 freqs).  k=1: the first scored doc raises the
+    threshold past the weak term's bound, demoting it while it holds
+    the minimum docid.  The skipped doc is the true top-1."""
+    base = str(tmp_path / "m")
+    nd = 10_000
+    docs = [
+        np.array([0, 500, 900], np.uint32),        # strong
+        np.array([250, 500, 901], np.uint32),      # weak
+        np.array([100, 600, 5000], np.uint32),     # filler (3-term case)
+    ]
+    freqs = [
+        np.array([50, 60, 1], np.uint32),
+        np.array([1, 1, 1], np.uint32),
+        np.array([1, 1, 1], np.uint32),
+    ]
+    collection.write_freq_collection(base, docs, freqs, nd)
+    sizes = synth.doc_sizes_from_lists(docs, freqs, nd)
+    sizes[250] = 400          # demoted doc long -> low per-term weight
+    sizes[500] = 2            # skipped doc short -> clear top-1
+    collection.write_sizes_file(base, sizes)
+    idx = dint_index.build_index(base, kind="single",
+                                 cache_dir=str(tmp_path))
+    wd = ranked.build_wand_data(base)
+    eng = native_host.NativeQueryEngine(idx, wd)
+    decoder = TermDecoder(idx)
+    queries = [[0, 1], [1, 0], [0, 1, 2]]
+    for k in (1, 2, 3):
+        _, cnt, scores = eng.run("maxscore", queries, runs=2, k=k)
+        for i, q in enumerate(queries):
+            decoder._lazy_cache = lazy_decode.BlockCache(idx)
+            want = ranked.maxscore(idx, decoder, wdata=wd, terms=q, k=k)
+            got = scores[i][scores[i] >= 0]
+            assert int(cnt[i]) == want.shape[0], (k, i, q)
+            np.testing.assert_allclose(
+                got, np.sort(want)[::-1], rtol=2e-4, atol=1e-5,
+                err_msg=f"maxscore k={k} query {i} {q}")
+
+
 def test_exception_codewords(tmp_path):
     """Gaps beyond 2^16 force 4-byte exception codewords; the native
     decode must stay exact through them (and through partial blocks)."""
