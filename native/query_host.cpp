@@ -840,7 +840,22 @@ static uint64_t op_wand(const Ctx* c, std::vector<NativeCursor>& cur,
     return topk.q.size();
 }
 
-// maxscore_query (queries.hpp:459-573)
+// maxscore_query (queries.hpp:459-573) with two exact extensions the
+// reference lacks:
+//  * segment block-batching: when exactly one essential cursor holds
+//    cur_doc and the next essential docid (stop) is far, every doc of
+//    that cursor below stop can only match it + non-essential lists,
+//    so whole blocks are scored straight from the cursor's decoded
+//    buffers in vectorizable passes (gather norm_lens, pure-vertical
+//    BM25 lane loop the compiler turns into vdivps) with a threshold
+//    skip; only docs that can actually enter the heap fall into the
+//    scalar completion loop.  Scores are the same fp expressions per
+//    doc, so results are identical to the per-doc walk.
+//  * exhausted cursors drop out of the scan entirely and every
+//    cumulative bound above them tightens by their weight (the
+//    reference keeps scanning/probing docid==num_docs cursors forever,
+//    queries.hpp:526-548); bounds remain true upper bounds, so all
+//    pruning decisions stay exact.
 static uint64_t op_maxscore(const Ctx* c, std::vector<NativeCursor>& cur,
                             const std::vector<WeightedTerm>& wt, int k,
                             float* out_scores) {
@@ -869,49 +884,128 @@ static uint64_t op_maxscore(const Ctx* c, std::vector<NativeCursor>& cur,
     uint32_t cur_doc = nd;
     for (auto& e : ordered) cur_doc = std::min(cur_doc, e.c->docid());
 
+    // remove cursor i: shift down, tighten every cumulative bound above
+    // it by its weight (prefix [0, i) is untouched)
+    auto drop_at = [&](size_t i) {
+        const float w = ordered[i].max_weight;
+        for (size_t jj = i; jj + 1 < m; ++jj) {
+            ordered[jj] = ordered[jj + 1];
+            upper_bounds[jj] = upper_bounds[jj + 1] - w;
+        }
+        --m;
+        if (i < non_essential) --non_essential;
+    };
+
+    const float c0 = K1 * (1.0f - B);
+    const float c1 = K1 * B;
+    float nlbuf[BLOCK_SIZE];
+    float sbuf[BLOCK_SIZE];
+
     while (non_essential < m && cur_doc < nd) {
-        // single-essential tail: with exactly one essential cursor
-        // left (2-term queries past the first threshold growth, and
-        // every query's endgame), the union IS that cursor's
-        // remaining postings — walk it directly: no per-doc scan
-        // loop, docid compare, min fold, or exhausted bookkeeping.
-        // On the crawl-shaped A/B this regime carries most of the
-        // essential-scan volume.  Entry requires the essential cursor
-        // to actually sit at cur_doc: right after an insert promotes
-        // non_essential to m-1, cur_doc was computed as the min over
-        // the PREVIOUS essential range and can be a just-demoted
-        // cursor's docid < cu->docid() — the general iteration below
-        // handles that (scores cur_doc from non-essential probes
-        // only) and re-establishes cur_doc from the essential set.
-        if (non_essential + 1 == m &&
-            ordered[non_essential].c->docid() == cur_doc) {
-            NativeCursor* cu = ordered[non_essential].c;
-            float qw = ordered[non_essential].q_weight;
-            do {
-                if (g_prof_on) { ++g_prof.ess_docs; ++g_prof.ess_scans; }
-                float nl = c->norm_lens[cur_doc];
-                float score =
-                    qw * doc_term_weight(float(cu->freq()), nl);
-                cu->next();
-                for (size_t ii = non_essential; ii-- > 0;) {
-                    if (!topk.would_enter(score + upper_bounds[ii]))
-                        break;
-                    if (g_prof_on) ++g_prof.ne_probes;
-                    auto& e2 = ordered[ii];
-                    e2.c->next_geq(cur_doc);
-                    if (e2.c->docid() == cur_doc) {
-                        float f = float(e2.c->freq());
-                        score += e2.q_weight * doc_term_weight(f, nl);
+        // segment analysis: who holds cur_doc, and where is the next
+        // essential docid
+        size_t icu = m;
+        uint32_t stop = nd;
+        int at_cnt = 0;
+        for (size_t i = non_essential; i < m; ++i) {
+            uint32_t d = ordered[i].c->docid();
+            if (d == cur_doc) {
+                ++at_cnt;
+                icu = i;
+            } else if (d < stop) {
+                stop = d;
+            }
+        }
+        // batch gate: a lone holder and a far stop (short interleaved
+        // segments lose to the per-doc path's lower setup cost)
+        if (at_cnt == 1 && uint64_t(stop) >= uint64_t(cur_doc) + 128) {
+            NativeCursor* cu = ordered[icu].c;
+            const float qw = ordered[icu].q_weight;
+            // completion bounds freeze at entry: essential cursors
+            // demoted DURING the batch sit at docids >= stop and cannot
+            // match segment docs, so the entry bound stays the exact
+            // completion bound for every doc below stop
+            size_t ne0 = non_essential;
+            float ubtail = ne0 ? upper_bounds[ne0 - 1] : 0.0f;
+            bool done_all = false;
+            for (;;) {
+                if (cu->docid() >= stop) break;  // nd (exhausted) incl.
+                if (!cu->freqs_valid) cu->decode_freqs_block();
+                const int sz = cu->cur_size;
+                const int j0 = cu->pos_in_block;
+                const uint32_t* db = cu->docs_buf;
+                const uint32_t* fb = cu->freqs_buf;
+                int jend = sz;
+                if (db[sz - 1] >= stop)
+                    jend = int(
+                        std::lower_bound(db + j0, db + sz, stop) - db);
+                if (g_prof_on) {
+                    g_prof.ess_docs += uint64_t(jend - j0);
+                    g_prof.ess_scans += uint64_t(jend - j0);
+                }
+                for (int j = j0; j < jend; ++j)
+                    nlbuf[j] = c->norm_lens[db[j]];
+                for (int j = j0; j < jend; ++j) {
+                    float f = float(fb[j] + 1);
+                    sbuf[j] = qw * (f / (f + c0 + c1 * nlbuf[j]));
+                }
+                for (int j = j0; j < jend; ++j) {
+                    float score = sbuf[j];
+                    if (!topk.would_enter(score + ubtail)) continue;
+                    const uint32_t d = db[j];
+                    const float nl = nlbuf[j];
+                    for (size_t ii = ne0; ii-- > 0;) {
+                        if (!topk.would_enter(score + upper_bounds[ii]))
+                            break;
+                        if (g_prof_on) ++g_prof.ne_probes;
+                        auto& e2 = ordered[ii];
+                        e2.c->next_geq(d);
+                        uint32_t d2 = e2.c->docid();
+                        if (d2 == d) {
+                            float f = float(e2.c->freq());
+                            score +=
+                                e2.q_weight * doc_term_weight(f, nl);
+                        } else if (DS2I_UNLIKELY_(d2 >= nd)) {
+                            drop_at(ii);
+                            --icu;
+                            --ne0;
+                            ubtail = ne0 ? upper_bounds[ne0 - 1] : 0.0f;
+                        }
+                    }
+                    if (topk.insert(score)) {
+                        while (non_essential < m &&
+                               !topk.would_enter(
+                                   upper_bounds[non_essential]))
+                            ++non_essential;
+                        if (non_essential >= m) {
+                            done_all = true;
+                            break;
+                        }
+                        // cu itself demoted: every remaining segment
+                        // doc is bounded by upper_bounds[icu] <=
+                        // threshold — jump straight to stop
+                        if (non_essential > icu) break;
                     }
                 }
-                if (topk.insert(score)) {
-                    while (non_essential < m &&
-                           !topk.would_enter(
-                               upper_bounds[non_essential]))
-                        ++non_essential;
+                if (done_all || non_essential > icu) break;
+                if (jend < sz) {
+                    cu->pos_in_block = jend;
+                    cu->cur = db[jend];
+                    break;  // reached stop
                 }
-                cur_doc = cu->docid();
-            } while (non_essential + 1 == m && cur_doc < nd);
+                if (cu->cur_block + 1 >= cu->nblocks) {
+                    cu->cur = nd;  // exhausted
+                    break;
+                }
+                cu->enter_block(cu->cur_block + 1, 0);
+            }
+            if (done_all) break;
+            if (non_essential <= icu &&
+                DS2I_UNLIKELY_(cu->docid() >= nd))
+                drop_at(icu);
+            cur_doc = nd;
+            for (size_t i = non_essential; i < m; ++i)
+                cur_doc = std::min(cur_doc, ordered[i].c->docid());
             continue;
         }
         if (g_prof_on) ++g_prof.ess_docs;
@@ -934,30 +1028,21 @@ static uint64_t op_maxscore(const Ctx* c, std::vector<NativeCursor>& cur,
         // never match again, yet the reference keeps scanning them
         // every iteration (queries.hpp:526-536) — a 5-term query with
         // singleton rares pays ~m scans per union doc forever.
-        // Removing at i >= non_essential leaves upper_bounds[0..ne)
-        // untouched, so the non-essential pruning logic is unchanged.
         if (DS2I_UNLIKELY_(exhausted < m)) {
-            size_t w = non_essential;
-            for (size_t i = non_essential; i < m; ++i)
-                if (ordered[i].c->docid() < nd) ordered[w++] = ordered[i];
-            m = w;  // the while condition ends the walk once ne >= m;
-                    // cur_doc still completes + inserts below first
-            // surviving cursors shifted down: rebuild their cumulative
-            // bounds (the prefix [0, ne) is untouched, so the
-            // non-essential completion checks stay exact)
-            for (size_t i = non_essential; i < m; ++i)
-                upper_bounds[i] =
-                    (i ? upper_bounds[i - 1] : 0.0f) +
-                    ordered[i].max_weight;
+            for (size_t i = m; i-- > non_essential;)
+                if (ordered[i].c->docid() >= nd) drop_at(i);
         }
         for (size_t ii = non_essential; ii-- > 0;) {
             if (!topk.would_enter(score + upper_bounds[ii])) break;
             if (g_prof_on) ++g_prof.ne_probes;
             auto& e = ordered[ii];
             e.c->next_geq(cur_doc);
-            if (e.c->docid() == cur_doc) {
+            uint32_t d2 = e.c->docid();
+            if (d2 == cur_doc) {
                 float f = float(e.c->freq());
                 score += e.q_weight * doc_term_weight(f, nl);
+            } else if (DS2I_UNLIKELY_(d2 >= nd)) {
+                drop_at(ii);
             }
         }
         if (topk.insert(score)) {

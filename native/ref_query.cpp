@@ -62,15 +62,27 @@ static void op_perftest(IndexType const& index, QueryOperator&& query_op,
                         std::string const& query_type, size_t runs) {
     // the exact protocol of src/queries.cpp:15-61
     std::vector<double> query_times;
+    // per-query best-of-runs, dumped when REF_PERQUERY_DIR is set (the
+    // per-query A/B diff harness, scripts/ab_maxscore_diff.py)
+    std::vector<double> per_q(queries.size(), 1e30);
     size_t total = 0;
     for (size_t run = 0; run != runs; ++run) {
+        size_t qi = 0;
         for (auto const& query : queries) {
             auto tick = get_time_usecs();
             uint64_t results = query_op(index, query);
             total += results;
             double elapsed = double(get_time_usecs() - tick);
-            if (run != 0) query_times.push_back(elapsed);
+            if (run != 0) {
+                query_times.push_back(elapsed);
+                if (elapsed < per_q[qi]) per_q[qi] = elapsed;
+            }
+            ++qi;
         }
+    }
+    if (const char* dir = getenv("REF_PERQUERY_DIR")) {
+        std::ofstream ofs(std::string(dir) + "/" + query_type + ".txt");
+        for (double v : per_q) ofs << v << "\n";
     }
 
     std::sort(query_times.begin(), query_times.end());
