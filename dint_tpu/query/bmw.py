@@ -77,6 +77,8 @@ def _term_geom(index, wdata, t: int, qw: float):
     """(lo docids, hi docids, ub) per block of term t."""
     p0, p1 = index.list_blocks(t)
     hi = index.block_max[p0:p1].astype(np.int64)
+    if hi.shape[0] == 0:  # empty posting list: no blocks, no events
+        return hi, hi, np.zeros(0, np.float32)
     lo = np.concatenate([[0], hi[:-1] + 1])
     w0 = int(wdata.block_ptr[t])
     ub = np.float32(qw) * wdata.block_maxw[w0 : w0 + (p1 - p0)]

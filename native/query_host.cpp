@@ -812,6 +812,74 @@ static uint64_t op_wand(const Ctx* c, std::vector<NativeCursor>& cur,
         if (!found_pivot) break;
         uint32_t pivot_id = ordered[pivot].c->docid();
         if (pivot_id == ordered[0].c->docid()) {
+            // segment block-batching (same idea as op_maxscore): when
+            // the pivot is the lone leading cursor and the next
+            // cursor's docid (stop) is far, every doc below stop is
+            // scored by that cursor alone and wand would insert each
+            // one unconditionally — so score whole decoded blocks in
+            // vectorizable passes and re-run the pivot logic only when
+            // an insert raises the threshold past the cursor's own
+            // max_weight (identical insert sequence -> identical topk
+            // state -> identical pivots; results are bit-exact)
+            uint32_t stop = m > 1 ? ordered[1].c->docid() : nd;
+            if (pivot == 0 &&
+                uint64_t(stop) >= uint64_t(pivot_id) + 128) {
+                NativeCursor* cu = ordered[0].c;
+                const float qw = ordered[0].q_weight;
+                const float mw = ordered[0].max_weight;
+                const float c0 = K1 * (1.0f - B);
+                const float c1 = K1 * B;
+                float nlbuf[BLOCK_SIZE];
+                float sbuf[BLOCK_SIZE];
+                bool repivot = false;
+                for (;;) {
+                    if (cu->docid() >= stop) break;
+                    if (!cu->freqs_valid) cu->decode_freqs_block();
+                    const int sz = cu->cur_size;
+                    const int j0 = cu->pos_in_block;
+                    const uint32_t* db = cu->docs_buf;
+                    const uint32_t* fb = cu->freqs_buf;
+                    int jend = sz;
+                    if (db[sz - 1] >= stop)
+                        jend = int(std::lower_bound(db + j0, db + sz,
+                                                    stop) - db);
+                    for (int j = j0; j < jend; ++j)
+                        nlbuf[j] = c->norm_lens[db[j]];
+                    for (int j = j0; j < jend; ++j) {
+                        float f = float(fb[j] + 1);
+                        sbuf[j] = qw * (f / (f + c0 + c1 * nlbuf[j]));
+                    }
+                    int j = j0;
+                    for (; j < jend; ++j) {
+                        if (topk.insert(sbuf[j]) &&
+                            !topk.would_enter(mw)) {
+                            // the cursor can no longer pivot alone:
+                            // position past this doc and let the outer
+                            // pivot search take over (it will jump or
+                            // terminate)
+                            repivot = true;
+                            ++j;
+                            break;
+                        }
+                    }
+                    if (j < sz) {
+                        // stopped mid-block: at stop (j == jend < sz)
+                        // or right after a repivot-triggering doc —
+                        // both re-enter the outer pivot search
+                        cu->pos_in_block = j;
+                        cu->cur = db[j];
+                        break;
+                    }
+                    if (cu->cur_block + 1 >= cu->nblocks) {
+                        cu->cur = nd;  // exhausted
+                        break;
+                    }
+                    cu->enter_block(cu->cur_block + 1, 0);
+                    if (repivot) break;
+                }
+                sort_by_docid(ordered.data(), m);
+                continue;
+            }
             float score = 0.0f;
             float nl = c->norm_lens[pivot_id];
             for (auto& e : ordered) {
