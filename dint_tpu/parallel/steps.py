@@ -242,3 +242,100 @@ def stats_training_step(blocks: jnp.ndarray, n_buckets: int = 1 << 16):
         idx = sel[:, None] * n_buckets + bucket
         counts = counts.at[idx.reshape(-1)].add(1)
     return counts, sel
+
+
+# ---------------------------------------------------------------------------
+# Mesh-sharded ladder decode (SURVEY §5 long-list story: very long
+# lists shard across the chip mesh — block-parallel decode)
+# ---------------------------------------------------------------------------
+
+
+def ladder_shard_pack(flat_values, n_shards: int):
+    """Doc-shard a flat value stream's canonical ladder image.
+
+    The 256-value blocks split into ``n_shards`` contiguous ranges
+    (block-parallel: each block packs independently at its own ladder
+    width, so per-shard images are exactly slices of the unsharded
+    image — kernels/unpack_device.ladder_plan_from_values geometry).
+    Per-width arrays pad to the max block count across shards so one
+    shard_map can decode every shard in parallel.
+
+    Returns (packed, counts, order, tail):
+      packed  {width: (S, NBw_max, words_w) u32}
+      counts  {width: (S,) int32 valid block count}
+      order   per-shard per-width original block indices (host-side
+              reassembly map)
+      tail    (tail_offset, values) — the <256-value stream tail,
+              decoded host-side like the single-chip engine's partials
+    """
+    import numpy as np
+
+    from ..kernels.unpack_device import _LADDER, _ladder_width, _pack_w
+
+    flat = np.ascontiguousarray(flat_values, dtype=np.uint32)
+    vpb = BLOCK_SIZE
+    nb = flat.shape[0] // vpb
+    blocks = flat[: nb * vpb].reshape(nb, vpb)
+    tail = (nb * vpb, flat[nb * vpb:].copy())
+    S = n_shards
+    span = -(-nb // S) if nb else 0
+    per_w_blocks = {w: [] for w in _LADDER}
+    per_w_order = {w: [] for w in _LADDER}
+    for s in range(S):
+        b0, b1 = s * span, min((s + 1) * span, nb)
+        sl = blocks[b0:b1]
+        if sl.shape[0]:
+            mx = sl.max(axis=1)
+            w_need = np.maximum(
+                np.ceil(np.log2(mx.astype(np.float64) + 1.0)), 1
+            ).astype(np.int64)
+            lw = np.asarray([_ladder_width(int(w)) for w in w_need])
+        else:
+            lw = np.zeros(0, np.int64)
+        for w in _LADDER:
+            rows = np.flatnonzero(lw == w)
+            per_w_blocks[w].append(sl[rows] if rows.size
+                                   else np.zeros((0, vpb), np.uint32))
+            per_w_order[w].append(rows + b0)
+    packed, counts, order = {}, {}, {}
+    for w in _LADDER:
+        nmax = max(b.shape[0] for b in per_w_blocks[w])
+        if nmax == 0:
+            continue
+        words = _pack_w(np.zeros((1, vpb), np.uint32), w).shape[1]
+        arr = np.zeros((S, nmax, words), np.uint32)
+        cnt = np.zeros(S, np.int32)
+        for s in range(S):
+            b = per_w_blocks[w][s]
+            cnt[s] = b.shape[0]
+            if b.shape[0]:
+                arr[s, : b.shape[0]] = _pack_w(b, w)
+        packed[w] = arr
+        counts[w] = cnt
+        order[w] = per_w_order[w]
+    return packed, counts, order, tail
+
+
+def ladder_sharded_decode_step(packed, counts, axis: str = "dp"):
+    """Per-device ladder decode of one shard's width classes.
+
+    ``packed`` {width: (1, NBw, words)} (mesh axis stripped by
+    shard_map), ``counts`` {width: (1,)}.  Every width class decodes as
+    the same broadcast shift/mask the single-chip engine uses
+    (unpack_device._fns); the psum'd total decoded-int count is the
+    step's collective (the real serving merge collectives live in the
+    topk steps above).  Returns ({width: (NBw, 256) u32}, total)."""
+    outs = {}
+    local = jnp.int32(0)
+    for w, arr in packed.items():
+        a = arr[0]
+        vpw = 32 // w
+        j = jnp.arange(BLOCK_SIZE)
+        wi = j // vpw
+        sh = ((j % vpw) * w).astype(jnp.uint32)
+        mask = jnp.uint32((1 << w) - 1) if w < 32 else jnp.uint32(0xFFFFFFFF)
+        vals = (a[:, wi] >> sh[None, :]) & mask
+        outs[w] = vals
+        local = local + counts[w][0] * BLOCK_SIZE
+    total = jax.lax.psum(local, axis)
+    return outs, total
