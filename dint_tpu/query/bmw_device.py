@@ -44,7 +44,7 @@ pivot walk one posting at a time (wand_data.hpp + queries.hpp:190-307).
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -54,6 +54,17 @@ from . import ranked as ranked_mod
 
 # term slots per query supported by one survival byte
 MAX_SLOTS = 8
+
+# device sort budgets: the survival test's 5-array 2-key sort blows up
+# the compiler at monster widths (the known >4M-row multi-array sort
+# hazard — the remote compile helper gets OOM-killed at 90.8M-scale
+# event rows).  Queries whose event row exceeds EVENT_CAP take the
+# host test (few monster unions, ~1 ms each); the device batch chunks
+# so Q_chunk * P stays under SORT_ELEMS.
+import os as _os
+
+EVENT_CAP = int(_os.environ.get("DINT_TPU_BMW_EVENT_CAP", str(1 << 15)))
+SORT_ELEMS = 1 << 23
 
 
 @functools.lru_cache(maxsize=None)
@@ -109,6 +120,7 @@ def prune_blocks_device(
     wdata,
     queries: Sequence[Sequence[int]],
     k: int,
+    taus_hint: Sequence[Optional[float]] = None,
 ) -> Tuple[List[Dict[int, np.ndarray]], List[float], Dict[str, int]]:
     """Batched device survival tests for many queries at once.
 
@@ -125,7 +137,7 @@ def prune_blocks_device(
     per_q = []
     taus = []
     P_need = 1
-    for q in queries:
+    for qi, q in enumerate(queries):
         weighted = ranked_mod._query_weights(index, q)
         if not weighted:
             per_q.append(None)
@@ -138,8 +150,6 @@ def prune_blocks_device(
             per_q.append(("host", weighted, keep))
             taus.append(tau)
             continue
-        tau = bmw_mod.estimate_tau(cache, index, wdata, weighted, k)
-        tau *= 1.0 - 1e-6  # same f32-rounding shave as the host test
         geoms = []
         ev = 0
         for t, qw in weighted:
@@ -150,6 +160,21 @@ def prune_blocks_device(
             g = shared[key][0]
             geoms.append((t, g))
             ev += 2 * g[0].shape[0]
+        if ev > EVENT_CAP:
+            # monster event rows use the host test too (see EVENT_CAP)
+            keep, tau, _ = bmw_mod.prune_blocks(
+                cache, index, wdata, q, k, _cache=shared_host)
+            per_q.append(("host", weighted, keep))
+            taus.append(tau)
+            continue
+        # taus_hint: caller-supplied valid lower bound (e.g. the
+        # serving store's per-term top-k tables — real achievable
+        # partial totals, no probe-block decode); else probe blocks
+        if taus_hint is not None and taus_hint[qi] is not None:
+            tau = float(taus_hint[qi])
+        else:
+            tau = bmw_mod.estimate_tau(cache, index, wdata, weighted, k)
+        tau *= 1.0 - 1e-6  # same f32-rounding shave as the host test
         per_q.append(("dev", weighted, geoms))
         taus.append(float(tau))
         P_need = max(P_need, ev)
@@ -186,9 +211,15 @@ def prune_blocks_device(
                 pos += nb
         T = max(len(per_q[qi][2]) for qi in dev_rows)
         fn = _survival_fn(P, T)
-        import jax
-
-        out = np.asarray(fn(docid, is_end, delta, slot, tau_arr))
+        # chunk rows so each sort stays under the compile-safe element
+        # budget (at most two compiled shapes: full chunk + remainder)
+        rows_per = max(1, SORT_ELEMS // P)
+        out = np.empty((Q, P), np.uint8)
+        for c0 in range(0, Q, rows_per):
+            c1 = min(c0 + rows_per, Q)
+            out[c0:c1] = np.asarray(
+                fn(docid[c0:c1], is_end[c0:c1], delta[c0:c1],
+                   slot[c0:c1], tau_arr[c0:c1]))
         # unpack: per row, slot-k end events in sorted order ARE that
         # term's blocks in block order (disjoint spans, increasing hi)
         ends_sorted = _host_end_order(docid, is_end, slot)

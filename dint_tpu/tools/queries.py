@@ -48,12 +48,16 @@ def run_op_device_fused(index, decoder, wdata, queries_list, op, runs, k):
     from ..utils import jaxcfg
 
     jaxcfg.enable_compile_cache()
+    import sys as _sys
+
     Q = len(queries_list)
     t0 = time.perf_counter()
     terms = sorted({int(t) for q in queries_list for t in q})
     store = device_serve.DeviceServingStore(
         index, decoder, wdata, terms=terms)
     store_s = time.perf_counter() - t0
+    print(f"[fused] store built: {store.store_bytes >> 20} MiB, "
+          f"{store_s:.1f}s", file=_sys.stderr)
     prune = (
         op in ("wand", "maxscore")
         and getattr(wdata, "block_maxw", None) is not None
@@ -61,27 +65,35 @@ def run_op_device_fused(index, decoder, wdata, queries_list, op, runs, k):
         and hasattr(decoder.lazy_cache, "docs_blocks_batch")
     )
     t1 = time.perf_counter()
-    buckets, stats = store._batch_metadata(
+    buckets, singles, stats = store._batch_metadata(
         queries_list, k, prune=prune,
         lazy_cache=decoder.lazy_cache if prune else None)
     meta_s = time.perf_counter() - t1
-    devb = []
+    print(f"[fused] metadata: {meta_s:.1f}s, "
+          f"buckets {sorted(buckets)}", file=_sys.stderr)
+    shapes = []
+    args = []
     upload = 0
     widest = 0
-    for P, (idxs, blk, qw) in sorted(buckets.items()):
-        devb.append((P, blk.shape[0], jnp.asarray(blk), jnp.asarray(qw)))
+    for P, (idxs, blk, qw, tmax) in sorted(buckets.items()):
+        G = blk.shape[0]
+        shapes.append((G, P, tmax))
+        args.append((jnp.asarray(blk), jnp.asarray(qw)))
         upload += blk.nbytes + qw.nbytes
         widest = max(widest, P)
+        print(f"[fused] bucket P={P} G={G} rows={G * 256 // P} "
+              f"tmax={tmax}", file=_sys.stderr)
+    fn = device_serve._fused_multi(
+        store.NB, tuple(shapes), k, store._use_pallas)
 
     def one_pass(shift):
-        outs = []
-        for P, G, blk, qw in devb:
-            fn = device_serve._fused_fns(
-                store.NB, G, P, store._use_pallas)
-            outs.append(
-                fn(blk, qw, store._dstore, store._wstore, shift, k=k))
+        outs = fn(args, store._dstore, store._wstore, shift)
+        # single-term queries answer from the per-term top-k table —
+        # part of each serving pass (trivial host multiplies)
+        sres = [store.answer_single(t, qw, k)
+                for t, qw in singles.values()]
         # force a host fetch (lazy-completing runtime; tiny top-k outs)
-        return jax.tree_util.tree_map(lambda x: np.asarray(x), outs)
+        return jax.tree_util.tree_map(lambda x: np.asarray(x), outs), sres
 
     one_pass(jnp.int32(0))  # warmup/compile
     t_us = []
@@ -91,6 +103,7 @@ def run_op_device_fused(index, decoder, wdata, queries_list, op, runs, k):
         t_us.append((time.perf_counter() - t0) * 1e6 / Q)
     extra = {
         "engine_variant": "fused-store",
+        "single_term_queries": str(len(singles)),
         "store_bytes": str(store.store_bytes),
         "store_build_s": f"{store_s:.3f}",
         "prune_rows_host_s": f"{meta_s:.3f}",
@@ -99,7 +112,7 @@ def run_op_device_fused(index, decoder, wdata, queries_list, op, runs, k):
         "blocks_kept": str(stats["blocks_kept"]),
         "blocks_total": str(stats["blocks_total"]),
     }
-    return percentiles(t_us), (Q, widest, len(devb)), extra
+    return percentiles(t_us), (Q, widest, len(shapes)), extra
 
 
 def run_op_device(index, decoder, wdata, queries_list, op, runs, k):

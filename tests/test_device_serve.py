@@ -113,3 +113,19 @@ def test_matches_row_upload_engine(built):
     new_s, _, _ = store.ranked_topk(queries, k=10, prune=False)
     for i in range(len(queries)):
         np.testing.assert_allclose(new_s[i], old[i], rtol=1e-6, atol=1e-7)
+
+
+def test_hierarchical_topk_exact():
+    """_topk_rows at monster widths (hierarchical path) returns exactly
+    the flat top-k scores."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(2)
+    P = 1 << 19
+    cand = rng.standard_normal((2, P)).astype(np.float32)
+    cand[0, ::7] = -np.inf
+    d = rng.integers(0, 1 << 30, size=(2, P)).astype(np.int32)
+    top, docs = device_serve._topk_rows(jnp.asarray(cand),
+                                        jnp.asarray(d), 10)
+    want = np.sort(cand, axis=1)[:, ::-1][:, :10]
+    np.testing.assert_allclose(np.asarray(top), want, rtol=0, atol=0)
