@@ -278,8 +278,28 @@ def ladder_plan_from_values(flat: np.ndarray,
     """Build the canonical ladder UnpackPlan from an already-decoded
     flat value stream (stream order).  base_relative=True subtracts
     each block's minimum and ships it as val_base (monotone docid
-    streams); False packs absolute values (gap streams)."""
+    streams); False packs absolute values (gap streams).
+
+    The classify+pack+lane-transpose passes run NATIVE by default
+    (query_host.cpp qh_ladder_from_values — the numpy passes cost
+    seconds per full-stream sweep on this VM's fresh-page-fault
+    profile and dominated the PEF cold start); DINT_TPU_NATIVE_LADDER=0
+    keeps the numpy oracle, parity-gated by tests/test_ladder_native.py."""
+    import os as _os
+
     flat = np.ascontiguousarray(flat, dtype=np.uint32)
+    if _os.environ.get("DINT_TPU_NATIVE_LADDER", "1") == "1":
+        try:
+            from ..query import native_host
+
+            r = native_host.ladder_from_values(
+                flat, BLOCK_SIZE, base_relative)
+        except Exception:  # noqa: BLE001 — toolchain-less hosts
+            r = None
+        if r is not None:
+            classes, tail = r
+            return ladder_plan_prepacked(
+                classes, tail, int(flat.shape[0]))
     total = int(flat.shape[0])
     vpb = BLOCK_SIZE
     nb = total // vpb
@@ -322,12 +342,15 @@ def ladder_plan_prepacked(classes, tail: np.ndarray,
     same value stream (parity-gated by tests/test_ladder_native.py)."""
     vpb = BLOCK_SIZE
     wcs: List[WidthClass] = []
-    for w, lane, out_base in classes:
+    for cls in classes:
+        w, lane, out_base = cls[:3]
+        vbase = cls[3] if len(cls) > 3 else None
         n = out_base.shape[0]
         wcs.append(
             WidthClass(
                 int(w), np.zeros((n, 0), np.uint8), out_base,
                 np.full(n, vpb, np.int64), prepacked=lane,
+                val_base=vbase,
             )
         )
     nb = (total - int(tail.shape[0])) // vpb

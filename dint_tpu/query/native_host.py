@@ -113,6 +113,15 @@ def _load():
     lib.qh_ladder_fetch.argtypes = [
         ctypes.c_void_p, ctypes.c_int32, u32p, ctypes.c_int64, i64p,
     ]
+    lib.qh_ladder_from_values.restype = ctypes.c_int64
+    lib.qh_ladder_from_values.argtypes = [
+        u32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_void_p),
+    ]
+    lib.qh_ladder_vbase.restype = None
+    lib.qh_ladder_vbase.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, u32p,
+    ]
     lib.qh_ladder_free.restype = None
     lib.qh_ladder_free.argtypes = [ctypes.c_void_p]
     _lib = lib
@@ -235,6 +244,58 @@ def decode_units_to_ladder(view, arena, starts, byte_lens, ns, ctxs,
                 _ptr(out_base, ctypes.c_int64),
             )
             classes.append((w, lane, out_base))
+        tl = int(lib.qh_ladder_tail_len(handle))
+        tail = np.zeros(tl, dtype=np.uint32)
+        if tl:
+            lib.qh_ladder_tail(handle, _ptr(tail, ctypes.c_uint32))
+    finally:
+        lib.qh_ladder_free(handle)
+    return classes, tail
+
+
+def ladder_from_values(flat, vpb: int = 256, base_relative: bool = False):
+    """Native classify+pack+lane-transpose of an already-decoded flat
+    value stream into ladder classes (the zoo/PEF plan path —
+    replaces ladder_plan_from_values' numpy passes; parity-gated by
+    tests/test_ladder_native.py).
+
+    Returns (classes, tail) where classes is
+    [(w, lane_major (W, M, 128) u32, out_base (N,) i64,
+      val_base (N,) u32 | None)], or None when the native library is
+    unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    flat = np.ascontiguousarray(flat, dtype=np.uint32)
+    handle = ctypes.c_void_p()
+    rc = lib.qh_ladder_from_values(
+        _ptr(flat, ctypes.c_uint32), int(flat.shape[0]), int(vpb),
+        1 if base_relative else 0, ctypes.byref(handle),
+    )
+    assert rc == 0, rc
+    try:
+        counts = np.zeros(10, dtype=np.int64)
+        lib.qh_ladder_counts(handle, _ptr(counts, ctypes.c_int64))
+        classes = []
+        for slot, w in enumerate(LADDER_WIDTHS):
+            n = int(counts[slot])
+            if n == 0:
+                continue
+            vpw = 32 // w
+            W = -(-vpb // vpw)
+            m = max(1, -(-n // 128))
+            lane = np.zeros((W, m, 128), dtype=np.uint32)
+            out_base = np.zeros(n, dtype=np.int64)
+            lib.qh_ladder_fetch(
+                handle, slot, _ptr(lane, ctypes.c_uint32), m,
+                _ptr(out_base, ctypes.c_int64),
+            )
+            vbase = None
+            if base_relative:
+                vbase = np.zeros(n, dtype=np.uint32)
+                lib.qh_ladder_vbase(handle, slot,
+                                    _ptr(vbase, ctypes.c_uint32))
+            classes.append((w, lane, out_base, vbase))
         tl = int(lib.qh_ladder_tail_len(handle))
         tail = np.zeros(tl, dtype=np.uint32)
         if tl:

@@ -1368,8 +1368,13 @@ static const int LADDER_WIDTHS[10] = {1, 2, 3, 4, 5, 6, 8, 10, 16, 32};
 
 struct LadderBuilder {
     int vpb = 0;
+    bool base_rel = false;  // subtract per-block min (monotone docid
+                            // streams: PEF); mirror of
+                            // ladder_plan_from_values(base_relative)
     std::vector<uint32_t> packed[10];    // row-major, stride W_k
     std::vector<int64_t> out_base[10];
+    std::vector<uint32_t> vbase[10];     // per-block min (base_rel)
+    std::vector<uint32_t> scratch;
     int64_t blocks = 0;
     std::vector<uint32_t> tail;
 };
@@ -1383,6 +1388,15 @@ static inline int ladder_slot(uint32_t mx) {
 
 static void ladder_finish_block(LadderBuilder* lb, const uint32_t* v) {
     const int vpb = lb->vpb;
+    uint32_t base = 0;
+    if (lb->base_rel) {
+        base = v[0];
+        for (int j = 1; j < vpb; ++j) base = v[j] < base ? v[j] : base;
+        lb->scratch.resize(size_t(vpb));
+        uint32_t* s2 = lb->scratch.data();
+        for (int j = 0; j < vpb; ++j) s2[j] = v[j] - base;
+        v = s2;
+    }
     uint32_t mx = 0;
     for (int j = 0; j < vpb; ++j) mx |= v[j];
     int s = ladder_slot(mx);
@@ -1401,6 +1415,7 @@ static void ladder_finish_block(LadderBuilder* lb, const uint32_t* v) {
         dst[k] = word;
     }
     lb->out_base[s].push_back(lb->blocks * int64_t(vpb));
+    if (lb->base_rel) lb->vbase[s].push_back(base);
     ++lb->blocks;
 }
 
@@ -1480,6 +1495,33 @@ void qh_ladder_fetch(void* h, int32_t slot, uint32_t* lane_major,
     }
     std::memcpy(out_base, lb->out_base[slot].data(),
                 size_t(N) * sizeof(int64_t));
+}
+
+// Build ladder classes from an ALREADY-DECODED flat value stream (the
+// zoo/PEF plan path: plan_ladder host-decodes the wire once, then this
+// replaces the numpy classify+pack+transpose passes — every full pass
+// over a multi-GB flat stream pays this VM's fresh-page fault tax).
+// base_relative mirrors ladder_plan_from_values(base_relative=True):
+// per-block minimum subtracted and recorded (PEF docid streams).
+int64_t qh_ladder_from_values(const uint32_t* flat, int64_t n,
+                              int32_t vpb, int base_relative,
+                              void** out) {
+    auto* lb = new LadderBuilder();
+    lb->vpb = vpb;
+    lb->base_rel = base_relative != 0;
+    int64_t nb = n / vpb;
+    for (int64_t b = 0; b < nb; ++b)
+        ladder_finish_block(lb, flat + b * vpb);
+    lb->tail.assign(flat + nb * vpb, flat + n);
+    *out = lb;
+    return 0;
+}
+
+// per-block bases of one class (base_relative builders only)
+void qh_ladder_vbase(void* h, int32_t slot, uint32_t* out) {
+    auto* lb = static_cast<LadderBuilder*>(h);
+    std::memcpy(out, lb->vbase[slot].data(),
+                lb->vbase[slot].size() * sizeof(uint32_t));
 }
 
 void qh_ladder_free(void* h) { delete static_cast<LadderBuilder*>(h); }

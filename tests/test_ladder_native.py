@@ -59,7 +59,15 @@ def test_fused_classes_match_numpy_plan(stream_env):
         view, arena, lay.starts, lay.byte_lens, lay.n, lay.ctx,
         lay.b_bits,
     )
-    want = unpack_device.ladder_plan_from_values(flat)
+    # the oracle must be the NUMPY pipeline (ladder_plan_from_values
+    # itself now routes through qh_ladder_from_values by default)
+    import os
+
+    os.environ["DINT_TPU_NATIVE_LADDER"] = "0"
+    try:
+        want = unpack_device.ladder_plan_from_values(flat)
+    finally:
+        os.environ["DINT_TPU_NATIVE_LADDER"] = "1"
 
     want_classes = {c.b: c for c in want.classes}
     assert sorted(w for w, _, _ in classes) == sorted(want_classes)
@@ -96,3 +104,58 @@ def test_fused_engine_decodes_exactly(stream_env):
         lay.b_bits,
     )
     np.testing.assert_array_equal(got, flat)
+
+
+def test_from_values_matches_numpy_plan():
+    """qh_ladder_from_values (the zoo/PEF plan path) vs the numpy
+    pipeline, absolute AND base-relative (PEF docid) modes: same
+    classification, packed words, out_base order, val_base, tail."""
+    if not native_host.available():
+        pytest.skip("native query engine unavailable")
+    import os
+
+    rng = np.random.default_rng(17)
+    # absolute gap-like stream with all width classes + a tail
+    parts = []
+    for w in (1, 3, 7, 12, 19, 31):
+        parts.append(
+            rng.integers(0, 1 << w, size=777, dtype=np.uint32))
+    parts.append(np.zeros(400, np.uint32))  # all-zero blocks
+    flat = np.concatenate(parts)
+    # monotone docid-like stream for base_relative
+    mono = np.cumsum(
+        rng.integers(1, 5000, size=3000, dtype=np.uint64)
+    ).astype(np.uint32)
+    for vals, rel in ((flat, False), (mono, True), (flat[:256], False),
+                      (flat[:100], True), (np.zeros(0, np.uint32), False)):
+        os.environ["DINT_TPU_NATIVE_LADDER"] = "0"
+        try:
+            want = unpack_device.ladder_plan_from_values(
+                vals, base_relative=rel)
+        finally:
+            os.environ["DINT_TPU_NATIVE_LADDER"] = "1"
+        got = unpack_device.ladder_plan_from_values(
+            vals, base_relative=rel)
+        # plans compare through the engine images: same classes (width,
+        # out_base, packed device words, val_base) and same tail
+        ew = unpack_device.UnpackEngine(want)
+        eg = unpack_device.UnpackEngine(got)
+        assert len(ew._dev) == len(eg._dev), (rel, len(vals))
+        for (kw, ww, aw, bw), (kg, wg, ag, bg), mw, mg in zip(
+                ew._dev, eg._dev, ew._meta, eg._meta):
+            assert (kw, ww) == (kg, wg)
+            np.testing.assert_array_equal(np.asarray(aw), np.asarray(ag))
+            if bw is None:
+                assert bg is None
+            else:
+                np.testing.assert_array_equal(
+                    np.asarray(bw), np.asarray(bg))
+            np.testing.assert_array_equal(mw[0], mg[0])
+        assert len(want.partials) == len(got.partials)
+        for (ow, tw), (og, tg) in zip(want.partials, got.partials):
+            assert ow == og
+            np.testing.assert_array_equal(tw, tg)
+        # and the decoded stream round-trips exactly
+        if len(vals):
+            out = eg.decode_all_ordered()
+            np.testing.assert_array_equal(np.asarray(out), vals)
