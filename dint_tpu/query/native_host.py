@@ -48,12 +48,17 @@ def _load():
     src = nativebuild.source_path("query_host.cpp")
     if src is None:
         return None
+    # zoo_decode.cpp links in so the cursor engine serves block-codec
+    # index kinds through the same native decoders the vroom CLI uses
+    zoo_src = nativebuild.source_path("zoo_decode.cpp")
+    extra_srcs = [zoo_src] if zoo_src else []
     # -ftls-model=initial-exec: measured ~45% end-to-end on the encoder's
     # thread_locals (codecs/native.py); the query engine's remaining
     # thread_local scratch (query_weights/dedup buffers) rides the same
     # fix, with the same clean-dlopen-failure fallback rebuild.
     so = nativebuild.ensure_so(
-        src, "libdintqh.so", ["-ftls-model=initial-exec"]
+        src, "libdintqh.so", ["-ftls-model=initial-exec"],
+        extra_srcs=extra_srcs,
     )
     if so is None:
         return None
@@ -61,7 +66,8 @@ def _load():
         lib = ctypes.CDLL(so)
     except OSError:
         # out of static TLS space: rebuild with the default TLS model
-        so = nativebuild.ensure_so(src, "libdintqh.so", force=True)
+        so = nativebuild.ensure_so(src, "libdintqh.so", force=True,
+                                   extra_srcs=extra_srcs)
         if so is None:
             return None
         lib = ctypes.CDLL(so)
@@ -332,8 +338,28 @@ def _ptr(a: np.ndarray, ct):
     return a.ctypes.data_as(ctypes.POINTER(ct))
 
 
+# block-codec kind -> qh_create mode (16 + native codec id; ids 0-7 =
+# zoo_many order in native/zoo_decode.cpp, 8 = qmx, 9 = u32)
+BLOCK_CODEC_MODES = {
+    "vbyte": 16, "maskedvbyte": 17, "streamvbyte": 18, "varintgb": 19,
+    "varintg8iu": 20, "simple16": 21, "optpfor": 22,
+    "interpolative": 23, "qmx": 24, "u32": 25,
+}
+
+
+class _NullView:
+    """Stand-in dictionary view for dictionary-less (block-codec)
+    indexes: 1-context zero tables the native side never reads."""
+
+    def __init__(self):
+        self.table = np.zeros(1, np.uint32)
+        self.offsets = np.zeros((1, 1), np.uint32)
+        self.lengths = np.zeros((1, 1), np.int32)
+
+
 class NativeQueryEngine:
-    """Holds a native context over a DintIndex (+ optional WandData)."""
+    """Holds a native context over a DintIndex or BlockIndex
+    (+ optional WandData)."""
 
     def __init__(self, index, wdata=None):
         lib = _load()
@@ -343,8 +369,14 @@ class NativeQueryEngine:
         self.index = index
         self.num_docs = int(index.num_docs)
         self.num_lists = int(index.num_lists)
-        dv = index.docs_dict.decode_view()
-        fv = index.freqs_dict.decode_view()
+        if hasattr(index, "docs_dict"):
+            mode = 1 if index.kind == "multi" else 0
+            dv = index.docs_dict.decode_view()
+            fv = index.freqs_dict.decode_view()
+        else:
+            mode = BLOCK_CODEC_MODES[index.codec]
+            dv = _NullView()
+            fv = _NullView()
         # keep every array referenced: the context borrows them zero-copy
         self._keep = keep = []
 
@@ -383,7 +415,7 @@ class NativeQueryEngine:
         assert maxw.shape[0] == self.num_lists
 
         self._ctx = lib.qh_create(
-            1 if index.kind == "multi" else 0,
+            mode,
             self.num_lists, self.num_docs,
             _ptr(list_n, ctypes.c_uint32),
             _ptr(block_ptr, ctypes.c_uint64),

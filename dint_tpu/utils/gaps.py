@@ -13,6 +13,8 @@ import numpy as np
 
 def docs_to_gaps(docs: np.ndarray) -> np.ndarray:
     docs = np.asarray(docs, dtype=np.int64)
+    if docs.shape[0] == 0:  # empty posting list (shard-absent term)
+        return np.zeros(0, np.uint32)
     out = np.empty_like(docs)
     out[0] = docs[0]
     out[1:] = docs[1:] - docs[:-1] - 1

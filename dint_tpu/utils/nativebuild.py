@@ -78,18 +78,21 @@ def ensure_so(
     so_name: str,
     extra_args: Sequence[str] = (),
     force: bool = False,
+    extra_srcs: Sequence[str] = (),
 ) -> Optional[str]:
-    """Compile ``src`` into ``so_name`` if stale; return the .so path.
+    """Compile ``src`` (+ ``extra_srcs``) into ``so_name`` if stale;
+    return the .so path.
 
     The compile is atomic (temp file + rename) and serialized across
     processes by a lock file, so concurrent first-use builders are
     safe.  ``force`` rebuilds even when fresh (used by the TLS-model
-    fallback retry).  Returns None if the toolchain fails."""
+    fallback retry).  Returns None if the toolchain fails.  The
+    freshness hash covers every source file."""
     out = os.path.join(_out_dir(src), so_name)
-    if not force and _fresh(out, src):
+    if not force and _fresh(out, src, extra_srcs):
         return out
     with _locked(out + ".lock"):
-        if not force and _fresh(out, src):
+        if not force and _fresh(out, src, extra_srcs):
             return out
         args = ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
                 "-fPIC", *extra_args]
@@ -99,11 +102,12 @@ def ensure_so(
         os.close(fd)
         try:
             subprocess.run(
-                args + [src, "-o", tmp], check=True, capture_output=True
+                args + [src, *extra_srcs, "-o", tmp], check=True,
+                capture_output=True,
             )
             os.replace(tmp, out)
             with open(out + ".srchash", "w") as f:
-                f.write(_src_hash(src))
+                f.write(_src_hash(src, extra_srcs))
             return out
         except (subprocess.CalledProcessError, FileNotFoundError) as e:
             print(f"native build of {so_name} failed: {e}", file=sys.stderr)
@@ -120,7 +124,7 @@ def ensure_so(
                     file=sys.stderr,
                 )
                 with open(out + ".srchash", "w") as f:
-                    f.write(_src_hash(src))
+                    f.write(_src_hash(src, extra_srcs))
                 return out
             return None
         finally:
@@ -128,14 +132,17 @@ def ensure_so(
                 os.unlink(tmp)
 
 
-def _src_hash(src: str) -> str:
+def _src_hash(src: str, extra_srcs: Sequence[str] = ()) -> str:
     import hashlib
 
-    with open(src, "rb") as f:
-        return hashlib.sha256(f.read()).hexdigest()
+    h = hashlib.sha256()
+    for p in (src, *extra_srcs):
+        with open(p, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()
 
 
-def _fresh(out: str, src: str) -> bool:
+def _fresh(out: str, src: str, extra_srcs: Sequence[str] = ()) -> bool:
     """A binary is fresh only if its recorded source hash matches.
 
     mtime alone is NOT trustworthy: a git checkout stamps source and
@@ -146,6 +153,6 @@ def _fresh(out: str, src: str) -> bool:
         return False
     try:
         with open(out + ".srchash") as f:
-            return f.read().strip() == _src_hash(src)
+            return f.read().strip() == _src_hash(src, extra_srcs)
     except OSError:
         return False

@@ -30,6 +30,22 @@
 #include <cstring>
 #include <vector>
 
+// block-codec decoders (native/zoo_decode.cpp, compiled into this .so
+// so the cursor engine serves block_freq_index kinds too — same
+// (buf, avail, n, out) -> consumed contract, byte-parity-gated against
+// the python codecs by tests/test_zoo_native.py)
+extern "C" {
+int64_t zoo_vbyte(const uint8_t*, int64_t, int64_t, uint32_t*);
+int64_t zoo_maskedvbyte(const uint8_t*, int64_t, int64_t, uint32_t*);
+int64_t zoo_streamvbyte(const uint8_t*, int64_t, int64_t, uint32_t*);
+int64_t zoo_varintgb(const uint8_t*, int64_t, int64_t, uint32_t*);
+int64_t zoo_varintg8iu(const uint8_t*, int64_t, int64_t, uint32_t*);
+int64_t zoo_simple16(const uint8_t*, int64_t, int64_t, uint32_t*);
+int64_t zoo_optpfor_block(const uint8_t*, int64_t, int64_t, uint32_t*);
+int64_t zoo_interpolative(const uint8_t*, int64_t, int64_t, uint32_t*);
+int64_t zoo_qmx(const uint8_t*, int64_t, int64_t, uint32_t*);
+}
+
 namespace {
 
 constexpr int BLOCK_SIZE = 256;
@@ -365,6 +381,10 @@ static uint64_t dint_decode_multi(const DictView& v, const uint8_t* data,
 
 struct Ctx {
     bool is_multi;
+    int codec_id = -1;  // -1 = DINT; 0-7 zoo_many ids; 8 qmx; 9 u32
+                        // (block_freq_index kinds, full blocks only —
+                        // partials are always interpolative,
+                        // block_codecs.hpp:104-151)
     uint64_t num_lists;
     uint64_t num_docs;
     const uint32_t* list_n;
@@ -379,6 +399,42 @@ struct Ctx {
     const float* max_weight;
     std::vector<uint32_t> docs_rows, freqs_rows;  // fused dict rows
 };
+
+// codecs whose PARTIAL (<256) blocks divert to interpolative coding
+// (dint_tpu/codecs/blocks.py: varint_g8iu, optpfor, qmx — the group/
+// instance formats need whole blocks); every other codec decodes any
+// n natively
+static inline bool zoo_partial_interp(int codec) {
+    return codec == 4 || codec == 6 || codec == 8;
+}
+
+// one full (256-int) block of a block-codec index: same dispatch
+// table as zoo_many (zoo_decode.cpp); qmx blocks carry a
+// TightVariableByte payload-length prefix (block_codecs.hpp:320-355),
+// u32 blocks are raw little-endian words
+static inline int64_t zoo_block_decode(int codec, const uint8_t* buf,
+                                       int64_t avail, int n,
+                                       uint32_t* out) {
+    typedef int64_t (*fn_t)(const uint8_t*, int64_t, int64_t, uint32_t*);
+    static const fn_t FNS[8] = {
+        zoo_vbyte,     zoo_maskedvbyte, zoo_streamvbyte, zoo_varintgb,
+        zoo_varintg8iu, zoo_simple16,   zoo_optpfor_block,
+        zoo_interpolative,
+    };
+    if (codec < 8) return FNS[codec](buf, avail, n, out);
+    if (codec == 8) {  // qmx
+        uint64_t pos = 0;
+        uint32_t ln = vbyte_decode_single(buf, pos);
+        if (int64_t(pos) + ln > avail) return -1;
+        return zoo_qmx(buf + pos, ln, n, out) < 0
+                   ? -1
+                   : int64_t(pos) + ln;
+    }
+    // u32: raw words
+    if (int64_t(n) * 4 > avail) return -1;
+    std::memcpy(out, buf, size_t(n) * 4);
+    return int64_t(n) * 4;
+}
 
 // document_enumerator equivalent (dict_posting_list.hpp:84-344 /
 // dint_tpu/query/lazy_decode.py Cursor): per-block lazy decode with
@@ -443,10 +499,28 @@ struct NativeCursor {
         uint32_t base =
             rel_b > 0 ? ctx->block_max[b - 1] + 1 : 0;
         uint64_t start = b > 0 ? ctx->block_end[b - 1] : 0;
-        if (size < BLOCK_SIZE) {
+        bool interp_blk =
+            ctx->codec_id == 7 /* interpolative codec: every block */ ||
+            (size < BLOCK_SIZE &&
+             (ctx->codec_id < 0 || zoo_partial_interp(ctx->codec_id)));
+        if (interp_blk) {
+            // docs sums are KNOWN -> no vbyte header on the wire
+            // (block_codecs.hpp:104-151)
             uint32_t sum_v = ctx->block_max[b] - base - uint32_t(size - 1);
             interp_decode_docids(ctx->arena, start, size, sum_v, base,
                                  docs_buf);
+        } else if (ctx->codec_id >= 0) {
+            uint32_t tmp[BLOCK_SIZE + 8];
+            int64_t avail = int64_t(ctx->docs_end[b] - start);
+            zoo_block_decode(ctx->codec_id, ctx->arena + start, avail,
+                             size, tmp);
+            // d-gaps -> docids: docid[j] = base + psum(g)[j] + j
+            // (identical to interp_decode_docids' rebuild)
+            uint32_t p = 0;
+            for (int j = 0; j < size; ++j) {
+                p += tmp[j];
+                docs_buf[j] = base + p + uint32_t(j);
+            }
         } else {
             // no memset: the decoders are self-zeroing for run tails
             if (ctx->is_multi) {
@@ -487,9 +561,17 @@ struct NativeCursor {
         uint64_t b = p0 + cur_block;
         int size = cur_size;
         uint64_t start = ctx->docs_end[b];
-        if (size < BLOCK_SIZE) {
+        bool interp_blk =
+            ctx->codec_id == 7 ||
+            (size < BLOCK_SIZE &&
+             (ctx->codec_id < 0 || zoo_partial_interp(ctx->codec_id)));
+        if (interp_blk) {
             interp_decode_block(ctx->arena, start, size, UNKNOWN_SUM,
                                 freqs_buf);
+        } else if (ctx->codec_id >= 0) {
+            int64_t avail = int64_t(ctx->block_end[b] - start);
+            zoo_block_decode(ctx->codec_id, ctx->arena + start, avail,
+                             size, freqs_buf);
         } else {
             // no memset: dint_decode_single zeroes run tails itself
             if (ctx->is_multi)
@@ -1203,7 +1285,9 @@ static uint64_t op_ranked_or(const Ctx* c, std::vector<NativeCursor>& cur,
 
 extern "C" {
 
-void* qh_create(int is_multi, uint64_t num_lists, uint64_t num_docs,
+// mode: 0 single-DINT, 1 multi-DINT, 16+id block-codec kind
+// (id: zoo_many order 0-7, 8 qmx, 9 u32)
+void* qh_create(int mode, uint64_t num_lists, uint64_t num_docs,
                 const uint32_t* list_n, const uint64_t* block_ptr,
                 const uint32_t* block_max, const uint64_t* docs_end,
                 const uint64_t* block_end, const uint8_t* arena,
@@ -1213,7 +1297,8 @@ void* qh_create(int is_multi, uint64_t num_lists, uint64_t num_docs,
                 const int32_t* f_lengths, int f_contexts,
                 const float* norm_lens, const float* max_weight) {
     Ctx* c = new Ctx();
-    c->is_multi = is_multi != 0;
+    c->is_multi = mode == 1;
+    c->codec_id = mode >= 16 ? mode - 16 : -1;
     c->num_lists = num_lists;
     c->num_docs = num_docs;
     c->list_n = list_n;
@@ -1224,8 +1309,10 @@ void* qh_create(int is_multi, uint64_t num_lists, uint64_t num_docs,
     c->arena = arena;
     c->docs_dict = {d_table, d_offsets, d_lengths, d_contexts};
     c->freqs_dict = {f_table, f_offsets, f_lengths, f_contexts};
-    build_dict_rows(c->docs_dict, c->docs_rows);
-    build_dict_rows(c->freqs_dict, c->freqs_rows);
+    if (c->codec_id < 0) {  // block-codec kinds carry no dictionaries
+        build_dict_rows(c->docs_dict, c->docs_rows);
+        build_dict_rows(c->freqs_dict, c->freqs_rows);
+    }
     c->norm_lens = norm_lens;
     c->max_weight = max_weight;
     return c;

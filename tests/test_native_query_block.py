@@ -1,0 +1,81 @@
+"""Native host query engine over BLOCK-CODEC index kinds.
+
+The cursor engine (native/query_host.cpp) serves block_freq_index
+kinds through the native zoo block decoders (zoo_decode.cpp, linked
+into the same .so): full blocks decode via the codec, partial blocks
+via interpolative, docids rebuild from d-gaps exactly like the DINT
+path.  These tests gate result parity against the Python oracle
+engines for every codec family the registry exposes."""
+
+import numpy as np
+import pytest
+
+from dint_tpu.index import block_index
+from dint_tpu.io import collection, synth
+from dint_tpu.query import boolean, lazy_decode, native_host, ranked
+
+pytestmark = pytest.mark.skipif(
+    not native_host.available(), reason="native toolchain unavailable"
+)
+
+CODECS = ["vbyte", "maskedvbyte", "streamvbyte", "varintgb",
+          "varintg8iu", "simple16", "optpfor", "interpolative",
+          "qmx", "u32"]
+
+
+@pytest.fixture(scope="module")
+def coll(tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("nqb") / "c")
+    docs, freqs = synth.make_collection(40, 9000, seed=29, avg_len=150)
+    docs[5] = np.zeros(0, np.uint32)
+    freqs[5] = np.zeros(0, np.uint32)
+    docs[6] = docs[6][:1]
+    freqs[6] = freqs[6][:1]
+    collection.write_freq_collection(base, docs, freqs, 9000)
+    collection.write_sizes_file(
+        base, synth.doc_sizes_from_lists(docs, freqs, 9000))
+    rng = np.random.default_rng(8)
+    queries = [
+        [int(t) for t in rng.integers(0, 40, size=int(rng.integers(1, 5)))]
+        for _ in range(30)
+    ]
+    queries += [[5], [5, 2], [6, 6]]
+    return base, queries
+
+
+@pytest.mark.parametrize("codec", CODECS)
+def test_block_kind_parity(coll, codec):
+    base, queries = coll
+    idx = block_index.build_block_index(base, codec)
+    wd = ranked.build_wand_data(base)
+    eng = native_host.NativeQueryEngine(idx, wd)
+    dec = block_index.BlockTermDecoder(idx)
+
+    for op in ("and", "or"):
+        _, cnt, _ = eng.run(op, queries, runs=2)
+        fn = (boolean.and_query_lazy if op == "and"
+              else boolean.or_query_lazy)
+        cache_cls = type(dec.lazy_cache)
+        for i, q in enumerate(queries):
+            want = int(fn(cache_cls(idx), q).shape[0])
+            assert int(cnt[i]) == want, (codec, op, i, q)
+
+    _, cnt, scores = eng.run("wand", queries, runs=2, k=10)
+    for i, q in enumerate(queries):
+        dec._lazy_cache = type(dec.lazy_cache)(idx)
+        want = ranked.wand(idx, dec, wdata=wd, terms=q, k=10)
+        got = scores[i][scores[i] >= 0]
+        assert int(cnt[i]) == want.shape[0], (codec, i, q)
+        np.testing.assert_allclose(
+            got, np.sort(want)[::-1], rtol=2e-4, atol=1e-5,
+            err_msg=f"{codec} wand query {i} {q}")
+
+    _, cnt, scores = eng.run("maxscore", queries, runs=2, k=10)
+    for i, q in enumerate(queries):
+        dec._lazy_cache = type(dec.lazy_cache)(idx)
+        want = ranked.maxscore(idx, dec, wdata=wd, terms=q, k=10)
+        got = scores[i][scores[i] >= 0]
+        assert int(cnt[i]) == want.shape[0], (codec, i, q)
+        np.testing.assert_allclose(
+            got, np.sort(want)[::-1], rtol=2e-4, atol=1e-5,
+            err_msg=f"{codec} maxscore query {i} {q}")
