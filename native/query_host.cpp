@@ -867,10 +867,67 @@ static inline void sort_by_docid(ScoredCursor* a, size_t m) {
     }
 }
 
-// wand_query (queries.hpp:190-307)
-static uint64_t op_wand(const Ctx* c, std::vector<NativeCursor>& cur,
-                        const std::vector<WeightedTerm>& wt, int k,
-                        float* out_scores) {
+// wand_query, small-query variant (plain pivot walk; the segment-
+// batched variant below wins 2x+ on monster unions but costs a little
+// at tiny scale — both exact, op_wand picks by total posting count)
+static uint64_t op_wand_small(const Ctx* c, std::vector<NativeCursor>& cur,
+                              const std::vector<WeightedTerm>& wt, int k,
+                              float* out_scores) {
+    size_t m = cur.size();
+    std::vector<ScoredCursor> ordered(m);
+    for (size_t i = 0; i < m; ++i)
+        ordered[i] = {&cur[i], wt[i].q_weight, wt[i].max_weight};
+    sort_by_docid(ordered.data(), m);
+    TopK topk(k);
+    uint32_t nd = uint32_t(c->num_docs);
+    for (;;) {
+        // find pivot (queries.hpp:241-253)
+        float upper_bound = 0.0f;
+        bool found_pivot = false;
+        size_t pivot = 0;
+        for (pivot = 0; pivot < m; ++pivot) {
+            if (ordered[pivot].c->docid() == nd) break;
+            upper_bound += ordered[pivot].max_weight;
+            if (topk.would_enter(upper_bound)) {
+                found_pivot = true;
+                break;
+            }
+        }
+        if (!found_pivot) break;
+        uint32_t pivot_id = ordered[pivot].c->docid();
+        if (pivot_id == ordered[0].c->docid()) {
+            float score = 0.0f;
+            float nl = c->norm_lens[pivot_id];
+            for (auto& e : ordered) {
+                if (e.c->docid() != pivot_id) break;
+                float f = float(e.c->freq());
+                score += e.q_weight * doc_term_weight(f, nl);
+                e.c->next();
+            }
+            topk.insert(score);
+            sort_by_docid(ordered.data(), m);
+        } else {
+            size_t next_list = pivot;
+            while (ordered[next_list].c->docid() == pivot_id) --next_list;
+            ordered[next_list].c->next_geq(pivot_id);
+            // bubble re-sort (queries.hpp:285-293)
+            for (size_t i = next_list + 1; i < m; ++i) {
+                if (ordered[i].c->docid() < ordered[i - 1].c->docid())
+                    std::swap(ordered[i], ordered[i - 1]);
+                else
+                    break;
+            }
+        }
+    }
+    std::sort(topk.q.begin(), topk.q.end(), std::greater<float>());
+    for (size_t i = 0; i < topk.q.size(); ++i) out_scores[i] = topk.q[i];
+    return topk.q.size();
+}
+
+// wand_query (queries.hpp:190-307), segment-batched variant
+static uint64_t op_wand_batched(
+    const Ctx* c, std::vector<NativeCursor>& cur,
+    const std::vector<WeightedTerm>& wt, int k, float* out_scores) {
     size_t m = cur.size();
     std::vector<ScoredCursor> ordered(m);
     for (size_t i = 0; i < m; ++i)
@@ -990,8 +1047,153 @@ static uint64_t op_wand(const Ctx* c, std::vector<NativeCursor>& cur,
     return topk.q.size();
 }
 
-// maxscore_query (queries.hpp:459-573) with two exact extensions the
-// reference lacks:
+static uint64_t op_wand(const Ctx* c, std::vector<NativeCursor>& cur,
+                        const std::vector<WeightedTerm>& wt, int k,
+                        float* out_scores) {
+    uint64_t total = 0;
+    for (auto& e : cur) total += uint64_t(e.n);
+    return total < 65536 ? op_wand_small(c, cur, wt, k, out_scores)
+                         : op_wand_batched(c, cur, wt, k, out_scores);
+}
+
+// maxscore_query, small-query variant: the plain per-doc loop with
+// the guarded single-essential fast path.  The segment-batched
+// variant below wins 1.5-2x on monster unions but its loop-carried
+// bookkeeping costs ~20% at testcoll scale (both are exact;
+// op_maxscore picks by total posting count).
+static uint64_t op_maxscore_small(
+    const Ctx* c, std::vector<NativeCursor>& cur,
+    const std::vector<WeightedTerm>& wt, int k, float* out_scores) {
+    size_t m = cur.size();
+    std::vector<ScoredCursor> ordered(m);
+    for (size_t i = 0; i < m; ++i)
+        ordered[i] = {&cur[i], wt[i].q_weight, wt[i].max_weight};
+    for (size_t i = 1; i < m; ++i) {  // stable insertion by max_weight
+        ScoredCursor key = ordered[i];
+        size_t j = i;
+        while (j > 0 && ordered[j - 1].max_weight > key.max_weight) {
+            ordered[j] = ordered[j - 1];
+            --j;
+        }
+        ordered[j] = key;
+    }
+    std::vector<float> upper_bounds(m);
+    double acc = 0.0;
+    for (size_t i = 0; i < m; ++i) {
+        acc += double(ordered[i].max_weight);
+        upper_bounds[i] = float(acc);
+    }
+    TopK topk(k);
+    uint32_t nd = uint32_t(c->num_docs);
+    size_t non_essential = 0;
+    uint32_t cur_doc = nd;
+    for (auto& e : ordered) cur_doc = std::min(cur_doc, e.c->docid());
+
+    while (non_essential < m && cur_doc < nd) {
+        // single-essential tail: with exactly one essential cursor
+        // left (2-term queries past the first threshold growth, and
+        // every query's endgame), the union IS that cursor's
+        // remaining postings — walk it directly: no per-doc scan
+        // loop, docid compare, min fold, or exhausted bookkeeping.
+        // On the crawl-shaped A/B this regime carries most of the
+        // essential-scan volume.  Entry requires the essential cursor
+        // to actually sit at cur_doc: right after an insert promotes
+        // non_essential to m-1, cur_doc was computed as the min over
+        // the PREVIOUS essential range and can be a just-demoted
+        // cursor's docid < cu->docid() — the general iteration below
+        // handles that (scores cur_doc from non-essential probes
+        // only) and re-establishes cur_doc from the essential set.
+        if (non_essential + 1 == m &&
+            ordered[non_essential].c->docid() == cur_doc) {
+            NativeCursor* cu = ordered[non_essential].c;
+            float qw = ordered[non_essential].q_weight;
+            do {
+                if (g_prof_on) { ++g_prof.ess_docs; ++g_prof.ess_scans; }
+                float nl = c->norm_lens[cur_doc];
+                float score =
+                    qw * doc_term_weight(float(cu->freq()), nl);
+                cu->next();
+                for (size_t ii = non_essential; ii-- > 0;) {
+                    if (!topk.would_enter(score + upper_bounds[ii]))
+                        break;
+                    if (g_prof_on) ++g_prof.ne_probes;
+                    auto& e2 = ordered[ii];
+                    e2.c->next_geq(cur_doc);
+                    if (e2.c->docid() == cur_doc) {
+                        float f = float(e2.c->freq());
+                        score += e2.q_weight * doc_term_weight(f, nl);
+                    }
+                }
+                if (topk.insert(score)) {
+                    while (non_essential < m &&
+                           !topk.would_enter(
+                               upper_bounds[non_essential]))
+                        ++non_essential;
+                }
+                cur_doc = cu->docid();
+            } while (non_essential + 1 == m && cur_doc < nd);
+            continue;
+        }
+        if (g_prof_on) ++g_prof.ess_docs;
+        float score = 0.0f;
+        float nl = c->norm_lens[cur_doc];
+        uint32_t next_doc = nd;
+        size_t exhausted = m;
+        for (size_t i = non_essential; i < m; ++i) {
+            if (g_prof_on) ++g_prof.ess_scans;
+            auto& e = ordered[i];
+            if (e.c->docid() == cur_doc) {
+                float f = float(e.c->freq());
+                score += e.q_weight * doc_term_weight(f, nl);
+                e.c->next();
+                if (DS2I_UNLIKELY_(e.c->docid() >= nd)) exhausted = i;
+            }
+            next_doc = std::min(next_doc, e.c->docid());
+        }
+        // drop exhausted essential cursors: docid == num_docs can
+        // never match again, yet the reference keeps scanning them
+        // every iteration (queries.hpp:526-536) — a 5-term query with
+        // singleton rares pays ~m scans per union doc forever.
+        // Removing at i >= non_essential leaves upper_bounds[0..ne)
+        // untouched, so the non-essential pruning logic is unchanged.
+        if (DS2I_UNLIKELY_(exhausted < m)) {
+            size_t w = non_essential;
+            for (size_t i = non_essential; i < m; ++i)
+                if (ordered[i].c->docid() < nd) ordered[w++] = ordered[i];
+            m = w;  // the while condition ends the walk once ne >= m;
+                    // cur_doc still completes + inserts below first
+            // surviving cursors shifted down: rebuild their cumulative
+            // bounds (the prefix [0, ne) is untouched, so the
+            // non-essential completion checks stay exact)
+            for (size_t i = non_essential; i < m; ++i)
+                upper_bounds[i] =
+                    (i ? upper_bounds[i - 1] : 0.0f) +
+                    ordered[i].max_weight;
+        }
+        for (size_t ii = non_essential; ii-- > 0;) {
+            if (!topk.would_enter(score + upper_bounds[ii])) break;
+            if (g_prof_on) ++g_prof.ne_probes;
+            auto& e = ordered[ii];
+            e.c->next_geq(cur_doc);
+            if (e.c->docid() == cur_doc) {
+                float f = float(e.c->freq());
+                score += e.q_weight * doc_term_weight(f, nl);
+            }
+        }
+        if (topk.insert(score)) {
+            while (non_essential < m &&
+                   !topk.would_enter(upper_bounds[non_essential]))
+                ++non_essential;
+        }
+        cur_doc = next_doc;
+    }
+    std::sort(topk.q.begin(), topk.q.end(), std::greater<float>());
+    for (size_t i = 0; i < topk.q.size(); ++i) out_scores[i] = topk.q[i];
+    return topk.q.size();
+}
+
+// maxscore_query (queries.hpp:459-573), segment-batched variant with
+// two exact extensions the reference lacks:
 //  * segment block-batching: when exactly one essential cursor holds
 //    cur_doc and the next essential docid (stop) is far, every doc of
 //    that cursor below stop can only match it + non-essential lists,
@@ -1006,9 +1208,9 @@ static uint64_t op_wand(const Ctx* c, std::vector<NativeCursor>& cur,
 //    reference keeps scanning/probing docid==num_docs cursors forever,
 //    queries.hpp:526-548); bounds remain true upper bounds, so all
 //    pruning decisions stay exact.
-static uint64_t op_maxscore(const Ctx* c, std::vector<NativeCursor>& cur,
-                            const std::vector<WeightedTerm>& wt, int k,
-                            float* out_scores) {
+static uint64_t op_maxscore_batched(
+    const Ctx* c, std::vector<NativeCursor>& cur,
+    const std::vector<WeightedTerm>& wt, int k, float* out_scores) {
     size_t m = cur.size();
     std::vector<ScoredCursor> ordered(m);
     for (size_t i = 0; i < m; ++i)
@@ -1051,12 +1253,19 @@ static uint64_t op_maxscore(const Ctx* c, std::vector<NativeCursor>& cur,
     float nlbuf[BLOCK_SIZE];
     float sbuf[BLOCK_SIZE];
 
-    while (non_essential < m && cur_doc < nd) {
-        // segment analysis: who holds cur_doc, and where is the next
-        // essential docid
-        size_t icu = m;
-        uint32_t stop = nd;
-        int at_cnt = 0;
+    // segment analysis: who holds cur_doc (icu, at_cnt) and where the
+    // next essential docid is (stop).  The general step FUSES the next
+    // iteration's stats into its scoring scan, so this full scan runs
+    // only at entry, after a batch, and after index-shifting events
+    // (promotions / exhausted drops) — an extra per-doc cursor sweep
+    // measurably hurt tiny-query latency.
+    size_t icu = m;
+    uint32_t stop = nd;
+    int at_cnt = 0;
+    auto analyze = [&]() {
+        icu = m;
+        stop = nd;
+        at_cnt = 0;
         for (size_t i = non_essential; i < m; ++i) {
             uint32_t d = ordered[i].c->docid();
             if (d == cur_doc) {
@@ -1066,6 +1275,9 @@ static uint64_t op_maxscore(const Ctx* c, std::vector<NativeCursor>& cur,
                 stop = d;
             }
         }
+    };
+    analyze();
+    while (non_essential < m && cur_doc < nd) {
         // batch gate: a lone holder and a far stop (short interleaved
         // segments lose to the per-doc path's lower setup cost)
         if (at_cnt == 1 && uint64_t(stop) >= uint64_t(cur_doc) + 128) {
@@ -1156,13 +1368,17 @@ static uint64_t op_maxscore(const Ctx* c, std::vector<NativeCursor>& cur,
             cur_doc = nd;
             for (size_t i = non_essential; i < m; ++i)
                 cur_doc = std::min(cur_doc, ordered[i].c->docid());
+            analyze();
             continue;
         }
         if (g_prof_on) ++g_prof.ess_docs;
         float score = 0.0f;
         float nl = c->norm_lens[cur_doc];
-        uint32_t next_doc = nd;
+        uint32_t next_doc = nd, next2 = nd;
+        int next_cnt = 0;
+        size_t next_icu = m;
         size_t exhausted = m;
+        bool dirty = false;
         for (size_t i = non_essential; i < m; ++i) {
             if (g_prof_on) ++g_prof.ess_scans;
             auto& e = ordered[i];
@@ -1172,7 +1388,17 @@ static uint64_t op_maxscore(const Ctx* c, std::vector<NativeCursor>& cur,
                 e.c->next();
                 if (DS2I_UNLIKELY_(e.c->docid() >= nd)) exhausted = i;
             }
-            next_doc = std::min(next_doc, e.c->docid());
+            uint32_t d = e.c->docid();
+            if (d < next_doc) {
+                next2 = next_doc;
+                next_doc = d;
+                next_cnt = 1;
+                next_icu = i;
+            } else if (d == next_doc) {
+                ++next_cnt;
+            } else if (d < next2) {
+                next2 = d;
+            }
         }
         // drop exhausted essential cursors: docid == num_docs can
         // never match again, yet the reference keeps scanning them
@@ -1181,6 +1407,7 @@ static uint64_t op_maxscore(const Ctx* c, std::vector<NativeCursor>& cur,
         if (DS2I_UNLIKELY_(exhausted < m)) {
             for (size_t i = m; i-- > non_essential;)
                 if (ordered[i].c->docid() >= nd) drop_at(i);
+            dirty = true;  // indexes shifted
         }
         for (size_t ii = non_essential; ii-- > 0;) {
             if (!topk.would_enter(score + upper_bounds[ii])) break;
@@ -1193,18 +1420,40 @@ static uint64_t op_maxscore(const Ctx* c, std::vector<NativeCursor>& cur,
                 score += e.q_weight * doc_term_weight(f, nl);
             } else if (DS2I_UNLIKELY_(d2 >= nd)) {
                 drop_at(ii);
+                dirty = true;
             }
         }
         if (topk.insert(score)) {
+            size_t ne0 = non_essential;
             while (non_essential < m &&
                    !topk.would_enter(upper_bounds[non_essential]))
                 ++non_essential;
+            if (non_essential != ne0) dirty = true;
         }
         cur_doc = next_doc;
+        if (dirty) {
+            analyze();
+        } else {
+            at_cnt = next_cnt;
+            stop = next2;
+            icu = next_icu;
+        }
     }
     std::sort(topk.q.begin(), topk.q.end(), std::greater<float>());
     for (size_t i = 0; i < topk.q.size(); ++i) out_scores[i] = topk.q[i];
     return topk.q.size();
+}
+
+// dispatcher: the batched variant's wins live in multi-million-
+// posting unions; small queries keep the lean loop (both exact)
+static uint64_t op_maxscore(const Ctx* c, std::vector<NativeCursor>& cur,
+                            const std::vector<WeightedTerm>& wt, int k,
+                            float* out_scores) {
+    uint64_t total = 0;
+    for (auto& e : cur) total += uint64_t(e.n);
+    return total < 65536
+               ? op_maxscore_small(c, cur, wt, k, out_scores)
+               : op_maxscore_batched(c, cur, wt, k, out_scores);
 }
 
 // ranked_and_query (queries.hpp:309-385): AND leapfrog + scoring

@@ -47,6 +47,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np  # noqa: E402
 
 import dint_tpu  # noqa: F401  (installs the malloc/THP fixes)
+from dint_tpu.tools import common  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REF = os.environ.get("DINT_REF", "/root/reference")
@@ -229,6 +230,8 @@ def our_result_counts(index, decoder, wdata, queries_list, op, k=10):
     # EF-family indexes (opt/uniform/ef/single) decode-and-merge
     # instead (parity accounting only, untimed)
     blocky = hasattr(index, "list_blocks")
+    # freq variants return the same result sets as their base ops
+    op = {"and_freq": "and", "or_freq": "or"}.get(op, op)
     for q in queries_list:
         if op in ("and", "or"):
             if blocky:
@@ -291,9 +294,11 @@ def main():
     for type_name in args.types:
         index_file = ensure_index(type_name, base, cache)
         index, decoder, wdata = load_ours(type_name, index_file, wand_file)
-        rec = {"ref": {}, "ours_host": {}, "ref_meta": {}}
+        rec = {"ref": {}, "ref_meta": {}}
+        if not args.no_python_host:
+            rec["ours_host"] = {}
         native_eng = None
-        if type_name.endswith("_dint"):
+        if type_name.endswith("_dint") or type_name in common.BLOCK_KINDS:
             from dint_tpu.query import native_host
 
             if native_host.available():
@@ -360,7 +365,7 @@ def main():
                         rec["ref"][op]["total_results"]))
         rec["result_parity"] = parity
         for op in ops:
-            if op in rec["ref"] and op in rec["ours_host"]:
+            if op in rec["ref"] and op in rec.get("ours_host", {}):
                 r, o = rec["ref"][op], rec["ours_host"][op]
                 rec.setdefault("speedup_host_avg", {})[op] = round(
                     r["avg"] / max(o["avg"], 1e-9), 3)
