@@ -408,7 +408,15 @@ def main(argv=None):
     if args.engine == "native":
         from ..query.native_host import NativeQueryEngine
 
-        native_eng = NativeQueryEngine(index, wdata)
+        if args.index_type in common.EF_KINDS:
+            from ..query import block_view
+
+            view = block_view.from_ef_index(index, decoder)
+            common.log(f"EF block view transcode: "
+                       f"{view.cold_start_s:.2f}s")
+            native_eng = NativeQueryEngine(view, wdata)
+        else:
+            native_eng = NativeQueryEngine(index, wdata)
     for op in args.query_types.split(":"):
         extra = {}
         if args.engine == "device":

@@ -304,6 +304,17 @@ def main():
             if native_host.available():
                 native_eng = native_host.NativeQueryEngine(index, wdata)
                 rec["ours_native"] = {}
+        elif type_name in common.EF_KINDS:
+            # EF-family serving: load-time u32 block view through the
+            # native cursor engine (query/block_view.py) — transcode
+            # time recorded as the engine's cold start
+            from dint_tpu.query import block_view, native_host
+
+            if native_host.available():
+                view = block_view.from_ef_index(index, decoder)
+                native_eng = native_host.NativeQueryEngine(view, wdata)
+                rec["ours_native"] = {}
+                rec["native_cold_start_s"] = round(view.cold_start_s, 3)
         for rep in range(args.reps):
             check = args.ref_check and rep == 0
             t0 = time.perf_counter()

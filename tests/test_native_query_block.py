@@ -79,3 +79,56 @@ def test_block_kind_parity(coll, codec):
         np.testing.assert_allclose(
             got, np.sort(want)[::-1], rtol=2e-4, atol=1e-5,
             err_msg=f"{codec} maxscore query {i} {q}")
+
+
+def test_ef_block_view_parity(coll):
+    """EF-family indexes served through the load-time u32 block view
+    (query/block_view.py) return the same results as the EF python
+    engines across all kinds and ops."""
+    from dint_tpu.index import freq_index
+    from dint_tpu.query import block_view
+
+    base, queries = coll
+    # EF-family builders (like the reference's binary_collection, which
+    # skips empty sequences) do not admit empty posting lists — rebuild
+    # the fixture without them for this family
+    import tempfile
+
+    docs, freqs = synth.make_collection(40, 9000, seed=29, avg_len=150)
+    docs[6] = docs[6][:1]
+    freqs[6] = freqs[6][:1]
+    td = tempfile.mkdtemp()
+    base = td + "/c"
+    collection.write_freq_collection(base, docs, freqs, 9000)
+    collection.write_sizes_file(
+        base, synth.doc_sizes_from_lists(docs, freqs, 9000))
+    queries = [q for q in queries if 5 not in q]
+    for kind in ("ef", "single", "uniform", "opt"):
+        idx = freq_index.build_freq_index(base, kind)
+        wd = ranked.build_wand_data(base)
+        dec = freq_index.EFTermDecoder(idx)
+        view = block_view.from_ef_index(idx, dec)
+        eng = native_host.NativeQueryEngine(view, wd)
+        _, cnt, _ = eng.run("and", queries, runs=2)
+        _, cnt_or, _ = eng.run("or", queries, runs=2)
+        for i, q in enumerate(queries):
+            decoded = dec.decode_docids(list(set(q)))
+            assert int(cnt[i]) == int(
+                boolean.and_query(decoded, q).shape[0]), (kind, i, q)
+            assert int(cnt_or[i]) == int(
+                boolean.or_query(decoded, q).shape[0]), (kind, i, q)
+        _, cntw, scores = eng.run("wand", queries, runs=2, k=10)
+        for i, q in enumerate(queries):
+            want = ranked.wand(idx, dec, wdata=wd, terms=q, k=10)
+            got = scores[i][scores[i] >= 0]
+            assert int(cntw[i]) == want.shape[0], (kind, i, q)
+            np.testing.assert_allclose(
+                got, np.sort(want)[::-1], rtol=2e-4, atol=1e-5,
+                err_msg=f"{kind} wand {i} {q}")
+        _, cntm, scores = eng.run("maxscore", queries, runs=2, k=10)
+        for i, q in enumerate(queries):
+            want = ranked.maxscore(idx, dec, wdata=wd, terms=q, k=10)
+            got = scores[i][scores[i] >= 0]
+            assert int(cntm[i]) == want.shape[0], (kind, i, q)
+            np.testing.assert_allclose(
+                got, np.sort(want)[::-1], rtol=2e-4, atol=1e-5)
