@@ -318,8 +318,19 @@ def main():
         for rep in range(args.reps):
             check = args.ref_check and rep == 0
             t0 = time.perf_counter()
-            ref_stats, meta = run_reference(
-                exe, type_name, base, qfile, args.ops, cache, check=check)
+            try:
+                ref_stats, meta = run_reference(
+                    exe, type_name, base, qfile, args.ops, cache,
+                    check=check)
+            except subprocess.CalledProcessError as e:
+                # the reference binary can die on its own (e.g. its
+                # block_varintgb decode segfaults on this workload);
+                # record the crash and keep timing our side
+                rec["ref_error"] = (
+                    f"reference binary failed: rc={e.returncode}")
+                print(f"[ab] {type_name} rep {rep}: REF CRASHED "
+                      f"({e.returncode})", file=sys.stderr)
+                ref_stats, meta = {}, {}
             print(f"[ab] {type_name} rep {rep}: ref launch "
                   f"{time.perf_counter()-t0:.1f}s "
                   f"(build {meta.get('construction_time_s', 0):.1f}s"
