@@ -59,6 +59,11 @@ constexpr uint32_t UNKNOWN_SUM = 0xFFFFFFFFu;
 
 #define DS2I_UNLIKELY_(x) __builtin_expect(!!(x), 0)
 
+// the reference's do_not_optimize_away (util.hpp:99-102)
+static inline void do_not_elide(uint64_t v) {
+    asm volatile("" : : "r"(v) : "memory");
+}
+
 static inline double now_us() {
     auto t = std::chrono::steady_clock::now().time_since_epoch();
     return std::chrono::duration<double, std::micro>(t).count();
@@ -631,6 +636,39 @@ struct NativeCursor {
         return cnt;
     }
 
+    // count_lt with the or_freq contract: every counted posting's
+    // freq is decoded and read (the reference touches freq() per doc,
+    // queries.hpp:113-117 do_not_optimize_away) — block-batched so a
+    // lone cursor's segment costs block decodes + a sum, not a
+    // per-doc min-walk.  `sink` accumulates the freq values so the
+    // compiler cannot elide the reads.
+    uint64_t count_lt_freqs(uint32_t target, uint64_t& sink) {
+        uint64_t cnt = 0;
+        if (cur >= uint32_t(ctx->num_docs)) return 0;
+        const uint32_t* maxs = ctx->block_max + p0;
+        while (target > maxs[cur_block]) {
+            if (!freqs_valid) decode_freqs_block();
+            for (int j = pos_in_block; j < cur_size; ++j)
+                sink += freqs_buf[j];
+            cnt += cur_size - pos_in_block;
+            if (cur_block + 1 >= nblocks) {
+                cur = uint32_t(ctx->num_docs);
+                pos_in_block = cur_size - 1;  // exhausted sentinel
+                return cnt;
+            }
+            enter_block(cur_block + 1, 0);
+        }
+        int hi = gallop_geq(docs_buf, pos_in_block, cur_size, target);
+        if (hi > pos_in_block) {
+            if (!freqs_valid) decode_freqs_block();
+            for (int j = pos_in_block; j < hi; ++j) sink += freqs_buf[j];
+            cnt += hi - pos_in_block;
+            pos_in_block = hi;
+            cur = docs_buf[hi];
+        }
+        return cnt;
+    }
+
     void next_geq(uint32_t target) {
         if (g_prof_on) ++g_prof.geq_calls;
         if (target <= cur) return;
@@ -800,24 +838,7 @@ static uint64_t op_or(const Ctx* c, std::vector<NativeCursor>& cur,
                       bool with_freqs) {
     uint32_t nd = uint32_t(c->num_docs);
     uint64_t results = 0;
-    if (with_freqs) {  // freq access forces the per-doc walk
-        uint32_t cur_doc = nd;
-        for (auto& e : cur) cur_doc = std::min(cur_doc, e.docid());
-        while (cur_doc < nd) {
-            ++results;
-            uint32_t next_doc = nd;
-            for (auto& e : cur) {
-                if (e.docid() == cur_doc) {
-                    volatile uint32_t f = e.freq();
-                    (void)f;
-                    e.next();
-                }
-                next_doc = std::min(next_doc, e.docid());
-            }
-            cur_doc = next_doc;
-        }
-        return results;
-    }
+    uint64_t freq_sink = 0;
     size_t m = cur.size();
     for (;;) {
         uint32_t best = nd, second = nd;
@@ -834,13 +855,22 @@ static uint64_t op_or(const Ctx* c, std::vector<NativeCursor>& cur,
         }
         if (best == nd) break;
         if (best < second) {
-            results += cur[bi].count_lt(second);
+            // lone-cursor segment: batched count; with_freqs decodes
+            // and reads every counted posting's freq (the reference's
+            // per-doc do_not_optimize_away(freq()), queries.hpp:113-117)
+            results += with_freqs ? cur[bi].count_lt_freqs(second,
+                                                           freq_sink)
+                                  : cur[bi].count_lt(second);
         } else {  // tie at the minimum: one union doc, advance every holder
             ++results;
             for (size_t i = 0; i < m; ++i)
-                if (cur[i].docid() == best) cur[i].next();
+                if (cur[i].docid() == best) {
+                    if (with_freqs) freq_sink += cur[i].freq();
+                    cur[i].next();
+                }
         }
     }
+    do_not_elide(freq_sink);
     return results;
 }
 
