@@ -193,7 +193,8 @@ def bursty_posting_list(
 
 
 def skewed_freqs(
-    rng: np.random.Generator, docs: np.ndarray, verbosity: np.ndarray
+    rng: np.random.Generator, docs: np.ndarray, verbosity: np.ndarray,
+    a: float = 1.8,
 ) -> np.ndarray:
     """Frequencies correlated with per-document verbosity.
 
@@ -205,7 +206,11 @@ def skewed_freqs(
     ``verbosity`` is a per-document multiplier (see
     make_skewed_collection).
     """
-    base = rng.zipf(1.8, size=docs.shape[0])
+    # ``a``: zipf exponent of the base term-frequency draw — steeper
+    # means a larger tf=1 share (real crawls sit near 70-80% ones;
+    # calibrated against the reference's published freqs bpi by
+    # scripts/calibrate_skew.py)
+    base = rng.zipf(a, size=docs.shape[0])
     f = np.maximum(
         1, (base * verbosity[docs.astype(np.int64)]).astype(np.int64)
     )
@@ -219,6 +224,7 @@ def make_skewed_collection(
     avg_len: float = 30.0,
     target_postings: int = 0,
     avg_burst: float = 32.0,
+    freq_zipf: float = 1.8,
 ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
     """A crawl-shaped collection: power-law gaps via bursty docid
     locality + verbosity-correlated frequencies (VERDICT r3 item 6).
@@ -253,7 +259,7 @@ def make_skewed_collection(
         n = int(n)
         d = bursty_posting_list(rng, num_docs, n, avg_burst=avg_burst)
         doc_lists.append(d)
-        freq_lists.append(skewed_freqs(rng, d, verbosity))
+        freq_lists.append(skewed_freqs(rng, d, verbosity, a=freq_zipf))
     return doc_lists, freq_lists
 
 

@@ -36,7 +36,8 @@ TARGET = {"docs_bpi": 4.766, "freqs_bpi": 2.455}  # README.md:114
 LISTS, POSTINGS = 113_306, 3_327_520  # README.md:53
 
 
-def build_bpi(num_docs: int, avg_burst: float, seed: int = 19):
+def build_bpi(num_docs: int, avg_burst: float, freq_zipf: float = 1.8,
+              seed: int = 19):
     from dint_tpu.io import collection, synth
     from dint_tpu.index import dint_index
 
@@ -45,7 +46,7 @@ def build_bpi(num_docs: int, avg_burst: float, seed: int = 19):
         base = td + "/c"
         docs, freqs = synth.make_skewed_collection(
             LISTS, num_docs, seed=seed, target_postings=POSTINGS,
-            avg_burst=avg_burst)
+            avg_burst=avg_burst, freq_zipf=freq_zipf)
         collection.write_freq_collection(base, docs, freqs, num_docs)
         total = sum(int(d.shape[0]) for d in docs)
         zero_gaps = 0
@@ -57,6 +58,7 @@ def build_bpi(num_docs: int, avg_burst: float, seed: int = 19):
         return {
             "num_docs": num_docs,
             "avg_burst": avg_burst,
+            "freq_zipf": freq_zipf,
             "postings": total,
             "docs_bpi": round(st["docs_bpi"], 3),
             "freqs_bpi": round(st["freqs_bpi"], 3),
@@ -76,20 +78,20 @@ def main():
 
     if args.grid:
         grid = [tuple(map(float, g.split(":"))) for g in args.grid]
-        grid = [(int(a), b) for a, b in grid]
+        grid = [(int(a), b, c) for a, b, c in grid]
     elif args.quick:
-        grid = [(25_000, 8.0), (100_000, 8.0), (400_000, 8.0)]
+        grid = [(400_000, 8.0, 1.8), (400_000, 32.0, 2.6),
+                (1_000_000, 32.0, 2.6)]
     else:
         grid = [
-            (25_000, 4.0), (25_000, 16.0),
-            (100_000, 4.0), (100_000, 8.0), (100_000, 16.0),
-            (400_000, 4.0), (400_000, 8.0), (400_000, 16.0),
-            (1_000_000, 8.0),
+            (400_000, 16.0, 2.2), (400_000, 32.0, 2.6),
+            (400_000, 64.0, 2.6), (1_000_000, 32.0, 2.6),
+            (1_000_000, 64.0, 3.0), (400_000, 32.0, 3.0),
         ]
     rows = []
-    for nd, ab in grid:
+    for nd, ab, fz in grid:
         t0 = time.perf_counter()
-        r = build_bpi(nd, ab)
+        r = build_bpi(nd, ab, fz)
         r["err"] = round(
             abs(r["docs_bpi"] - TARGET["docs_bpi"])
             + abs(r["freqs_bpi"] - TARGET["freqs_bpi"]), 3)
