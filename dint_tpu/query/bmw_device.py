@@ -64,7 +64,10 @@ MAX_SLOTS = 8
 import os as _os
 
 EVENT_CAP = int(_os.environ.get("DINT_TPU_BMW_EVENT_CAP", str(1 << 15)))
-SORT_ELEMS = 1 << 23
+# per-chunk sort budget: the environment's measured multi-array sort
+# compile hazard starts well under 4M rows (CLAUDE.md: chunk to <=2M);
+# a T=5 survival batch at 8M elements hung the remote compiler
+SORT_ELEMS = 1 << 21
 
 
 @functools.lru_cache(maxsize=None)

@@ -60,6 +60,7 @@ def run_op_device_fused(index, decoder, wdata, queries_list, op, runs, k):
           f"{store_s:.1f}s", file=_sys.stderr)
     prune = (
         op in ("wand", "maxscore")
+        and os.environ.get("DINT_TPU_FUSED_PRUNE", "1") == "1"
         and getattr(wdata, "block_maxw", None) is not None
         and hasattr(decoder, "lazy_cache")
         and hasattr(decoder.lazy_cache, "docs_blocks_batch")
