@@ -1041,9 +1041,17 @@ class UnpackEngine:
                     _lane_major(_pack_w(c.payload.astype(np.uint32), c.b))
                 )
                 if c.val_base is not None:
+                    # slice to (M, 128) on the HOST: a device-side [0]
+                    # executes an op that must wait for this class's
+                    # queued wT upload (the relay moves ~6-8 MB/s), so
+                    # the ctor was paying a forced sync per PEF class —
+                    # 4 x ~1.5 s of the recorded PEF cold start.  Host
+                    # slicing keeps the ctor a pure async upload issue
+                    # like every other codec's.
                     bT = jnp.asarray(
-                        _lane_major(c.val_base[:, None].astype(np.uint32))
-                    )[0]  # (M, 128)
+                        _lane_major(c.val_base[:, None].astype(np.uint32)
+                                    )[0]  # (M, 128)
+                    )
                     self._dev.append(("pforb", int(c.b), wT, bT))
                     self.device_bytes += bT.nbytes
                 else:
